@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Diagnostic smoke main: exercises the custom Catalyst kernels and the
+  * flagship entry through the public API. Usage: runMain graft.Smoke
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    df.select(dot($"a", $"b").as("dot"), cosine($"a", $"b").as("cos")).show()
+
+    val m = Seq((Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(2.0, 0.0), Seq(0.0, 3.0))))
+      .toDF("q", "p")
+    m.select(maxsim($"q", $"p").as("maxsim")).show()
+
+    val e = Seq((Seq(Seq(1.0, 0.0)), Seq.empty[Seq[Double]])).toDF("q", "p")
+    e.select(maxsim($"q", $"p").as("maxsim_empty")).show()
+
+    val nl = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    nl.select(dot($"a", $"b").as("dot_null")).show()
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q0 = emb.filter($"vec_id" === 0).select($"embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val scored = emb.select($"vec_id", dot($"embedding", lit(q0)).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(5)
+    scored.show()
+    scored.explain("formatted")
+
+    println("entry rows: " + SparkEntry.entry(spark).count())
+    spark.stop()
+  }
+}
