@@ -19,8 +19,8 @@ object SparkEntry {
     Relational.joinRevenue(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ RetrievalPack.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ RetrievalPack.oracle
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text kernels shared by the BM25 / dedup / analysis operators.
+  *
+  * Each primitive exists twice, generated from ONE Scala definition:
+  * as a Spark `Column` program and as a DuckDB SQL fragment (the
+  * driver's oracle). That guarantees engine and oracle can't drift.
+  *
+  * Tokenizer semantics follow the reference's `TextPreprocessor`
+  * (`src/storage/bm25_store.py:38-100`): lowercase → strip punctuation
+  * (`[^\w\s]` → space) → whitespace split → drop stopwords (the
+  * reference's 137-word list, `bm25_store.py:56-71`) → drop tokens
+  * shorter than 2 chars.
+  */
+object TextFunctions {
+
+  /** Reference stopword list, `src/storage/bm25_store.py:56-71`. */
+  val stopwords: Seq[String] = Seq(
+    "a", "an", "the", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "by", "from", "up", "about", "into", "through", "during",
+    "before", "after", "above", "below", "between", "under", "again",
+    "further", "then", "once", "here", "there", "when", "where", "why",
+    "how", "all", "each", "few", "more", "most", "other", "some", "such",
+    "no", "nor", "not", "only", "own", "same", "so", "than", "too", "very",
+    "can", "will", "just", "should", "now", "is", "are", "was", "were",
+    "be", "been", "being", "have", "has", "had", "having", "do", "does",
+    "did", "doing", "would", "could", "might", "must", "shall", "this",
+    "that", "these", "those", "i", "me", "my", "myself", "we", "our",
+    "ours", "ourselves", "you", "your", "yours", "yourself", "yourselves",
+    "he", "him", "his", "himself", "she", "her", "hers", "herself", "it",
+    "its", "itself", "they", "them", "their", "theirs", "themselves",
+    "what", "which", "who", "whom")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.mkString("['", "', '", "']")
+
+  /** BM25 tokenizer as a Column (all built-ins — codegen-friendly,
+    * no UDF).
+    *
+    * Regex-fidelity note (SURVEY §7 risk 3): Java and DuckDB-RE2 treat
+    * `\w` as ASCII, while the reference's CPython `re` is Unicode-aware
+    * — so "naïve" tokenizes to ["na","ve"] here but ["naïve"] in the
+    * reference. Engine and oracle agree with each other on all inputs;
+    * the divergence vs the reference only affects non-ASCII letters. */
+  def tokenize(c: Column): Column = {
+    val cleaned = regexp_replace(lower(c), "[^\\w\\s]", " ")
+    filter(split(cleaned, "\\s+"), t =>
+      length(t) >= 2 && !array_contains(lit(stopwords.toArray), t))
+  }
+
+  /** Same tokenizer as a DuckDB SQL fragment over column expr `col`. */
+  def tokenizeSql(col: String): String =
+    s"list_filter(regexp_split_to_array(regexp_replace(lower($col), '[^\\w\\s]', ' ', 'g'), '\\s+'), " +
+      s"t -> length(t) >= 2 AND NOT list_contains(${sqlList(stopwords)}, t))"
+
+  /** Whitespace tokenizer (no stopword/length filtering) — used by the
+    * quality/token-count analyses where raw words matter. */
+  def wsTokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  def wsTokensSql(col: String): String =
+    s"list_filter(regexp_split_to_array(trim($col), '\\s+'), t -> length(t) > 0)"
+
+  // ---- portable hashing -------------------------------------------------
+
+  /** 56-bit stable hash: first 14 hex digits of md5, as a BIGINT. The
+    * one hash both Spark (`conv`) and DuckDB (`'0x'||…::BIGINT`) compute
+    * identically — the foundation for minhash/simhash/fingerprint
+    * oracle parity. */
+  def hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  def hash56Sql(col: String): String =
+    s"(('0x' || substr(md5($col), 1, 14))::BIGINT)"
+
+  /** hash56 folded into the Mersenne-31 field (minhash universe). */
+  val P31 = 2147483647L
+  def hashMod(c: Column): Column = hash56(c) % P31
+  def hashModSql(col: String): String = s"(${hash56Sql(col)} % 2147483647)"
+
+  /** Word n-gram shingles ("w1 w2 w3") from a token array: one shingle
+    * per start position 0..len-n (empty when len < n). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  def shinglesSql(toks: String, n: Int): String =
+    s"list_transform(range(greatest(len($toks) - ${n - 1}, 0)), i -> array_to_string(list_slice($toks, i + 1, i + $n), ' '))"
+
+  // ---- language-ID word lists (n-gram/function-word heuristic) ----------
+
+  /** Function-word lists for the language-ID heuristic. Deterministic
+    * argmax with fixed priority order en > de > es > fr > zh. */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "you", "that",
+      "was", "for", "on", "are", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "ich", "sie", "von", "zu", "den"),
+    "es" -> Seq("el", "los", "las", "que", "y", "un", "es", "por", "del",
+      "se", "con", "para"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "qui",
+      "pour", "au", "pas", "sur"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  def langHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(words.toArray), t)))
+
+  def langHitsSql(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> list_contains(${sqlList(words)}, t)))"
+}
