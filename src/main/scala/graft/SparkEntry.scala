@@ -19,8 +19,8 @@ object SparkEntry {
     Relational.joinRevenue(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RetrievalPack.queries
+    Relational.queries ++ RetrievalPack.queries ++ TextPack.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ RetrievalPack.oracle
+    Relational.oracle ++ RetrievalPack.oracle ++ TextPack.oracle
 }

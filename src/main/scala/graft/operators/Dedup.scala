@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (content-hash groupBy), MinHash+LSH banding, SimHash with
+  * Hamming verification, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every technique is blocked/bucketed so the candidate
+  * set is a join on a small key (band hash, simhash bucket, blocking
+  * column) rather than an O(n²) cross product — at 100 TB the shuffles
+  * are (band_key) and (doc pair) only, and the per-doc sketches are
+  * one-pass codegen'd kernels ([[graft.functions.MinHashSig]] /
+  * [[graft.functions.SimHash]]).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep canonical min-id.
+    * Input: (id, text). Output: (text_md5, n_dups, canonical_id,
+    * max_id) for groups with >1 member. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(col(idCol)).as("canonical_id"),
+        max(col(idCol)).as("max_id"))
+      .filter(col("n_dups") > 1)
+
+  /** MinHash signatures over 3-gram shingles: (id, sig array<long>).
+    * Docs with fewer than 3 tokens have no shingles and are dropped. */
+  def minhashSignatures(corpus: DataFrame, idCol: String, toksCol: String,
+                        k: Int): DataFrame = {
+    val sh = TextFunctions.shingles(col(toksCol), 3)
+    val hashes = transform(sh, s => TextFunctions.hash56(s) % TextFunctions.P31)
+    corpus.select(col(idCol).as("id"), HashFunctions.minhashSig(hashes, k).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** LSH banding: explode signatures into (band, band_key) buckets and
+    * self-join — candidates are pairs sharing any band. bandsRows = (b
+    * bands, r rows), k = b*r. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
+      .toDF("id", "band", "band_key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard between candidate pairs over distinct 3-gram shingle
+    * sets. Input candidates (id_a, id_b); corpus (id, toks). */
+  def jaccardVerify(candidates: DataFrame, corpus: DataFrame,
+                    idCol: String, toksCol: String): DataFrame = {
+    val sh = corpus.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(toksCol), 3))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("id_a") === col("za.id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_inter") / (col("za.n_sh") + col("zb.n_sh") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  /** SimHash table: (id, simhash) over token hashes. */
+  def simhashTable(corpus: DataFrame, idCol: String, toksCol: String,
+                   bits: Int = 32): DataFrame = {
+    val hashes = transform(col(toksCol), t => TextFunctions.hash56(t) % TextFunctions.P31)
+    corpus.select(col(idCol).as("id"), HashFunctions.simhash(hashes, bits).as("simhash"))
+  }
+
+  /** Near-dup pairs by Hamming distance ≤ maxDist, bucketed on the high
+    * 8 bits so the self-join never goes quadratic. */
+  def hammingPairs(simhashes: DataFrame, maxDist: Int): DataFrame = {
+    val bucketed = simhashes.withColumn("bucket",
+      shiftright(col("simhash"), 24).bitwiseAND(255))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding-cosine near-dup within blocks: pairs with cosine ≥ tau,
+    * joined only inside the blocking column (label / LSH bucket / IVF
+    * centroid at scale). */
+  def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+                  blockCol: String, tau: Double): DataFrame =
+    embs.as("a").join(embs.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6)
+          .as("score"))
+      .filter(col("score") >= tau)
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-graph operators (reference `src/graph/document_graph.py`):
+  * edge table + BFS by iterated self-join (J5/J6/J7). The reference
+  * holds the graph in a Python dict and walks it recursively; here the
+  * edge list is a DataFrame and each BFS level is one equi-join — the
+  * frontier stays tiny relative to the edge table, so every hop is a
+  * broadcast join at scale.
+  */
+object GraphOps {
+
+  /** Derived demo edge table over `documents`: chain consecutive docs
+    * within a source (dst = next doc_id in the same source). */
+  def consecutiveEdges(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("doc_id").as("src"),
+        lead(col("doc_id"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+  }
+
+  /** Min-distance BFS from a seed set, up to maxDepth hops (directed).
+    * Returns (node, dist). Iterated joins; dedups by min-dist. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    var levels = Seq(seeds.select(col("node"), lit(0L).as("dist")))
+    var frontier = levels.head
+    for (d <- 1 to maxDepth) {
+      frontier = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(d.toLong).as("dist"))
+      levels = levels :+ frontier
+    }
+    levels.reduce(_ unionByName _)
+      .groupBy("node").agg(min(col("dist")).as("dist"))
+  }
+
+  /** Related-document lookup (J6): undirected neighbors of an id. */
+  def related(edges: DataFrame, id: Long): DataFrame = {
+    val out = edges.filter(col("src") === id).select(col("dst").as("node"))
+    val in = edges.filter(col("dst") === id).select(col("src").as("node"))
+    out.union(in).distinct()
+  }
+}
