@@ -40,7 +40,28 @@ object Smoke {
     scored.show()
     scored.explain("formatted")
 
-    println("entry rows: " + SparkEntry.entry(spark).count())
+    val entry = SparkEntry.entry(spark)
+    entry.show(10, 80)
+    println("entry rows: " + entry.count())
+
+    // probes: tenant isolation + degenerate queries through the facade
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text", $"source")
+    val bundle = graft.ingest.Pipeline.ingest(docs, orgCol = Some("source"))
+    val other = graft.retrieval.HybridSearch.search(
+      bundle.chunks, "spark join filter", graft.model.TenantContext("src7"),
+      cfg = graft.retrieval.HybridSearch.Config(limit = 5))
+    val leaked = other.join(
+      bundle.chunks.filter($"organization_id" =!= "src7").select($"id"), Seq("id"))
+    println("cross-tenant leaked rows: " + leaked.count())
+    val stopOnly = graft.retrieval.HybridSearch.search(
+      bundle.chunks, "the and of is", graft.model.TenantContext("src7"),
+      cfg = graft.retrieval.HybridSearch.Config(limit = 5))
+    println("stopword-only-query rows: " + stopOnly.count())
+    val noHit = graft.retrieval.HybridSearch.search(
+      bundle.chunks, "zzzxqwv unknownterm", graft.model.TenantContext("src7"),
+      cfg = graft.retrieval.HybridSearch.Config(limit = 5))
+    println("oov-query rows: " + noHit.count())
     spark.stop()
   }
 }

@@ -14,9 +14,20 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.joinRevenue(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the full read path — ingest documents through the master pipeline
+    * (quality routing → hierarchical chunking → metadata → embeddings →
+    * postings), then tenant-scoped hybrid BM25+dense RRF search. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val bundle = graft.ingest.Pipeline.ingest(docs, orgCol = Some("source"))
+    graft.retrieval.HybridSearch.search(
+      bundle.chunks, "spark join filter merge window",
+      graft.model.TenantContext("src3"),
+      cfg = graft.retrieval.HybridSearch.Config(limit = 10))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RetrievalPack.queries ++ TextPack.queries

@@ -76,6 +76,25 @@ object TextFunctions {
   def hash56Sql(col: String): String =
     s"(('0x' || substr(md5($col), 1, 14))::BIGINT)"
 
+  /** JVM twin of [[hash56]] for driver-side values (query embedding,
+    * id generation) — byte-identical to the column/SQL forms. */
+  def hash56Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(14)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** JVM twin of [[tokenize]] (reference `bm25_store.py:82-100`). */
+  def tokenizeJvm(text: String): Seq[String] = {
+    val stops = stopwords.toSet
+    text.toLowerCase
+      .replaceAll("[^\\w\\s]", " ")
+      .split("\\s+")
+      .filter(t => t.length >= 2 && !stops.contains(t))
+      .toSeq
+  }
+
   /** hash56 folded into the Mersenne-31 field (minhash universe). */
   val P31 = 2147483647L
   def hashMod(c: Column): Column = hash56(c) % P31

@@ -1,0 +1,116 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EmbedFunctions, TextFunctions}
+import graft.model.UnifiedChunk
+import graft.operators.BM25
+
+/** Master ingestion pipeline (I1, reference
+  * `src/pipeline/master_pipeline.py:197-468`): parse → quality →
+  * domain metadata → chunk → embed → index, all as one DataFrame flow.
+  * Model stages (BGE/ColPali) use the deterministic stand-ins per
+  * SURVEY §7; quality-GARBAGE docs skip embedding
+  * (`document_quality.py:529-540`).
+  *
+  * Every stage is a pure column program or flatMap generator — the
+  * whole ingest of a 100 TB corpus is a single shuffle-free map pass
+  * followed by the postings aggregation.
+  */
+object Pipeline {
+
+  case class IndexBundle(
+      chunks: DataFrame, // UnifiedChunk rows + embedding column
+      postings: DataFrame, // (id, dl, term, tf)
+      docFreq: DataFrame) // (term, df)
+
+  /** Doc-id generation (I14, `document_processor.py:183-188`):
+    * `{filename}_{md5(content)[:12]}`. */
+  def documentId(filename: String, content: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${filename}_${hex.take(12)}"
+  }
+
+  /** Ingest documents (cols: doc_id, text + optional org/source) into
+    * the chunk fact table with quality routing and embeddings. */
+  def ingest(docs: DataFrame, embeddingDim: Int = 64,
+             orgCol: Option[String] = None): IndexBundle = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val withOrg = orgCol match {
+      case Some(c) => docs.withColumn("__org", col(c).cast("string"))
+      case None => docs.withColumn("__org", lit("default"))
+    }
+
+    // quality → strategy routing (I2) + hierarchical chunking (I5) as a
+    // flatMap generator; GARBAGE docs keep only the document-level chunk
+    // and are flagged to skip embedding
+    val chunker = new HierarchicalChunker()
+    val chunks = withOrg.select(
+        col("doc_id").cast("string").as("doc_id"), col("text"), col("__org"))
+      .as[(String, String, String)]
+      .flatMap { case (docId, text, org) =>
+        val t = Option(text).getOrElse("")
+        val report = QualityAnalyzer.analyze(t)
+        val meta = DomainMetadata.extract(t)
+        val base =
+          if (report.tier == "garbage")
+            Seq(UnifiedChunk(
+              id = s"${docId}_doc", document_id = docId, text = t,
+              chunk_index = 0, level = "document", organization_id = org))
+          else chunker.chunk(t, docId, org)
+        base.map(c => c.copy(
+          quality_level = Some(report.tier),
+          chunk_strategy = Some(report.chunkStrategy),
+          document_type = Some(meta.documentType),
+          metadata = c.metadata ++ meta.filterTags ++ Map(
+            "skip_embedding" -> (report.tier == "garbage").toString)))
+      }
+      .toDF()
+
+    // dense embedding stage (I9): skip for garbage
+    val embedded = chunks.withColumn("embedding",
+      when(col("metadata").getItem("skip_embedding") === "true",
+        lit(null).cast("array<double>"))
+        .otherwise(EmbedFunctions.featureHashEmbed(
+          transform(TextFunctions.tokenize(col("text")),
+            t => TextFunctions.hash56(t)), embeddingDim)))
+
+    // BM25 index (A1): paragraph-level chunks are the retrieval unit (F7)
+    val retrievalUnits = embedded.filter(col("level") === "paragraph" ||
+      col("level") === "document")
+    val corpus = BM25.corpus(retrievalUnits, "id", "text")
+    val postings = BM25.postings(corpus)
+    val docFreq = BM25.docFreq(postings)
+
+    IndexBundle(embedded, postings, docFreq)
+  }
+
+  /** Upsert semantics (S6, `metadata_store.py:808-847`): delete-then-
+    * insert by document — old rows for re-uploaded documents are
+    * anti-joined away before the union. */
+  def upsertChunks(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val docs = incoming.select(col("document_id")).distinct()
+    existing.join(docs, Seq("document_id"), "left_anti")
+      .unionByName(incoming, allowMissingColumns = true)
+  }
+
+  /** Cascade delete (I13, `master_pipeline.py:847-890`): remove a
+    * document from every derived table. */
+  def cascadeDelete(bundle: IndexBundle, documentIds: Seq[String]): IndexBundle = {
+    val spark = bundle.chunks.sparkSession
+    import spark.implicits._
+    val ids = documentIds.toDF("document_id")
+    val chunks = bundle.chunks.join(ids, Seq("document_id"), "left_anti")
+    val keep = chunks.select(col("id"))
+    IndexBundle(
+      chunks,
+      bundle.postings.join(keep, Seq("id"), "left_semi"),
+      // recompute df from surviving postings (partition-scoped recompute
+      // per SURVEY §4, not whole-index rebuild)
+      BM25.docFreq(bundle.postings.join(keep, Seq("id"), "left_semi")))
+  }
+}

@@ -1,0 +1,215 @@
+package graft.retrieval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EmbedFunctions, TextFunctions, VectorFunctions}
+import graft.model.{Filters, TenantContext}
+import graft.operators.{BM25, DenseKnn, Fusion}
+
+/** Hybrid retrieval façade (V5, reference
+  * `src/retrieval/hybrid_search.py:219-430`): tenant scope → per-method
+  * retrieval (BM25 / dense / optional ColPali page propagation) with
+  * over-fetch limit×3 → weighted RRF (k=60) → final cut → detail join.
+  * Weight resolution: custom > query-analyzer dynamic > defaults
+  * {bm25 .3, dense .5, colpali .2} (`hybrid_search.py:184-217`).
+  *
+  * The enhanced path (§3.3, `enhanced_hybrid_search.py:236-367`) adds
+  * query classification, acronym expansion, precision fallback (+0.5
+  * boosted BM25 for "Table 3"-style terms, merged first-writer-wins J8)
+  * and keyword/filterless fallbacks V10.
+  */
+object HybridSearch {
+
+  val DefaultWeights: Map[String, Double] =
+    Map("bm25" -> 0.3, "dense" -> 0.5, "colpali" -> 0.2)
+
+  case class Config(
+      limit: Int = 10,
+      fetchMultiplier: Int = 3, // `hybrid_search.py:256`
+      rrfK: Int = Fusion.RrfK,
+      embeddingDim: Int = 64,
+      weights: Option[Map[String, Double]] = None,
+      // F7 (`master_pipeline.py:572,706`): paragraph chunks are the
+      // primary retrieval unit; None searches all levels
+      levelFilter: Option[String] = Some("paragraph"))
+
+  /** Chunk-table hybrid search. `chunks` needs columns: id, text,
+    * organization_id (+ tenant columns), embedding. Returns the fused
+    * top-k with per-method detail (J2): (id, rrf_score, text,
+    * bm25_score, bm25_rank, dense_score, dense_rank). */
+  def search(chunks: DataFrame, query: String, ctx: TenantContext,
+             filters: Map[String, Filters.Pred] = Map.empty,
+             cfg: Config = Config(),
+             pages: Option[DataFrame] = None): DataFrame = {
+    val scoped0 = Filters.tenantScope(chunks, ctx)
+      .filter(Filters.compile(filters))
+    val scoped = cfg.levelFilter match {
+      case Some(lv) if chunks.columns.contains("level") =>
+        scoped0.filter(col("level") === lv)
+      case _ => scoped0
+    }
+
+    val analysis = QueryAnalyzer.analyze(query)
+    val weights = cfg.weights.getOrElse {
+      // dynamic weights only when the analyzer suggests non-text
+      if (analysis.modality == QueryAnalyzer.Text) DefaultWeights
+      else analysis.weights
+    }
+
+    val fetch = cfg.limit * cfg.fetchMultiplier
+    val qTokens = TextFunctions.tokenizeJvm(query)
+
+    val methods = Seq.newBuilder[(DataFrame, Double, String)]
+
+    // BM25 branch (positive-scores semantics, `bm25_store.py:235`)
+    if (qTokens.nonEmpty && weights.getOrElse("bm25", 0.0) > 0) {
+      val bm = BM25.search(scoped, "id", "text", qTokens, fetch)
+      methods += ((Fusion.rank(bm).join(bm, "id"), weights("bm25"), "bm25"))
+    }
+
+    // dense branch: deterministic feature-hash query embedding (I9)
+    if (weights.getOrElse("dense", 0.0) > 0) {
+      val spark = chunks.sparkSession
+      import spark.implicits._
+      val qvec = EmbedFunctions.embedQuery(qTokens, cfg.embeddingDim)
+      val qdf = Seq(Tuple1(qvec)).toDF("qvec")
+      val dn = DenseKnn.topK(scoped, "id", "embedding", qdf, "qvec", fetch)
+      methods += ((Fusion.rank(dn).join(dn, "id"), weights("dense"), "dense"))
+    }
+
+    // ColPali branch (J3/J4): page-level MaxSim propagated to chunks
+    pages.filter(_ => weights.getOrElse("colpali", 0.0) > 0).foreach { pg =>
+      val propagated = colpaliPropagate(scoped, pg, qTokens, cfg, fetch)
+      methods += ((Fusion.rank(propagated).join(propagated, "id"),
+        weights("colpali"), "colpali"))
+    }
+
+    val built = methods.result()
+    if (built.isEmpty) return scoped.select(col("id")).limit(0)
+
+    val fused = Fusion.fuseTopK(built.map(m => (m._1, m._2)), cfg.limit, cfg.rrfK)
+
+    // detail join (J2, `hybrid_search.py:409-430`): attach text +
+    // per-method score/rank; all right sides are top-k lists → broadcast
+    val withDetail = built.foldLeft(fused) { case (acc, (ranked, _, name)) =>
+      acc.join(
+        broadcast(ranked.select(col("id"),
+          col("score").as(s"${name}_score"), col("rank").as(s"${name}_rank"))),
+        Seq("id"), "left")
+    }
+    withDetail
+      .join(broadcast(scoped.select(col("id"), col("text"))), Seq("id"), "left")
+      .orderBy(col("rrf_score").desc, col("id"))
+  }
+
+  /** J3/J4 (`hybrid_search.py:307-394`): MaxSim-score pages against the
+    * query's patch matrix, propagate to chunks on (document_id,
+    * page_number); chunks with no scored page fall back to max doc page
+    * score × 0.8 on document_id. `pages` needs (document_id,
+    * page_number, patches). Chunks need (id, document_id, page_number).
+    */
+  def colpaliPropagate(chunks: DataFrame, pages: DataFrame,
+                       qTokens: Seq[String], cfg: Config,
+                       fetch: Int): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    // query patch matrix: one row per token (deterministic stand-in for
+    // the ColPali query embedder, I10)
+    val qpatches = qTokens.take(32)
+      .map(t => EmbedFunctions.embedQuery(Seq(t), 16).toSeq)
+    val qdf = Seq(Tuple1(qpatches)).toDF("qpatches")
+
+    val pageScores = pages.crossJoin(broadcast(qdf))
+      .select(col("document_id"), col("page_number"),
+        round(VectorFunctions.maxsim(col("qpatches"), col("patches")), 6).as("pscore"))
+
+    val direct = chunks
+      .join(pageScores, Seq("document_id", "page_number"))
+      .select(col("id"), col("pscore").as("score"))
+
+    // fallback: best page score per document × 0.8 (`:367-394`)
+    val docBest = pageScores.groupBy("document_id")
+      .agg((max(col("pscore")) * 0.8).as("fallback_score"))
+    val fallback = chunks
+      .join(direct.select(col("id")), Seq("id"), "left_anti")
+      .join(broadcast(docBest), Seq("document_id"))
+      .select(col("id"), col("fallback_score").as("score"))
+
+    direct.unionByName(fallback)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(fetch)
+  }
+
+  /** Enhanced search (§3.3): classification + acronym expansion +
+    * precision fallback merged first-writer-wins (J8,
+    * `enhanced_hybrid_search.py:475-496`). */
+  def enhancedSearch(chunks: DataFrame, query: String, ctx: TenantContext,
+                     filters: Map[String, Filters.Pred] = Map.empty,
+                     cfg: Config = Config()): DataFrame = {
+    val queryType = QueryAnalyzer.classify(query)
+    val (expanded, _) = Acronyms.expandQuery(query)
+    // base search at limit×2 (`enhanced_hybrid_search.py:277`)
+    val base = search(chunks, expanded, ctx, filters,
+      cfg.copy(limit = cfg.limit * 2))
+
+    val (isPrecision, ptypeOpt, refOpt) = QueryAnalyzer.detectPrecision(query)
+    val merged = (isPrecision, ptypeOpt, refOpt) match {
+      case (true, Some(ptype), Some(ref)) =>
+        val scoped = Filters.tenantScope(chunks, ctx).filter(Filters.compile(filters))
+        // V9: BM25-only lookups for the reference terms, +0.5 boost
+        val terms = QueryAnalyzer.precisionSearchTerms(ptype, ref)
+          .flatMap(TextFunctions.tokenizeJvm).distinct
+        if (terms.nonEmpty) {
+          val prec = BM25.search(scoped, "id", "text", terms, 5)
+            .select(col("id"), (col("score") + 0.5).as("rrf_score"))
+          mergeFirstWriterWins(prec, base.select(col("id"), col("rrf_score")))
+        } else base.select(col("id"), col("rrf_score"))
+      case _ => base.select(col("id"), col("rrf_score"))
+    }
+
+    merged
+      .withColumn("query_type", lit(queryType))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(cfg.limit)
+  }
+
+  /** J8: priority ∪ base with first-writer-wins dedup by id. */
+  def mergeFirstWriterWins(priority: DataFrame, base: DataFrame): DataFrame = {
+    val tagged = priority.withColumn("__prio", lit(0))
+      .unionByName(base.withColumn("__prio", lit(1)))
+    val w = Window.partitionBy(col("id")).orderBy(col("__prio"), col("rrf_score").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prio", "__rn")
+  }
+
+  /** V10 failure signals (`enhanced_hybrid_search.py:144-197`) computed
+    * on the (tiny) result set: avg score, variance, distinct sources,
+    * confidence. Driver-side decision record. */
+  case class FailureSignals(
+      lowScores: Boolean, highVariance: Boolean, singleSource: Boolean,
+      confidence: Double, recommendations: Seq[String])
+
+  def analyzeFailure(scores: Seq[Double], nSources: Int,
+                     expectedMinScore: Double = 0.3): FailureSignals = {
+    if (scores.isEmpty)
+      return FailureSignals(lowScores = false, highVariance = false,
+        singleSource = false, confidence = 0.0, Seq("no_results_fallback"))
+    var confidence = 1.0
+    val recs = Seq.newBuilder[String]
+    val avg = scores.sum / scores.size
+    val low = avg < expectedMinScore
+    if (low) { confidence -= 0.2; recs += "try_keyword_search" }
+    val variance =
+      if (scores.size > 1) scores.map(s => (s - avg) * (s - avg)).sum / scores.size
+      else 0.0
+    val highVar = variance > 0.1
+    if (highVar) confidence -= 0.1
+    val single = nSources == 1
+    if (single) recs += "expand_search"
+    FailureSignals(low, highVar, single, math.max(0.0, confidence), recs.result())
+  }
+}

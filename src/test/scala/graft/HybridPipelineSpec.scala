@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.EmbedFunctions
+import graft.ingest.Pipeline
+import graft.model.{Filters, TenantContext}
+import graft.retrieval.HybridSearch
+
+/** End-to-end: pipeline ingest → hybrid search with tenant isolation
+  * (FIXTURES B8 property) + upsert/cascade-delete semantics (S6/I13). */
+class HybridPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "payment terms are net 30 days from invoice date for consulting services rendered monthly", "org_acme"),
+    (2L, "the master services agreement covers indemnification liability and termination clauses", "org_acme"),
+    (3L, "quarterly earnings revenue grew year over year with strong cash flow and ebitda margins", "org_beta"),
+    (4L, "fire safety egress requirements for residential dwelling occupancy under the building code", "org_beta"))
+    .toDF("doc_id", "text", "org")
+
+  lazy val bundle = Pipeline.ingest(docs, orgCol = Some("org"))
+
+  test("pipeline produces chunks, postings and embeddings (I1)") {
+    val chunks = bundle.chunks.cache()
+    assert(chunks.count() > 0)
+    assert(chunks.filter($"level" === "document").count() == 4)
+    assert(bundle.postings.count() > 0)
+    assert(bundle.docFreq.count() > 0)
+    // non-garbage docs carry normalized embeddings
+    val emb = chunks.filter($"embedding".isNotNull).select($"embedding").head()
+    val v = emb.getSeq[Double](0)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    // domain metadata tags present
+    assert(chunks.filter($"metadata".getItem("contract_type").isNotNull).count() > 0)
+  }
+
+  test("tenant isolation: no cross-org rows for any filter combo (B8)") {
+    val ctx = TenantContext("org_acme")
+    val scoped = Filters.tenantScope(bundle.chunks, ctx)
+    assert(scoped.filter($"organization_id" =!= "org_acme").count() == 0)
+    // and with an extra filter on level
+    val scoped2 = Filters.tenantScope(
+      bundle.chunks.filter($"level" === "document"), ctx)
+    assert(scoped2.filter($"organization_id" =!= "org_acme").count() == 0)
+    assert(scoped2.count() > 0)
+  }
+
+  test("hybrid search returns tenant-scoped fused results (V5)") {
+    val res = HybridSearch.search(
+      bundle.chunks, "payment terms invoice", TenantContext("org_acme"),
+      cfg = HybridSearch.Config(limit = 5))
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // detail join carries text and per-method columns
+    assert(res.columns.contains("text"))
+    assert(res.columns.contains("bm25_rank") || res.columns.contains("dense_rank"))
+    // top hit should be the payment-terms document's chunk
+    assert(rows.head.getAs[String]("id").startsWith("1_"))
+  }
+
+  test("enhanced search applies precision fallback path (V8/V9/J8)") {
+    val res = HybridSearch.enhancedSearch(
+      bundle.chunks, "what is the exact amount in Section 2", TenantContext("org_acme"),
+      cfg = HybridSearch.Config(limit = 5))
+    assert(res.columns.contains("query_type"))
+    val rows = res.collect()
+    // classification: 'section' keyword ⇒ reference
+    if (rows.nonEmpty)
+      assert(rows.head.getAs[String]("query_type") == "reference")
+  }
+
+  test("upsert replaces a document's chunks (S6)") {
+    val updated = Pipeline.ingest(
+      Seq((1L, "completely new text for document one replacing the old version entirely today", "org_acme"))
+        .toDF("doc_id", "text", "org"), orgCol = Some("org"))
+    val merged = Pipeline.upsertChunks(bundle.chunks, updated.chunks)
+    val doc1 = merged.filter($"document_id" === "1")
+    assert(doc1.filter($"text".contains("payment terms")).count() == 0)
+    assert(doc1.count() == updated.chunks.filter($"document_id" === "1").count())
+    // untouched documents survive
+    assert(merged.filter($"document_id" === "2").count() ==
+      bundle.chunks.filter($"document_id" === "2").count())
+  }
+
+  test("cascade delete removes doc from every derived table (I13)") {
+    val after = Pipeline.cascadeDelete(bundle, Seq("1"))
+    assert(after.chunks.filter($"document_id" === "1").count() == 0)
+    val survivingIds = after.chunks.select($"id").as[String].collect().toSet
+    val postIds = after.postings.select($"id").as[String].collect().toSet
+    assert(postIds.subsetOf(survivingIds))
+  }
+
+  test("failure signals mirror enhanced_hybrid_search.py:144-197") {
+    val s = HybridSearch.analyzeFailure(Seq(0.1, 0.15, 0.2), nSources = 1)
+    assert(s.lowScores && s.singleSource)
+    assert(s.recommendations.contains("try_keyword_search"))
+    assert(s.recommendations.contains("expand_search"))
+    assert(HybridSearch.analyzeFailure(Nil, 0).confidence == 0.0)
+  }
+}

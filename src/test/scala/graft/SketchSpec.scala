@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{EmbedFunctions, HashFunctions, TextFunctions}
+import graft.operators.Dedup
+
+/** Sketch-kernel properties: MinHash estimates Jaccard, SimHash Hamming
+  * tracks similarity, feature-hash embeddings behave like normalized
+  * vectors. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashCol = transform(col("toks"), t => TextFunctions.hash56(t) % TextFunctions.P31)
+
+  test("identical docs ⇒ identical minhash signature; estimate tracks jaccard") {
+    val a = (1 to 60).map(i => s"tok$i")
+    val b = (1 to 48).map(i => s"tok$i") ++ (100 to 111).map(i => s"tok$i") // 80% shared
+    val df = Seq(("a1", a), ("a2", a), ("b", b)).toDF("id", "toks")
+    val sigs = Dedup.minhashSignatures(df, "id", "toks", 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a1") == sigs("a2"))
+    val agree = sigs("a1").zip(sigs("b")).count { case (x, y) => x == y } / 64.0
+    // true 3-shingle jaccard of a vs b ≈ (46)/(58+46-46+12)=~0.65; estimate within 0.25
+    assert(agree > 0.35 && agree < 0.95)
+  }
+
+  test("simhash: identical ⇒ hamming 0; disjoint ⇒ large hamming") {
+    val a = (1 to 50).map(i => s"alpha$i")
+    val c = (1 to 50).map(i => s"gamma$i")
+    val df = Seq(("x", a), ("y", a), ("z", c)).toDF("id", "toks")
+    val sh = Dedup.simhashTable(df, "id", "toks")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sh("x") == sh("y"))
+    assert(java.lang.Long.bitCount(sh("x") ^ sh("z")) > 5)
+  }
+
+  test("feature-hash embed: kernel and driver twin agree; unit norm") {
+    val toks = Seq("payment", "terms", "invoice", "date")
+    val df = Seq(Tuple1(toks)).toDF("toks")
+    val v = df.select(EmbedFunctions.featureHashEmbed(
+        transform(col("toks"), t => TextFunctions.hash56(t)), 64).as("v"))
+      .head().getSeq[Double](0)
+    val w = EmbedFunctions.embedQuery(toks, 64)
+    assert(v.zip(w).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
+  test("hash56 JVM twin matches the column form") {
+    val df = Seq("alpha", "beta", "payment").toDF("s")
+    val got = df.select(col("s"), TextFunctions.hash56(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (s, h) => assert(h == TextFunctions.hash56Jvm(s)) }
+  }
+
+  test("exact dedup groups duplicates with canonical min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val groups = Dedup.exactGroups(df, "id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_dups") == 2)
+    assert(groups.head.getAs[Long]("canonical_id") == 1)
+  }
+}
