@@ -62,6 +62,16 @@ object Smoke {
       bundle.chunks, "zzzxqwv unknownterm", graft.model.TenantContext("src7"),
       cfg = graft.retrieval.HybridSearch.Config(limit = 5))
     println("oov-query rows: " + noHit.count())
+
+    // table extraction + rerank through the library surface
+    val tableDoc = "Report\n\n| item | price | qty |\n|---|---|---|\n| bolt | $5 | 100 |\n| nut | $2 | 250 |\n| screw | $3 | 75 |"
+    val tables = graft.ingest.TableExtractor.extractTables(tableDoc, "smoke_doc")
+    println(s"tables found: ${tables.length}; type=${tables.headOption.map(_.tableType)}")
+    tables.foreach(t => println("semantic: " + t.semanticDescription))
+    val reranked = graft.retrieval.Rerank.rerank(
+      bundle.chunks.filter($"level" === "paragraph").select($"id", $"text"),
+      "spark join filter window", 3)
+    reranked.show(3, 60)
     spark.stop()
   }
 }

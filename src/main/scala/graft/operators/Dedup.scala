@@ -34,18 +34,25 @@ object Dedup {
                         k: Int): DataFrame = {
     val sh = TextFunctions.shingles(col(toksCol), 3)
     val hashes = transform(sh, s => TextFunctions.hash56(s) % TextFunctions.P31)
-    corpus.select(col(idCol).as("id"), HashFunctions.minhashSig(hashes, k).as("sig"))
-      .filter(col("sig").isNotNull)
+    // filter on the CHEAP precondition (≥3 tokens ⇒ ≥1 shingle) before
+    // computing the sketch — an isNotNull filter on sig would get
+    // predicate-pushed and duplicate the whole sketch expression
+    corpus.filter(size(col(toksCol)) >= 3)
+      .select(col(idCol).as("id"), HashFunctions.minhashSig(hashes, k).as("sig"))
   }
 
   /** LSH banding: explode signatures into (band, band_key) buckets and
     * self-join — candidates are pairs sharing any band. bandsRows = (b
     * bands, r rows), k = b*r. */
   def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    // materialize before the self-join — otherwise both join sides
+    // recompute the whole tokenize→shingle→minhash pipeline (at cluster
+    // scale this intermediate is persisted/checkpointed the same way)
     val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
       .toDF("id", "band", "band_key")
+      .cache()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
@@ -60,6 +67,7 @@ object Dedup {
                     idCol: String, toksCol: String): DataFrame = {
     val sh = corpus.select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(toksCol), 3))).as("sh"))
+      .cache() // reused by both join sides + the size aggregation
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
@@ -71,6 +79,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("n_inter") / (col("za.n_sh") + col("zb.n_sh") - col("n_inter")))
           .as("jaccard"))
+  }
+
+  /** Blocked all-pairs Jaccard via the inverted shingle index: join on
+    * the shingle itself (within the blocking column), count
+    * co-occurrences per pair, then jaccard — cost is Σ df² per shingle
+    * instead of O(pairs × shingles). Pairs sharing no shingle (jaccard
+    * 0) never materialize. The scalable form of n-gram near-dup. */
+  def jaccardBlocked(corpus: DataFrame, idCol: String, toksCol: String,
+                     blockCol: String, tau: Double): DataFrame = {
+    val sh = corpus.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(toksCol), 3))).as("sh"))
+      .cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("id_a") === col("za.id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter") / (col("za.n_sh") + col("zb.n_sh") - col("n_inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
   }
 
   /** SimHash table: (id, simhash) over token hashes. */

@@ -89,13 +89,7 @@ object TextPack {
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dc = dedupCorpus(spark, dir)
-    val cands = dc.as("a").join(dc.as("b"),
-        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-    Dedup.jaccardVerify(cands, dc, "doc_id", "toks")
-      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
-      .filter($"jaccard" >= 0.4)
+    Dedup.jaccardBlocked(dedupCorpus(spark, dir), "doc_id", "toks", "source", 0.4)
       .orderBy($"id_a", $"id_b")
   }
 
