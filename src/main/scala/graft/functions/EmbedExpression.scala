@@ -36,10 +36,12 @@ case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression
     var norm = 0.0
     var j = 0
     while (j < dim) { norm += v(j) * v(j); j += 1 }
+    // divide (not multiply-by-reciprocal): keeps the doubles bit-identical
+    // with the SQL oracle's x / sqrt(S)
     if (norm > 0) {
-      val inv = 1.0 / math.sqrt(norm)
+      val s = math.sqrt(norm)
       j = 0
-      while (j < dim) { v(j) *= inv; j += 1 }
+      while (j < dim) { v(j) /= s; j += 1 }
     }
     new GenericArrayData(v)
   }
@@ -61,8 +63,8 @@ case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression
          |double $norm = 0.0;
          |for (int $j = 0; $j < $dim; $j++) { $norm += $v[$j] * $v[$j]; }
          |if ($norm > 0) {
-         |  double $inv = 1.0 / java.lang.Math.sqrt($norm);
-         |  for (int $j = 0; $j < $dim; $j++) { $v[$j] *= $inv; }
+         |  double $inv = java.lang.Math.sqrt($norm);
+         |  for (int $j = 0; $j < $dim; $j++) { $v[$j] /= $inv; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($v);
        """.stripMargin

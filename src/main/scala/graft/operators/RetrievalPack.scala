@@ -110,6 +110,65 @@ object RetrievalPack {
       .limit(Limit)
   }
 
+  /** V12 lexical rerank over the documents table. */
+  def rerankDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.retrieval.Rerank.rerank(
+        docs(spark, dir).select($"doc_id".as("id"), $"text"),
+        "spark join filter window", Limit)
+      .select($"id".as("doc_id"), $"rerank_score")
+      .orderBy($"rerank_score".desc, $"doc_id")
+  }
+
+  /** I9 feature-hash embeddings, exploded per dimension (exact doubles:
+    * integer bucket counts / correctly-rounded sqrt, so no rounding
+    * needed for oracle parity). */
+  def featureEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id",
+        graft.functions.EmbedFunctions.featureHashEmbed(
+          transform(TextFunctions.tokenize($"text"),
+            t => TextFunctions.hash56(t)), 64).as("emb"))
+      .select($"doc_id", posexplode($"emb").as(Seq("dim", "value")))
+      .select($"doc_id", $"dim".cast("long").as("dim"), $"value")
+      .orderBy($"doc_id", $"dim")
+  }
+
+  /** T2/W1 batch kNN: 5 query vectors × top 10, ranked per query. */
+  def denseKnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid_src"), $"embedding")
+    DenseKnn.topKBatch(e, "vec_id", "embedding", q, "qid_src", "embedding", 10)
+      .select($"qid".as("query_id"), $"id".as("vec_id"),
+        $"score", $"rank".cast("long").as("rank"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** V5 fully self-contained hybrid: BM25 + feature-hash dense over the
+    * documents table only (query embedded with the same deterministic
+    * kernel in-engine and in-SQL), fused with RRF. */
+  def hybridFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val bmRanked = Fusion.rank(
+      BM25.search(d, "doc_id", "text", QueryTokens, FetchLimit, positiveOnly = false))
+    val qvec = graft.functions.EmbedFunctions.embedQuery(QueryTokens, 64)
+    val qdf = Seq(Tuple1(qvec)).toDF("qvec")
+    val densed = d.select($"doc_id".as("id"),
+        graft.functions.EmbedFunctions.featureHashEmbed(
+          transform(TextFunctions.tokenize($"text"),
+            t => TextFunctions.hash56(t)), 64).as("demb"))
+      .crossJoin(broadcast(qdf))
+      .select($"id", round(VectorFunctions.dot($"demb", $"qvec"), 6).as("score"))
+      .orderBy($"score".desc, $"id").limit(FetchLimit)
+    val dnRanked = Fusion.rank(densed)
+    Fusion.fuseTopK(Seq((bmRanked, 0.3), (dnRanked, 0.5)), Limit)
+      .select($"id".as("doc_id"), $"rrf_score")
+      .orderBy($"rrf_score".desc, $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_tokens" -> (tokens _),
     "q21_term_stats" -> (termStats _),
@@ -119,7 +178,37 @@ object RetrievalPack {
     "q25_dense_threshold" -> (denseThreshold _),
     "q26_rrf_fusion" -> (rrfFusion _),
     "q27_maxsim" -> (maxsim _),
+    "q43_rerank" -> (rerankDocs _),
+    "q44_feature_embed" -> (featureEmbed _),
+    "q45_dense_knn_batch" -> (denseKnnBatch _),
+    "q46_hybrid_full" -> (hybridFull _),
   )
+
+  /** CTE prefix computing feature-hash doc embeddings for `documents`:
+    * yields `docemb(doc_id, emb)` — 64 signed bucket counts over token
+    * hashes, L2-normalized (the SQL twin of FeatureHashEmbed). */
+  private def docEmbedCtes: String = {
+    val counts = "list_transform(range(64), i -> CAST(" +
+      "len(list_filter(hs, h -> h % 64 = i AND ((h >> 7) & 1) = 1)) - " +
+      "len(list_filter(hs, h -> h % 64 = i AND ((h >> 7) & 1) = 0)) AS DOUBLE))"
+    s"""dochs AS (SELECT doc_id, list_transform($toksSql, t -> ${TextFunctions.hash56Sql("t")}) AS hs FROM documents),
+       |docct AS (SELECT doc_id, $counts AS c FROM dochs),
+       |docnm AS (SELECT doc_id, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS nrm FROM docct),
+       |docemb AS (SELECT doc_id, CASE WHEN nrm > 0 THEN list_transform(c, x -> x / nrm) ELSE c END AS emb FROM docnm)""".stripMargin
+  }
+
+  /** Scalar SQL for the query vector: same kernel over a literal token
+    * list. */
+  private def queryVecSql(tokens: Seq[String]): String = {
+    val lits = tokens.mkString("['", "', '", "']")
+    val counts = "list_transform(range(64), i -> CAST(" +
+      "len(list_filter(qh, h -> h % 64 = i AND ((h >> 7) & 1) = 1)) - " +
+      "len(list_filter(qh, h -> h % 64 = i AND ((h >> 7) & 1) = 0)) AS DOUBLE))"
+    s"""qhs AS (SELECT list_transform($lits, t -> ${TextFunctions.hash56Sql("t")}) AS qh),
+       |qct AS (SELECT $counts AS c FROM qhs),
+       |qnm AS (SELECT c, sqrt(list_sum(list_transform(c, x -> x*x))) AS nrm FROM qct),
+       |qv AS (SELECT CASE WHEN nrm > 0 THEN list_transform(c, x -> x / nrm) ELSE c END AS qvec FROM qnm)""".stripMargin
+  }
 
   // ---- oracle SQL --------------------------------------------------------
 
@@ -174,5 +263,44 @@ object RetrievalPack {
          |SELECT vec_id,
          | round(list_sum(list_transform((SELECT q FROM qp), qrow -> list_max(list_transform(patches, prow -> list_dot_product(qrow, prow))))), 5) AS score
          |FROM pat ORDER BY score DESC, vec_id LIMIT ${Limit}""".stripMargin,
+    "q43_rerank" ->
+      s"""WITH scored AS (
+         | SELECT doc_id,
+         |  round(CAST(len(list_filter(list_distinct($toksSql), t -> list_contains(['spark', 'join', 'filter', 'window'], t))) AS DOUBLE) / 4, 6) AS rerank_score
+         | FROM documents)
+         |SELECT doc_id, rerank_score FROM scored
+         |ORDER BY rerank_score DESC, doc_id LIMIT ${Limit}""".stripMargin,
+    "q44_feature_embed" ->
+      s"""WITH $docEmbedCtes
+         |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS dim, emb[u.i] AS value
+         |FROM docemb, unnest(range(1, 65)) u(i)
+         |ORDER BY doc_id, dim""".stripMargin,
+    "q45_dense_knn_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         | SELECT q.query_id, e.vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS score
+         | FROM embeddings e, q),
+         |ranked AS (
+         | SELECT query_id, vec_id, score,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         | FROM scored)
+         |SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "q46_hybrid_full" ->
+      s"""WITH $bmCtes,
+         |bm25r AS (SELECT doc_id, round(score, 4) AS score FROM bm25),
+         |bmrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT * FROM bm25r ORDER BY score DESC, doc_id LIMIT ${FetchLimit}) t),
+         |$docEmbedCtes,
+         |${queryVecSql(QueryTokens)},
+         |dscore AS (SELECT doc_id, round(list_dot_product(emb, (SELECT qvec FROM qv)), 6) AS score FROM docemb),
+         |drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT * FROM dscore ORDER BY score DESC, doc_id LIMIT ${FetchLimit}) t),
+         |contrib AS (
+         |  SELECT doc_id, 0.3 / (60 + rank) AS c FROM bmrank
+         |  UNION ALL
+         |  SELECT doc_id, 0.5 / (60 + rank) AS c FROM drank)
+         |SELECT doc_id, round(SUM(c), 6) AS rrf_score FROM contrib GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT ${Limit}""".stripMargin,
   )
 }
