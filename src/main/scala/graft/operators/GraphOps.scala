@@ -42,4 +42,41 @@ object GraphOps {
     val in = edges.filter(col("dst") === id).select(col("src").as("node"))
     out.union(in).distinct()
   }
+
+  /** Confidence-weighted undirected BFS (reference
+    * `document_graph.py:352-426`): follow edges (src, dst, confidence)
+    * both ways, confidence ≥ minConfidence, up to maxDepth hops;
+    * path score = mean confidence along the path
+    * (`document_graph.py:581`). The reference's visited-set semantics
+    * are queue-order dependent; this batch form keeps, per
+    * (seed, node), the min-dist path and breaks ties by max score —
+    * deterministic (SURVEY §7 risk 4 treatment).
+    * Returns (seed, node, dist, path_score), excluding the seeds
+    * themselves. */
+  def relatedWeighted(edges: DataFrame, seeds: DataFrame,
+                      maxDepth: Int = 2,
+                      minConfidence: Double = 0.5): DataFrame = {
+    val fwd = edges.filter(col("confidence") >= minConfidence)
+      .select(col("src"), col("dst"), col("confidence"))
+    val undirected = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"), col("confidence")))
+
+    var frontier = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("dist"), lit(0.0).as("conf_sum"))
+    var all = frontier
+    for (d <- 1 to maxDepth) {
+      frontier = frontier.join(undirected, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"),
+          lit(d.toLong).as("dist"), (col("conf_sum") + col("confidence")).as("conf_sum"))
+      all = all.unionByName(frontier)
+    }
+    all.filter(col("dist") > 0)
+      .join(seeds.select(col("node")), Seq("node"), "left_anti")
+      // when-guard: ANSI mode + operator reordering can evaluate the
+      // projection on dist=0 seed rows despite the preceding filter
+      .withColumn("path_score",
+        when(col("dist") > 0, col("conf_sum") / col("dist")).otherwise(lit(0.0)))
+      .groupBy(col("seed"), col("node"))
+      .agg(min(col("dist")).as("dist"), max(col("path_score")).as("path_score"))
+  }
 }

@@ -176,6 +176,70 @@ object HybridSearch {
       .limit(cfg.limit)
   }
 
+  /** J5 graph augmentation (`document_graph.py:542-602`): BFS ≤2 hops
+    * from the top-5 result documents over the relationship edges,
+    * append up to maxAugmented unseen documents ranked by mean path
+    * confidence. `results` needs (id, document_id, rrf_score);
+    * `edges` needs (src, dst, confidence). Augmented rows carry
+    * is_augmented=true and the path score as their score. */
+  def augmentWithGraph(results: DataFrame, edges: DataFrame,
+                       maxAugmented: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val top5Docs = results.orderBy(col("rrf_score").desc, col("id")).limit(5)
+      .select(col("document_id").as("node")).distinct()
+    val seenDocs = results.select(col("document_id").as("node")).distinct()
+    val candidates = graft.operators.GraphOps
+      .relatedWeighted(edges, top5Docs, maxDepth = 2)
+      .join(seenDocs, Seq("node"), "left_anti")
+      .orderBy(col("path_score").desc, col("node"))
+      .limit(maxAugmented)
+      .select(
+        col("node").cast("string").as("id"),
+        col("node").cast("string").as("document_id"),
+        col("path_score").as("rrf_score"),
+        lit(true).as("is_augmented"))
+    results.withColumn("is_augmented", lit(false)).unionByName(candidates)
+  }
+
+  /** V13 visual-element search (`vector_store.py:695-780`,
+    * `hybrid_search.py:474-573`): MaxSim over the cropped-element
+    * collection with an element_type filter; called with limit/2 by the
+    * hybrid path (T8) and auto-triggered when the analyzer's
+    * visual_score ≥ 0.3 (`query_analyzer.py:51-53`). `elements` needs
+    * (id, document_id, element_type, patches). */
+  def visualElementSearch(elements: DataFrame, query: String,
+                          limit: Int,
+                          elementTypes: Seq[String] = Nil,
+                          cfg: Config = Config()): DataFrame = {
+    val spark = elements.sparkSession
+    import spark.implicits._
+    val qTokens = TextFunctions.tokenizeJvm(query)
+    val qpatches = qTokens.take(32)
+      .map(t => EmbedFunctions.embedQuery(Seq(t), 16).toSeq)
+    val qdf = Seq(Tuple1(qpatches)).toDF("qpatches")
+    val filtered =
+      if (elementTypes.nonEmpty) elements.filter(col("element_type").isin(elementTypes: _*))
+      else elements
+    filtered.crossJoin(broadcast(qdf))
+      .select(col("id"), col("document_id"), col("element_type"),
+        round(VectorFunctions.maxsim(col("qpatches"), col("patches")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(limit)
+  }
+
+  /** Search-analytics record (§3.3 step 10, `search_queries` shape
+    * `init.sql:583-616`): appended to the analytics log table. */
+  case class SearchAnalytics(
+      query: String,
+      query_type: String,
+      detected_domain: String,
+      retrieval_methods: Seq[String],
+      total_results: Long,
+      graph_augmented_count: Long,
+      fallback_triggered: Boolean,
+      processing_time_ms: Double,
+      expansions: Seq[String])
+
   /** J8: priority ∪ base with first-writer-wins dedup by id. */
   def mergeFirstWriterWins(priority: DataFrame, base: DataFrame): DataFrame = {
     val tagged = priority.withColumn("__prio", lit(0))

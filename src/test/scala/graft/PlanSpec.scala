@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Relational, RetrievalPack}
+
+/** Physical-plan assertions: the scale properties claimed in COVERAGE
+  * must be visible in the executed plan, not just intended. Guards
+  * against regressions that keep results correct but wreck the
+  * 100 TB story (lost pushdown, broadcast→shuffle flips, global
+  * windows). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter+topk pushes predicates into the parquet scan (F1/T1)") {
+    val p = plan(Relational.filterTopK(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)"), p.take(2000))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(p.contains("TakeOrderedAndProject"))
+    // projection pruning: the scan reads the needed columns, not l_tax etc.
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int"))
+    assert(!p.contains("l_tax"))
+  }
+
+  test("dim joins broadcast, never shuffle both sides (J9)") {
+    val p = plan(Relational.joinRevenue(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
+  }
+
+  test("dense kNN is scan→project→TakeOrdered with codegen'd dot (V1)") {
+    val df = RetrievalPack.denseKnn(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("dot_product"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "exact kNN must not shuffle: " + p.take(1500))
+  }
+
+  test("pricing summary is a two-phase hash aggregate (A4)") {
+    val p = plan(Relational.pricingSummary(spark, sf0001))
+    assert(p.contains("HashAggregate"))
+    // partial + final aggregation (map-side combine before the shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("as-of join windows by user, no global single-partition window (J10)") {
+    val p = plan(Relational.asofJoin(spark, sf0001))
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(user_id"), p.take(1500))
+  }
+
+  test("rrf fusion unions then hash-aggregates, top-k lists broadcast (J1)") {
+    val p = plan(RetrievalPack.rrfFusion(spark, sf0001))
+    assert(p.contains("Union"))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
