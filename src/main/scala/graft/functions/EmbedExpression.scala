@@ -28,7 +28,9 @@ case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression
     var i = 0
     while (i < n) {
       val h = hs.getLong(i)
-      val b = (h % dim).toInt
+      // floorMod: negative inputs must not index out of bounds (the
+      // public wrapper accepts any array<bigint>)
+      val b = java.lang.Math.floorMod(h, dim.toLong).toInt
       val sign = if (((h >> 7) & 1L) == 1L) 1.0 else -1.0
       v(b) += sign
       i += 1
@@ -57,7 +59,7 @@ case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression
          |int $n = $hs.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $hs.getLong($i);
-         |  int $b = (int) ($h % $dim);
+         |  int $b = (int) java.lang.Math.floorMod($h, ${dim}L);
          |  $v[$b] += ((($h >> 7) & 1L) == 1L) ? 1.0 : -1.0;
          |}
          |double $norm = 0.0;
@@ -85,7 +87,7 @@ object EmbedFunctions {
     val v = new Array[Double](dim)
     for (t <- tokens) {
       val h = TextFunctions.hash56Jvm(t)
-      val b = (h % dim).toInt
+      val b = java.lang.Math.floorMod(h, dim.toLong).toInt
       v(b) += (if (((h >> 7) & 1L) == 1L) 1.0 else -1.0)
     }
     val norm = math.sqrt(v.map(x => x * x).sum)

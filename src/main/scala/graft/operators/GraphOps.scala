@@ -77,6 +77,12 @@ object GraphOps {
       .withColumn("path_score",
         when(col("dist") > 0, col("conf_sum") / col("dist")).otherwise(lit(0.0)))
       .groupBy(col("seed"), col("node"))
-      .agg(min(col("dist")).as("dist"), max(col("path_score")).as("path_score"))
+      // min over (dist asc, score desc) as ONE struct so dist and
+      // path_score always come from the same path — independent
+      // min(dist)/max(score) could pair values from different paths
+      .agg(min(struct(col("dist"), (-col("path_score")).as("neg_score")))
+        .as("best"))
+      .select(col("seed"), col("node"),
+        col("best.dist").as("dist"), (-col("best.neg_score")).as("path_score"))
   }
 }

@@ -87,7 +87,11 @@ object HybridSearch {
     }
 
     val built = methods.result()
-    if (built.isEmpty) return scoped.select(col("id")).limit(0)
+    if (built.isEmpty)
+      // keep the normal output schema so downstream selects (e.g.
+      // enhancedSearch's id/rrf_score projection) still resolve
+      return scoped.select(col("id"), lit(0.0).as("rrf_score"), col("text"))
+        .limit(0)
 
     val fused = Fusion.fuseTopK(built.map(m => (m._1, m._2)), cfg.limit, cfg.rrfK)
 
@@ -99,8 +103,13 @@ object HybridSearch {
           col("score").as(s"${name}_score"), col("rank").as(s"${name}_rank"))),
         Seq("id"), "left")
     }
+    // text lookup: semi-filter the (corpus-sized) scoped table down to
+    // the fused top-k ids first, THEN broadcast the ≤k-row result —
+    // never broadcast the corpus side
+    val detailText = scoped.select(col("id"), col("text"))
+      .join(broadcast(fused.select(col("id"))), Seq("id"), "left_semi")
     withDetail
-      .join(broadcast(scoped.select(col("id"), col("text"))), Seq("id"), "left")
+      .join(broadcast(detailText), Seq("id"), "left")
       .orderBy(col("rrf_score").desc, col("id"))
   }
 
