@@ -23,10 +23,13 @@ object SparkEntry {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"), col("source"))
     val bundle = graft.ingest.Pipeline.ingest(docs, orgCol = Some("source"))
+    // read path consumes the ingest-time index — queries touch only
+    // their own terms' posting lists, never re-derive the index
     graft.retrieval.HybridSearch.search(
       bundle.chunks, "spark join filter merge window",
       graft.model.TenantContext("src3"),
-      cfg = graft.retrieval.HybridSearch.Config(limit = 10))
+      cfg = graft.retrieval.HybridSearch.Config(limit = 10),
+      index = Some(bundle.bm25Index))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

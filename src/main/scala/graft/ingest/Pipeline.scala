@@ -23,7 +23,13 @@ object Pipeline {
   case class IndexBundle(
       chunks: DataFrame, // UnifiedChunk rows + embedding column
       postings: DataFrame, // (id, dl, term, tf)
-      docFreq: DataFrame) // (term, df)
+      docFreq: DataFrame, // (term, df)
+      idf: DataFrame, // (term, idf) with ε-floor applied
+      stats: DataFrame) { // (n_docs, avgdl)
+    /** The BM25 read-path handle — what query time consumes instead of
+      * re-deriving the index from raw chunks. */
+    def bm25Index: BM25.Index = BM25.Index(postings, idf, stats)
+  }
 
   /** Doc-id generation (I14, `document_processor.py:183-188`):
     * `{filename}_{md5(content)[:12]}`. */
@@ -85,8 +91,10 @@ object Pipeline {
     val corpus = BM25.corpus(retrievalUnits, "id", "text")
     val postings = BM25.postings(corpus)
     val docFreq = BM25.docFreq(postings)
+    val stats = BM25.stats(corpus)
 
-    IndexBundle(embedded, postings, docFreq)
+    IndexBundle(embedded, postings, docFreq,
+      BM25.idfTable(docFreq, stats), stats)
   }
 
   /** Upsert semantics (S6, `metadata_store.py:808-847`): delete-then-
@@ -106,11 +114,14 @@ object Pipeline {
     val ids = documentIds.toDF("document_id")
     val chunks = bundle.chunks.join(ids, Seq("document_id"), "left_anti")
     val keep = chunks.select(col("id"))
-    IndexBundle(
-      chunks,
-      bundle.postings.join(keep, Seq("id"), "left_semi"),
-      // recompute df from surviving postings (partition-scoped recompute
-      // per SURVEY §4, not whole-index rebuild)
-      BM25.docFreq(bundle.postings.join(keep, Seq("id"), "left_semi")))
+    // recompute df/idf/stats from surviving postings (partition-scoped
+    // recompute per SURVEY §4, not whole-index rebuild)
+    val postings = bundle.postings.join(keep, Seq("id"), "left_semi")
+    val docFreq = BM25.docFreq(postings)
+    val stats = postings.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    IndexBundle(chunks, postings, docFreq,
+      BM25.idfTable(docFreq, stats), stats)
   }
 }

@@ -10,19 +10,27 @@ import graft.functions.TextFunctions
   * Mirrors the reference's in-memory rank_bm25 `BM25Okapi` index
   * (`src/storage/bm25_store.py:103-244`): k1=1.5, b=0.75, and the
   * rank_bm25 idf scheme — idf(t) = ln((N − df + 0.5)/(df + 0.5)),
-  * negative idfs floored to ε·avg(idf) with ε=0.25. The reference
-  * rebuilds the whole pickled index per mutation and scores serially
-  * per query; here the index IS two DataFrames (postings + docfreq)
-  * built by one explode + two hash aggregations, and scoring is a
-  * broadcast join of the (tiny) query-term table against postings —
-  * partial aggregation map-side, one shuffle on doc id, no driver
-  * loops. At 100 TB the postings DF is partitioned by term block and
-  * persists as Parquet; rebuild-on-write becomes partition-scoped
-  * recompute (SURVEY §4).
+  * negative idfs floored to ε·avg(idf) with ε=0.25.
+  *
+  * Index/read split: [[buildIndex]] derives the whole index ONCE
+  * (postings + idf + corpus stats — one explode + three hash
+  * aggregations); [[scoreFromIndex]] is the per-query read path — a
+  * `term IN (query)` pushdown filter on the postings scan followed by
+  * a broadcast join of the ≤|query|-term tables, one shuffle on doc
+  * id, no driver loops. The reference rebuilds its whole pickled index
+  * per mutation and re-tokenizes per query (`bm25_store.py:176-188`);
+  * here the index persists as Parquet (term-partitionable at cluster
+  * scale) and a query touches only its own terms' posting lists.
+  * Rebuild-on-write becomes partition-scoped recompute (SURVEY §4).
   */
 object BM25 {
 
   case class Params(k1: Double = 1.5, b: Double = 0.75, epsilon: Double = 0.25)
+
+  /** The persisted index: postings (id, dl, term, tf), idf (term, idf)
+    * with the ε-floor already applied, stats (n_docs, avgdl). All three
+    * are plain DataFrames — parquet-able, incrementally maintainable. */
+  case class Index(postings: DataFrame, idf: DataFrame, stats: DataFrame)
 
   /** Tokenized corpus: (id, toks, dl). */
   def corpus(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -41,34 +49,54 @@ object BM25 {
   def docFreq(postings: DataFrame): DataFrame =
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
-  /** Scores for a tokenized query over a corpus: (id, score), positive
-    * scores only (reference `bm25_store.py:235`). Query terms are a bag
-    * (duplicates weight double, as rank_bm25's get_scores iteration). */
-  def score(docs: DataFrame, idCol: String, textCol: String,
-            queryTokens: Seq[String], p: Params = Params(),
-            positiveOnly: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Corpus stats (n_docs, avgdl) from the tokenized corpus. */
+  def stats(corpus: DataFrame): DataFrame =
+    corpus.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
+  /** (term, idf) with rank_bm25's ε-floor for negative idfs applied —
+    * built once per index, not per query. */
+  def idfTable(docFreq: DataFrame, stats: DataFrame, p: Params = Params()): DataFrame = {
+    val idf0 = docFreq.crossJoin(broadcast(stats))
+      .withColumn("idf0",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    val avgIdf = idf0.agg(avg(col("idf0")).as("avg_idf"))
+    idf0.crossJoin(broadcast(avgIdf))
+      .select(col("term"),
+        when(col("idf0") < 0, lit(p.epsilon) * col("avg_idf"))
+          .otherwise(col("idf0")).as("idf"))
+  }
+
+  /** Derive the full index from raw documents (the write path). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 p: Params = Params()): Index = {
     val base = corpus(docs, idCol, textCol)
     val post = postings(base)
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"),
-      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val st = stats(base)
+    Index(post, idfTable(docFreq(post), st, p), st)
+  }
 
-    val idf0 = docFreq(post).crossJoin(broadcast(stats))
-      .withColumn("idf0", log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)))
-    val avgIdf = idf0.agg(avg($"idf0").as("avg_idf"))
-    val idf = idf0.crossJoin(broadcast(avgIdf))
-      .select($"term",
-        when($"idf0" < 0, lit(p.epsilon) * $"avg_idf").otherwise($"idf0").as("idf"))
-
+  /** The read path: score a tokenized query against a prebuilt (e.g.
+    * parquet-loaded) index. Touches only the query terms' posting
+    * lists — the `isin` filter pushes into the postings scan, so a
+    * term-sorted/bucketed parquet index skips everything else. Query
+    * terms are a bag (duplicates weight double, as rank_bm25's
+    * get_scores iteration); positive scores only by default
+    * (reference `bm25_store.py:235`). */
+  def scoreFromIndex(index: Index, queryTokens: Seq[String],
+                     p: Params = Params(),
+                     positiveOnly: Boolean = true): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val terms = queryTokens.distinct
     val q = queryTokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq
       .toDF("term", "qcount")
 
-    post.join(broadcast(q), "term")
-      .join(broadcast(idf), "term")
-      .crossJoin(broadcast(stats.select($"avgdl")))
+    index.postings.filter($"term".isin(terms: _*))
+      .join(broadcast(q), "term")
+      .join(broadcast(index.idf.filter($"term".isin(terms: _*))), "term")
+      .crossJoin(broadcast(index.stats.select($"avgdl")))
       .withColumn("term_score",
         $"idf" * ($"tf" * lit(p.k1 + 1.0)) /
           ($"tf" + lit(p.k1) * (lit(1.0) - lit(p.b) + lit(p.b) * $"dl" / $"avgdl")) *
@@ -78,16 +106,30 @@ object BM25 {
       .filter(if (positiveOnly) $"score" > 0 else lit(true))
   }
 
+  /** Top-k over a prebuilt index (T1 read path): deterministic
+    * tie-break on rounded score then id. */
+  def searchFromIndex(index: Index, queryTokens: Seq[String], k: Int,
+                      p: Params = Params(),
+                      positiveOnly: Boolean = true): DataFrame =
+    scoreFromIndex(index, queryTokens, p, positiveOnly)
+      .select(col("id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+
+  /** Convenience: build-then-score over raw documents (the oracle
+    * baseline; per-query index derivation — use [[scoreFromIndex]]
+    * with a persisted index on any hot path). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            queryTokens: Seq[String], p: Params = Params(),
+            positiveOnly: Boolean = true): DataFrame =
+    scoreFromIndex(buildIndex(docs, idCol, textCol, p), queryTokens, p, positiveOnly)
+
   /** Top-k search (T1): deterministic tie-break on rounded score then id. */
   def search(docs: DataFrame, idCol: String, textCol: String,
              queryTokens: Seq[String], k: Int,
              p: Params = Params(),
-             positiveOnly: Boolean = true): DataFrame = {
-    val scored = score(docs, idCol, textCol, queryTokens, p, positiveOnly)
-    scored.select(col("id"), round(col("score"), 4).as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
-  }
+             positiveOnly: Boolean = true): DataFrame =
+    searchFromIndex(buildIndex(docs, idCol, textCol, p), queryTokens, k, p, positiveOnly)
 
   // ---- DuckDB oracle twin ------------------------------------------------
 

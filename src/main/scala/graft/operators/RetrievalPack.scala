@@ -146,6 +146,35 @@ object RetrievalPack {
       .orderBy($"query_id", $"rank")
   }
 
+  /** S8 + A2 read path (q47): build the BM25 index ONCE, persist it as
+    * parquet, reload, and score a query against the loaded index —
+    * proves the persisted round-trip preserves scoring semantics and
+    * that query time never re-derives the index from raw text. Query
+    * tokens differ from [[QueryTokens]] so this gate exercises its own
+    * posting lists. */
+  val IndexedQueryTokens = Seq("dup", "window", "hash")
+
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = BM25.buildIndex(docs(spark, dir), "doc_id", "text")
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q47_index").getAbsolutePath
+    idx.postings.write.mode("overwrite").parquet(s"$tmp/postings")
+    idx.idf.write.mode("overwrite").parquet(s"$tmp/idf")
+    idx.stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    val loaded = BM25.Index(
+      spark.read.parquet(s"$tmp/postings"),
+      spark.read.parquet(s"$tmp/idf"),
+      spark.read.parquet(s"$tmp/stats"))
+    // positiveOnly=false: the synthetic corpus vocabulary is dense
+    // (most terms appear in ~80% of docs), so idfs are mostly negative
+    // and the score>0 cut would leave ~0 rows — the full score set is
+    // the stronger round-trip check (same stance as q22)
+    BM25.scoreFromIndex(loaded, IndexedQueryTokens, positiveOnly = false)
+      .select($"id".as("doc_id"), round($"score", 4).as("score"))
+      .orderBy($"doc_id")
+  }
+
   /** V5 fully self-contained hybrid: BM25 + feature-hash dense over the
     * documents table only (query embedded with the same deterministic
     * kernel in-engine and in-SQL), fused with RRF. */
@@ -182,6 +211,7 @@ object RetrievalPack {
     "q44_feature_embed" -> (featureEmbed _),
     "q45_dense_knn_batch" -> (denseKnnBatch _),
     "q46_hybrid_full" -> (hybridFull _),
+    "q47_bm25_indexed" -> (bm25Indexed _),
   )
 
   /** CTE prefix computing feature-hash doc embeddings for `documents`:
@@ -302,5 +332,12 @@ object RetrievalPack {
          |  SELECT doc_id, 0.5 / (60 + rank) AS c FROM drank)
          |SELECT doc_id, round(SUM(c), 6) AS rrf_score FROM contrib GROUP BY doc_id
          |ORDER BY rrf_score DESC, doc_id LIMIT ${Limit}""".stripMargin,
+    // the oracle derives the index from `documents` directly — matching
+    // the Spark side's write→parquet→reload→score round-trip proves the
+    // persisted index preserves scoring semantics
+    "q47_bm25_indexed" ->
+      s"""WITH ${BM25.oracleCtes(IndexedQueryTokens)}
+         |SELECT doc_id, round(score, 4) AS score FROM bm25
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -42,7 +42,8 @@ object HybridSearch {
   def search(chunks: DataFrame, query: String, ctx: TenantContext,
              filters: Map[String, Filters.Pred] = Map.empty,
              cfg: Config = Config(),
-             pages: Option[DataFrame] = None): DataFrame = {
+             pages: Option[DataFrame] = None,
+             index: Option[BM25.Index] = None): DataFrame = {
     val scoped0 = Filters.tenantScope(chunks, ctx)
       .filter(Filters.compile(filters))
     val scoped = cfg.levelFilter match {
@@ -63,9 +64,22 @@ object HybridSearch {
 
     val methods = Seq.newBuilder[(DataFrame, Double, String)]
 
-    // BM25 branch (positive-scores semantics, `bm25_store.py:235`)
+    // BM25 branch (positive-scores semantics, `bm25_store.py:235`).
+    // With a prebuilt index: score from the persisted postings/idf
+    // (global corpus stats + post-scoring filter, the reference's F1
+    // semantics, `bm25_store.py:190-244`) — the query touches only its
+    // own terms' posting lists instead of re-deriving the index from
+    // the raw corpus.
     if (qTokens.nonEmpty && weights.getOrElse("bm25", 0.0) > 0) {
-      val bm = BM25.search(scoped, "id", "text", qTokens, fetch)
+      val bm = index match {
+        case Some(idx) =>
+          BM25.scoreFromIndex(idx, qTokens)
+            .join(scoped.select(col("id")), Seq("id"), "left_semi")
+            .select(col("id"), round(col("score"), 4).as("score"))
+            .orderBy(col("score").desc, col("id"))
+            .limit(fetch)
+        case None => BM25.search(scoped, "id", "text", qTokens, fetch)
+      }
       methods += ((Fusion.rank(bm).join(bm, "id"), weights("bm25"), "bm25"))
     }
 
@@ -157,22 +171,33 @@ object HybridSearch {
     * `enhanced_hybrid_search.py:475-496`). */
   def enhancedSearch(chunks: DataFrame, query: String, ctx: TenantContext,
                      filters: Map[String, Filters.Pred] = Map.empty,
-                     cfg: Config = Config()): DataFrame = {
+                     cfg: Config = Config(),
+                     index: Option[BM25.Index] = None): DataFrame = {
     val queryType = QueryAnalyzer.classify(query)
     val (expanded, _) = Acronyms.expandQuery(query)
     // base search at limit×2 (`enhanced_hybrid_search.py:277`)
     val base = search(chunks, expanded, ctx, filters,
-      cfg.copy(limit = cfg.limit * 2))
+      cfg.copy(limit = cfg.limit * 2), index = index)
+
+    val scoped = Filters.tenantScope(chunks, ctx).filter(Filters.compile(filters))
+    // BM25-only lookup reused by the precision and fallback branches
+    def bm25Only(tokens: Seq[String], k: Int): DataFrame = index match {
+      case Some(idx) =>
+        BM25.scoreFromIndex(idx, tokens)
+          .join(scoped.select(col("id")), Seq("id"), "left_semi")
+          .select(col("id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("id")).limit(k)
+      case None => BM25.search(scoped, "id", "text", tokens, k)
+    }
 
     val (isPrecision, ptypeOpt, refOpt) = QueryAnalyzer.detectPrecision(query)
     val merged = (isPrecision, ptypeOpt, refOpt) match {
       case (true, Some(ptype), Some(ref)) =>
-        val scoped = Filters.tenantScope(chunks, ctx).filter(Filters.compile(filters))
         // V9: BM25-only lookups for the reference terms, +0.5 boost
         val terms = QueryAnalyzer.precisionSearchTerms(ptype, ref)
           .flatMap(TextFunctions.tokenizeJvm).distinct
         if (terms.nonEmpty) {
-          val prec = BM25.search(scoped, "id", "text", terms, 5)
+          val prec = bm25Only(terms, 5)
             .select(col("id"), (col("score") + 0.5).as("rrf_score"))
           mergeFirstWriterWins(prec, base.select(col("id"), col("rrf_score")))
         } else base.select(col("id"), col("rrf_score"))

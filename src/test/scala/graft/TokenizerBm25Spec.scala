@@ -52,4 +52,38 @@ class TokenizerBm25Spec extends SparkSpec {
       .collect().map(_.getDouble(1))
     assert(scores.forall(_ > 0))
   }
+
+  test("persisted index round-trip preserves scoring (S8 read path)") {
+    val docs = corpus.toDF("id", "text")
+    val q = TextFunctions.tokenizeJvm("payment terms invoice")
+    val direct = BM25.score(docs, "id", "text", q, positiveOnly = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val idx = BM25.buildIndex(docs, "id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    idx.postings.write.mode("overwrite").parquet(s"$tmp/postings")
+    idx.idf.write.mode("overwrite").parquet(s"$tmp/idf")
+    idx.stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    val loaded = BM25.Index(
+      spark.read.parquet(s"$tmp/postings"),
+      spark.read.parquet(s"$tmp/idf"),
+      spark.read.parquet(s"$tmp/stats"))
+
+    val fromIndex = BM25.scoreFromIndex(loaded, q, positiveOnly = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fromIndex.keySet == direct.keySet)
+    fromIndex.foreach { case (id, s) =>
+      assert(math.abs(s - direct(id)) < 1e-12, s"doc $id")
+    }
+  }
+
+  test("scoreFromIndex scans only the query terms' posting lists") {
+    val docs = corpus.toDF("id", "text")
+    val idx = BM25.buildIndex(docs, "id", "text")
+    val plan = BM25.scoreFromIndex(idx, Seq("payment", "invoice"))
+      .queryExecution.executedPlan.toString
+    // the term IN (...) predicate must sit on the postings side, not be
+    // applied after a full join
+    assert(plan.contains("payment") && plan.contains("invoice"))
+  }
 }
