@@ -176,6 +176,83 @@ case class MaxSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** hyperplane_buckets(vec, tables, bits): array<long> of `tables` LSH
+  * bucket ids for random-hyperplane (sign) LSH over array<double>.
+  * Hyperplane p (p = table*bits + bit) has deterministic ±1 components
+  * w_p[j] = ((((p+1)*2654435761 + (j+1)*40503) >> 13) & 1)*2 − 1, so
+  * the same buckets are computable in plain integer SQL (DuckDB twin in
+  * [[VectorFunctions.hyperplaneBucketsSql]]). Bucket bit i of table t is
+  * set iff dot(vec, w_{t*bits+i}) > 0 (sequential-order summation —
+  * bit-for-bit reproducible). Cosine-similar vectors collide with high
+  * probability; the retrieval path (operators.AnnKnn) equi-joins on
+  * (table, bucket) instead of scanning the corpus. Replaces the
+  * reference's HNSW role (`src/storage/vector_store.py:136-146`).
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(tables > 0 && bits > 0 && bits <= 62)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(in: Any): Any = {
+    val x = in.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var i = 0
+      while (i < bits) {
+        val p = t * bits + i
+        var s = 0.0
+        var j = 0
+        while (j < d) {
+          val w = ((((p + 1) * 2654435761L + (j + 1) * 40503L) >> 13) & 1L) * 2L - 1L
+          s += x.getDouble(j) * w
+          j += 1
+        }
+        if (s > 0) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val d = ctx.freshName("d"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val bucket = ctx.freshName("bucket")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val w = ctx.freshName("w")
+      s"""
+         |int $d = $x.numElements();
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    int $p = $t * $bits + $i;
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $d; $j++) {
+         |      long $w = (((($p + 1) * 2654435761L + ($j + 1) * 40503L) >> 13) & 1L) * 2L - 1L;
+         |      $s += $x.getDouble($j) * $w;
+         |    }
+         |    if ($s > 0) $bucket |= (1L << $i);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   // AbstractDataType (ExpectsInputTypes) is private[sql], so input
   // normalization to array<double> happens here in the wrappers instead
@@ -194,4 +271,18 @@ object VectorFunctions {
   /** ColPali MaxSim late-interaction score as a codegen'd Column. */
   def maxsim(q: Column, d: Column): Column =
     Bridge.column(MaxSim(Bridge.expression(mat(q)), Bridge.expression(mat(d))))
+
+  /** Random-hyperplane LSH bucket ids (one per table) as a codegen'd
+    * Column: array<long> of length `tables`. */
+  def hyperplaneBuckets(v: Column, tables: Int, bits: Int): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(vec(v)), tables, bits))
+
+  /** DuckDB-SQL twin of [[hyperplaneBuckets]] for one table id `t`
+    * (a BIGINT SQL expression/column reference), over a DOUBLE[] column
+    * expression `vec` of dimension `dim`. */
+  def hyperplaneBucketSql(vec: String, t: String, dim: Int, bits: Int): String =
+    s"""CAST(list_sum(list_transform(range($bits), i ->
+       |  CASE WHEN list_dot_product($vec, list_transform(range($dim), j ->
+       |    CAST(((((($t*$bits + i) + 1)*2654435761 + (j+1)*40503) >> 13) & 1)*2 - 1 AS DOUBLE))) > 0
+       |  THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)""".stripMargin.replaceAll("\n\\s*", " ")
 }

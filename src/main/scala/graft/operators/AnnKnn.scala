@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate nearest-neighbor retrieval via random-hyperplane LSH —
+  * the scale path for dense retrieval that replaces the reference's
+  * HNSW index role (`src/storage/vector_store.py:136-146`). Exact
+  * brute-force ([[DenseKnn]]) stays as the oracle baseline; this is the
+  * plan that survives 100 TB:
+  *
+  *  - ingest time: [[index]] derives an exploded (tbl, bucket, id, vec)
+  *    posting table from the corpus — parquet-persistable, partitionable
+  *    by (tbl, bucket), incrementally maintainable (new vectors append,
+  *    deletes anti-join; no global rebuild).
+  *  - query time: the query's L bucket ids are computed driver-free and
+  *    broadcast; candidates come from a broadcast-hash equi-join on
+  *    (tbl, bucket) — the big side never shuffles and, with a
+  *    bucket-partitioned index, never even scans outside the L probed
+  *    buckets. Candidates (a tiny fraction of the corpus) are exactly
+  *    rescored with the codegen'd dot kernel and top-k'd.
+  *
+  * Determinism: the hyperplanes are a fixed integer-hash family
+  * ([[graft.functions.HyperplaneBuckets]]), so the whole path — bucket
+  * assignment, candidate set, scores — is reproducible in the DuckDB
+  * oracle. Recall is tunable with (tables, bits): more tables → more
+  * probes → higher recall; more bits → smaller buckets → cheaper
+  * rescore.
+  */
+object AnnKnn {
+
+  val DefaultTables = 4
+  val DefaultBits = 6
+
+  /** The persisted ANN index: (tbl, bucket, id, vec) — one row per
+    * (vector, table). At cluster scale this is written partitioned by
+    * (tbl, bucket) so a query reads only its L probed buckets. */
+  def index(data: DataFrame, idCol: String, vecCol: String,
+            tables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame =
+    data.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("sig", VectorFunctions.hyperplaneBuckets(col("vec"), tables, bits))
+      .select(col("id"), col("vec"), posexplode(col("sig")).as(Seq("tbl", "bucket")))
+
+  /** ANN top-k for a single query vector: bucket-join candidates, exact
+    * dot rescore, deterministic (score desc, id) order. `query` is a
+    * 1-row DataFrame holding the query vector. */
+  def topK(data: DataFrame, idCol: String, vecCol: String,
+           query: DataFrame, queryVecCol: String, k: Int,
+           tables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame =
+    topKFromIndex(index(data, idCol, vecCol, tables, bits),
+      query, queryVecCol, k, tables, bits)
+
+  /** ANN top-k against a prebuilt (e.g. parquet-loaded) index from
+    * [[index]]. The query side is tiny (L rows) and broadcast; the
+    * index side joins map-side with no shuffle. */
+  def topKFromIndex(idx: DataFrame, query: DataFrame, queryVecCol: String,
+                    k: Int, tables: Int = DefaultTables,
+                    bits: Int = DefaultBits): DataFrame = {
+    val probes = query
+      .select(col(queryVecCol).cast("array<double>").as("qvec"))
+      .withColumn("sig", VectorFunctions.hyperplaneBuckets(col("qvec"), tables, bits))
+      .select(col("qvec"), posexplode(col("sig")).as(Seq("tbl", "bucket")))
+
+    // candidate = corpus vector sharing >=1 (tbl, bucket) with the query;
+    // dedup by id before rescoring so multi-table hits score once
+    idx.join(broadcast(probes), Seq("tbl", "bucket"))
+      .groupBy(col("id"))
+      .agg(first(col("vec")).as("vec"), first(col("qvec")).as("qvec"))
+      .select(col("id"),
+        round(VectorFunctions.dot(col("vec"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -175,6 +175,19 @@ object RetrievalPack {
       .orderBy($"doc_id")
   }
 
+  /** T2 scale path (q48): LSH-bucketed ANN against the vec_id=0 query —
+    * candidates from a (tbl, bucket) equi-join (never a corpus scan),
+    * exact dot rescore, top-k. Same output shape as q24 so the two
+    * gates document the exact-vs-approximate contract side by side. */
+  def annKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter($"vec_id" === 0).select($"embedding")
+    AnnKnn.topK(e, "vec_id", "embedding", q, "embedding", Limit)
+      .select($"id".as("vec_id"), $"score")
+      .orderBy($"score".desc, $"vec_id")
+  }
+
   /** V5 fully self-contained hybrid: BM25 + feature-hash dense over the
     * documents table only (query embedded with the same deterministic
     * kernel in-engine and in-SQL), fused with RRF. */
@@ -212,6 +225,7 @@ object RetrievalPack {
     "q45_dense_knn_batch" -> (denseKnnBatch _),
     "q46_hybrid_full" -> (hybridFull _),
     "q47_bm25_indexed" -> (bm25Indexed _),
+    "q48_ann_knn" -> (annKnn _),
   )
 
   /** CTE prefix computing feature-hash doc embeddings for `documents`:
@@ -339,5 +353,16 @@ object RetrievalPack {
       s"""WITH ${BM25.oracleCtes(IndexedQueryTokens)}
          |SELECT doc_id, round(score, 4) AS score FROM bm25
          |ORDER BY doc_id""".stripMargin,
+    "q48_ann_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sig AS (SELECT vec_id, e, t.tbl,
+         |  ${VectorFunctions.hyperplaneBucketSql("e", "t.tbl", 64, AnnKnn.DefaultBits)} AS bucket
+         |  FROM e, range(${AnnKnn.DefaultTables}) t(tbl)),
+         |qsig AS (SELECT tbl, bucket FROM sig WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT s.vec_id FROM sig s JOIN qsig q ON s.tbl = q.tbl AND s.bucket = q.bucket),
+         |qv AS (SELECT e FROM e WHERE vec_id = 0)
+         |SELECT c.vec_id, round(list_dot_product(e.e, (SELECT e FROM qv)), 6) AS score
+         |FROM cand c JOIN e USING (vec_id)
+         |ORDER BY score DESC, vec_id LIMIT ${Limit}""".stripMargin,
   )
 }

@@ -57,4 +57,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("ANN kNN joins buckets, never nested-loops the corpus (T2 scale path)") {
+    val p = plan(RetrievalPack.annKnn(spark, sf0001))
+    // candidates come from a broadcast-hash equi-join on (tbl, bucket)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("hyperplane_buckets"))
+    // the corpus side must never enter a nested-loop/cartesian scan
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{EmbedFunctions, HashFunctions, TextFunctions}
-import graft.operators.Dedup
+import graft.functions.{EmbedFunctions, HashFunctions, TextFunctions, VectorFunctions}
+import graft.operators.{AnnKnn, Dedup, DenseKnn}
 
 /** Sketch-kernel properties: MinHash estimates Jaccard, SimHash Hamming
   * tracks similarity, feature-hash embeddings behave like normalized
@@ -59,5 +59,51 @@ class SketchSpec extends SparkSpec {
     assert(groups.length == 1)
     assert(groups.head.getAs[Long]("n_dups") == 2)
     assert(groups.head.getAs[Long]("canonical_id") == 1)
+  }
+
+  test("hyperplane buckets: deterministic, bounded, equal vectors collide") {
+    val vs = Seq(
+      (1L, Array(0.5, -0.2, 0.8, 0.1)),
+      (2L, Array(0.5, -0.2, 0.8, 0.1)), // identical to 1
+      (3L, Array(-0.9, 0.4, -0.1, 0.3)))
+    val df = vs.toDF("id", "v")
+    val sigs = df.select(col("id"),
+        VectorFunctions.hyperplaneBuckets(col("v"), 4, 6).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(s => s.length == 4 && s.forall(b => b >= 0 && b < 64)))
+    assert(sigs(1L) == sigs(2L), "identical vectors must share every bucket")
+    // stable across evaluations (pure function of the input)
+    val again = df.select(col("id"),
+        VectorFunctions.hyperplaneBuckets(col("v"), 4, 6).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == sigs)
+  }
+
+  test("ANN topK: self-hit guaranteed; scores equal the exact dot (T2)") {
+    // 20 corpus vectors: a near-duplicate cluster around the query plus noise
+    val dim = 16
+    def vec(seed: Int): Array[Double] = {
+      val raw = Array.tabulate(dim)(j => math.sin(seed * 31 + j * 7).abs + 0.01)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val base = vec(1)
+    val rows = Seq((0L, base)) ++
+      (1 to 3).map(i => (i.toLong, base.zipWithIndex.map { case (x, j) =>
+        if (j == i) x * 0.9 else x })) ++
+      (4 to 19).map(i => (i.toLong, vec(i)))
+    val df = rows.toDF("id", "v")
+    val q = df.filter(col("id") === 0L).select(col("v"))
+    val ann = AnnKnn.topK(df, "id", "v", q, "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the query's own vector shares every bucket -> always a candidate
+    assert(ann.contains(0L))
+    // every returned score equals the exact dot for that id
+    val exact = DenseKnn.scoreAll(df, "id", "v", q, "v")
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { case (id, s) => assert(math.abs(s - exact(id)) < 1e-12, s"id $id") }
+    // self-similarity is maximal among returned candidates
+    assert(ann(0L) == ann.values.max)
   }
 }
