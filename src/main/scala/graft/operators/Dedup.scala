@@ -113,21 +113,46 @@ object Dedup {
     corpus.select(col(idCol).as("id"), HashFunctions.simhash(hashes, bits).as("simhash"))
   }
 
-  /** Near-dup pairs by Hamming distance ≤ maxDist, bucketed on the high
-    * 8 bits so the self-join never goes quadratic. */
-  def hammingPairs(simhashes: DataFrame, maxDist: Int): DataFrame = {
-    val bucketed = simhashes.withColumn("bucket",
-      shiftright(col("simhash"), 24).bitwiseAND(255))
-    bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+  /** Pigeonhole block layout: `bits` split into `maxDist + 1` contiguous
+    * blocks (widths as even as possible). Any pair within Hamming
+    * distance ≤ maxDist differs in ≤ maxDist blocks, so it must agree
+    * EXACTLY on at least one block — candidate recall is provably 100%.
+    * Returns (offset, width) per block. */
+  def pigeonholeBlocks(bits: Int, maxDist: Int): Seq[(Int, Int)] = {
+    val nb = maxDist + 1
+    val widths = Seq.tabulate(nb)(i => bits / nb + (if (i < bits % nb) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Near-dup pairs by Hamming distance ≤ maxDist via pigeonhole
+    * blocking: union of per-block equi-joins (block id, block value)
+    * followed by exact bit_count verification. Unlike a single fixed
+    * bucket, this misses no pair ≤ maxDist, and each join key is
+    * ~bits/(maxDist+1) bits wide so within-bucket fan-out stays tiny
+    * at corpus scale (the standard simhash sharding scheme). */
+  def hammingPairs(simhashes: DataFrame, maxDist: Int,
+                   bits: Int = 32): DataFrame = {
+    val blocks = array(pigeonholeBlocks(bits, maxDist).map { case (off, w) =>
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+    }: _*)
+    // materialize before the self-join so both sides reuse the sketch
+    val blocked = simhashes
+      .select(col("id"), col("simhash"), posexplode(blocks).as(Seq("blk", "blk_val")))
+      .cache()
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.blk_val") === col("b.blk_val") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct() // a pair may agree on several blocks
   }
 
   /** Embedding-cosine near-dup within blocks: pairs with cosine ≥ tau,
-    * joined only inside the blocking column (label / LSH bucket / IVF
-    * centroid at scale). */
+    * joined only inside the blocking column. General primitive — the
+    * caller supplies the block; for a data-independent block use
+    * [[cosinePairsLsh]] (a semantic column like `label` keeps test data
+    * small but a block at corpus scale is millions of rows). */
   def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, tau: Double): DataFrame =
     embs.as("a").join(embs.as("b"),
@@ -137,4 +162,27 @@ object Dedup {
         round(VectorFunctions.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 6)
           .as("score"))
       .filter(col("score") >= tau)
+
+  /** Embedding-cosine near-dup blocked on random-hyperplane LSH buckets
+    * (data-INDEPENDENT key — bucket population is ~n/2^bits per table
+    * regardless of label skew): candidates share ≥1 (table, bucket),
+    * verified with the exact cosine kernel. Exact duplicates (cosine 1)
+    * collide in every table, so dup recall is 100%; near-dups at
+    * cosine ≥ 0.95 collide with ≈1−(1−0.9^bits)^tables probability.
+    * The scale path for q34-style sweeps. */
+  def cosinePairsLsh(embs: DataFrame, idCol: String, vecCol: String,
+                     tau: Double, tables: Int = 4, bits: Int = 6): DataFrame = {
+    val sig = embs.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"),
+        posexplode(VectorFunctions.hyperplaneBuckets(col(vecCol), tables, bits))
+          .as(Seq("tbl", "bucket")))
+      .cache() // reused by both self-join sides
+    sig.as("a").join(sig.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(VectorFunctions.cosine(col("a.vec"), col("b.vec")), 6).as("score"))
+      .filter(col("score") >= tau)
+      .distinct() // a pair may collide in several tables
+  }
 }

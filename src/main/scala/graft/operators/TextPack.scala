@@ -95,10 +95,12 @@ object TextPack {
 
   def cosineDups(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir).select($"vec_id", $"embedding", $"label")
+    val e = emb(spark, dir).select($"vec_id", $"embedding")
     val copies = e.filter($"vec_id" % 11 === 0)
-      .select(($"vec_id" + PerturbOffset).as("vec_id"), $"embedding", $"label")
-    Dedup.cosinePairs(e.unionByName(copies), "vec_id", "embedding", "label", 0.95)
+      .select(($"vec_id" + PerturbOffset).as("vec_id"), $"embedding")
+    // LSH-bucketed blocking (data-independent), not the semantic label
+    // column — the block key that survives 100 TB
+    Dedup.cosinePairsLsh(e.unionByName(copies), "vec_id", "embedding", 0.95)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -252,15 +254,22 @@ object TextPack {
       s"""WITH $dcCte,
          |sh AS (SELECT doc_id, list_transform(toks, t -> ${TextFunctions.hashModSql("t")}) AS hs FROM dc)
          |SELECT doc_id, $simhashExpr AS simhash FROM sh ORDER BY doc_id""".stripMargin,
-    "q32_hamming_pairs" ->
+    "q32_hamming_pairs" -> {
+      // same pigeonhole layout as Dedup.hammingPairs (7 blocks over 32
+      // bits for maxDist=6): agree-on-one-block candidates, exact verify
+      val blockStructs = Dedup.pigeonholeBlocks(32, 6).zipWithIndex
+        .map { case ((off, w), i) =>
+          s"{'blk': $i, 'v': (simhash >> $off) & ${(1L << w) - 1}}"
+        }.mkString(", ")
       s"""WITH $dcCte,
          |sh AS (SELECT doc_id, list_transform(toks, t -> ${TextFunctions.hashModSql("t")}) AS hs FROM dc),
          |sim AS (SELECT doc_id, $simhashExpr AS simhash FROM sh),
-         |bk AS (SELECT doc_id, simhash, (simhash >> 24) & 255 AS bucket FROM sim),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |bk AS (SELECT doc_id, simhash, unnest([$blockStructs], recursive := true) FROM sim),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+         |  FROM bk a JOIN bk b ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+    },
     "q33_ngram_jaccard" ->
       s"""WITH $dcCte,
          |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -270,12 +279,15 @@ object TextPack {
          |WHERE round(jaccard, 6) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q34_cosine_dups" ->
       s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + $PerturbOffset, CAST(embedding AS DOUBLE[]), label FROM embeddings WHERE vec_id % 11 = 0),
-         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  SELECT vec_id + $PerturbOffset, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 11 = 0),
+         |sig AS (SELECT vec_id, emb, t.tbl,
+         |  ${graft.functions.VectorFunctions.hyperplaneBucketSql("emb", "t.tbl", 64, 6)} AS bucket
+         |  FROM e, range(4) t(tbl)),
+         |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(list_cosine_similarity(a.emb, b.emb), 6) AS score
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, score FROM p WHERE score >= 0.95 ORDER BY id_a, id_b""".stripMargin,
     "q35_langid" ->
       s"""SELECT doc_id, ${TextAnalysis.langIdSql(wsLowerSql)} AS lang_detected

@@ -61,6 +61,26 @@ class SketchSpec extends SparkSpec {
     assert(groups.head.getAs[Long]("canonical_id") == 1)
   }
 
+  test("hammingPairs pigeonhole: 100% recall for dist<=6, incl. top-byte flips") {
+    val base = 0x5A5A5A5AL
+    val rows = Seq(
+      (1L, base),
+      (2L, base ^ 0xE0000000L),      // 3 bits flipped, ALL in the top byte
+      (3L, base ^ 0x80000001L),      // 2 bits flipped, straddles ends
+      (4L, base ^ 0x7F000000L),      // 7 bits flipped -> beyond maxDist
+      (5L, base ^ 0x00003F40L))      // 7 bits flipped -> beyond maxDist
+    val pairs = Dedup.hammingPairs(rows.toDF("id", "simhash"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("hamming").intValue).toMap
+    // the old single-top-byte bucket missed (1,2); pigeonhole must not
+    assert(pairs((1L, 2L)) == 3)
+    assert(pairs((1L, 3L)) == 2)
+    assert(pairs((2L, 3L)) == 3) // xor = 0x60000001
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((1L, 5L)))
+    // no duplicate pair rows despite multi-block agreement
+    val all = Dedup.hammingPairs(rows.toDF("id", "simhash"), 6).collect()
+    assert(all.map(r => (r.getLong(0), r.getLong(1))).distinct.length == all.length)
+  }
+
   test("hyperplane buckets: deterministic, bounded, equal vectors collide") {
     val vs = Seq(
       (1L, Array(0.5, -0.2, 0.8, 0.1)),
