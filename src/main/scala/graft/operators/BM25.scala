@@ -135,11 +135,12 @@ object BM25 {
 
   /** Shared CTE prefix computing (doc_id, dl, term, tf), stats, idf for
     * the `documents` table — the SQL twin of the DataFrame pipeline. */
-  def oracleCtes(queryTokens: Seq[String], p: Params = Params()): String = {
+  def oracleCtes(queryTokens: Seq[String], p: Params = Params(),
+                 table: String = "documents"): String = {
     val toks = TextFunctions.tokenizeSql("text")
     val qvals = queryTokens.groupBy(identity).view.mapValues(_.size).toSeq.sorted
       .map { case (t, c) => s"('$t', $c)" }.mkString(", ")
-    s"""tok AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""tok AS (SELECT doc_id, $toks AS toks FROM $table),
        |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
        |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM base),
        |posting AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base) u GROUP BY doc_id, dl, term),

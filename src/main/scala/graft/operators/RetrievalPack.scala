@@ -188,6 +188,36 @@ object RetrievalPack {
       .orderBy($"score".desc, $"vec_id")
   }
 
+  /** V10 executed end-to-end (q49): enhanced search whose user filter
+    * (lang = 'zz') empties the base result → confidence 0 →
+    * no_results_fallback → keyword retry (still filtered ⇒ empty) +
+    * filterless retry (full hybrid at k=5 inside the tenant) merged
+    * first-writer-wins. The gate's expected output IS the filterless
+    * retry, which proves the retry executed and its results were
+    * merged — the reference's half-built self-correcting loop,
+    * completed (`enhanced_hybrid_search.py:436-473`). Ids are
+    * zero-padded so Spark's string tie-break equals numeric order. */
+  val FallbackQuery = "spark join filter"
+
+  def enhancedFallback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = docs(spark, dir).select(
+      lpad($"doc_id".cast("string"), 6, "0").as("id"),
+      $"text", $"lang",
+      $"source".as("organization_id"),
+      lit("internal").as("access_level"),
+      graft.functions.EmbedFunctions.featureHashEmbed(
+        transform(TextFunctions.tokenize($"text"),
+          t => TextFunctions.hash56(t)), 64).as("embedding"))
+    graft.retrieval.HybridSearch.enhancedSearch(
+        chunks, FallbackQuery, graft.model.TenantContext("src3"),
+        filters = Map("lang" -> graft.model.Filters.Eq("zz")),
+        cfg = graft.retrieval.HybridSearch.Config(limit = 5, levelFilter = None))
+      .select($"id".cast("bigint").as("doc_id"),
+        round($"rrf_score", 6).as("rrf_score"), $"query_type")
+      .orderBy($"rrf_score".desc, $"doc_id")
+  }
+
   /** V5 fully self-contained hybrid: BM25 + feature-hash dense over the
     * documents table only (query embedded with the same deterministic
     * kernel in-engine and in-SQL), fused with RRF. */
@@ -226,16 +256,17 @@ object RetrievalPack {
     "q46_hybrid_full" -> (hybridFull _),
     "q47_bm25_indexed" -> (bm25Indexed _),
     "q48_ann_knn" -> (annKnn _),
+    "q49_enhanced_fallback" -> (enhancedFallback _),
   )
 
   /** CTE prefix computing feature-hash doc embeddings for `documents`:
     * yields `docemb(doc_id, emb)` — 64 signed bucket counts over token
     * hashes, L2-normalized (the SQL twin of FeatureHashEmbed). */
-  private def docEmbedCtes: String = {
+  private def docEmbedCtes(table: String = "documents"): String = {
     val counts = "list_transform(range(64), i -> CAST(" +
       "len(list_filter(hs, h -> h % 64 = i AND ((h >> 7) & 1) = 1)) - " +
       "len(list_filter(hs, h -> h % 64 = i AND ((h >> 7) & 1) = 0)) AS DOUBLE))"
-    s"""dochs AS (SELECT doc_id, list_transform($toksSql, t -> ${TextFunctions.hash56Sql("t")}) AS hs FROM documents),
+    s"""dochs AS (SELECT doc_id, list_transform($toksSql, t -> ${TextFunctions.hash56Sql("t")}) AS hs FROM $table),
        |docct AS (SELECT doc_id, $counts AS c FROM dochs),
        |docnm AS (SELECT doc_id, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS nrm FROM docct),
        |docemb AS (SELECT doc_id, CASE WHEN nrm > 0 THEN list_transform(c, x -> x / nrm) ELSE c END AS emb FROM docnm)""".stripMargin
@@ -315,7 +346,7 @@ object RetrievalPack {
          |SELECT doc_id, rerank_score FROM scored
          |ORDER BY rerank_score DESC, doc_id LIMIT ${Limit}""".stripMargin,
     "q44_feature_embed" ->
-      s"""WITH $docEmbedCtes
+      s"""WITH ${docEmbedCtes()}
          |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS dim, emb[u.i] AS value
          |FROM docemb, unnest(range(1, 65)) u(i)
          |ORDER BY doc_id, dim""".stripMargin,
@@ -335,7 +366,7 @@ object RetrievalPack {
          |bm25r AS (SELECT doc_id, round(score, 4) AS score FROM bm25),
          |bmrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
          |  FROM (SELECT * FROM bm25r ORDER BY score DESC, doc_id LIMIT ${FetchLimit}) t),
-         |$docEmbedCtes,
+         |${docEmbedCtes()},
          |${queryVecSql(QueryTokens)},
          |dscore AS (SELECT doc_id, round(list_dot_product(emb, (SELECT qvec FROM qv)), 6) AS score FROM docemb),
          |drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
@@ -353,6 +384,31 @@ object RetrievalPack {
       s"""WITH ${BM25.oracleCtes(IndexedQueryTokens)}
          |SELECT doc_id, round(score, 4) AS score FROM bm25
          |ORDER BY doc_id""".stripMargin,
+    // the lang='zz' filter empties the base search, so the expected
+    // output IS the executed filterless retry: a full hybrid (BM25
+    // positive-only + dense, RRF 0.3/0.5) at k=5 inside tenant src3 —
+    // the oracle twin computes exactly that retry
+    "q49_enhanced_fallback" -> {
+      val qtype = graft.retrieval.QueryAnalyzer.classify(FallbackQuery)
+      s"""WITH scoped AS (SELECT doc_id, text FROM documents WHERE source = 'src3'),
+         |${BM25.oracleCtes(QueryTokens, table = "scoped")},
+         |bmrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, round(score, 4) AS score FROM bm25 WHERE score > 0
+         |        ORDER BY round(score, 4) DESC, doc_id LIMIT 15) t),
+         |${docEmbedCtes("scoped")},
+         |${queryVecSql(QueryTokens)},
+         |dscore AS (SELECT doc_id, round(list_dot_product(emb, (SELECT qvec FROM qv)), 6) AS score FROM docemb),
+         |drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT * FROM dscore ORDER BY score DESC, doc_id LIMIT 15) t),
+         |contrib AS (
+         |  SELECT doc_id, 0.3 / (60 + rank) AS c FROM bmrank
+         |  UNION ALL
+         |  SELECT doc_id, 0.5 / (60 + rank) AS c FROM drank),
+         |fused AS (SELECT doc_id, round(SUM(c), 6) AS rrf_score FROM contrib GROUP BY doc_id
+         |  ORDER BY rrf_score DESC, doc_id LIMIT 5)
+         |SELECT doc_id, rrf_score, '$qtype' AS query_type FROM fused
+         |ORDER BY rrf_score DESC, doc_id""".stripMargin
+    },
     "q48_ann_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |sig AS (SELECT vec_id, e, t.tbl,

@@ -168,7 +168,32 @@ object HybridSearch {
 
   /** Enhanced search (§3.3): classification + acronym expansion +
     * precision fallback merged first-writer-wins (J8,
-    * `enhanced_hybrid_search.py:475-496`). */
+    * `enhanced_hybrid_search.py:475-496`) + executed V10 failure
+    * fallbacks (`enhanced_hybrid_search.py:436-473`).
+    *
+    * V10 semantics: failure signals are computed on the (precision-
+    * merged) base result; when confidence < 0.5 the recommended
+    * retries run and merge in front of the base, first-writer-wins:
+    *  - `try_keyword_search` → pure BM25 retry (original query, same
+    *    filters, k=5; scores pass through as final scores, reference
+    *    `:447-461`)
+    *  - `expand_search` → filterless re-search at k=5 (`:463-470`).
+    *    The reference drops ALL filters including tenancy; tenant
+    *    isolation is this engine's hard invariant
+    *    (`tenant_schema.py:1-14`), so ctx is retained and only the
+    *    user filters are dropped.
+    *  - `no_results_fallback` (empty base): the reference computes
+    *    this recommendation but `_apply_fallbacks` never acts on it —
+    *    the self-correcting loop's one dead branch. Completed here as
+    *    both retries, which is the only way any fallback can execute
+    *    at all: non-empty results floor confidence at 0.5
+    *    (deductions cap at 0.2+0.1+0.2, `:157-193`), so conf < 0.5 ⟺
+    *    empty base.
+    *
+    * The only driver-side data dependency is one single-row aggregate
+    * (count/avg/var_pop/countDistinct) over the ≤2·limit-row base —
+    * the conditional re-query needs a materialized decision, as in the
+    * reference; no per-row collects. */
   def enhancedSearch(chunks: DataFrame, query: String, ctx: TenantContext,
                      filters: Map[String, Filters.Pred] = Map.empty,
                      cfg: Config = Config(),
@@ -204,7 +229,40 @@ object HybridSearch {
       case _ => base.select(col("id"), col("rrf_score"))
     }
 
-    merged
+    // V10 steps 6-7: failure analysis on the merged base, then retries
+    val docId =
+      if (chunks.columns.contains("document_id"))
+        chunks.select(col("id"), col("document_id"))
+      else chunks.select(col("id"), col("id").as("document_id"))
+    val stats = merged.join(docId, Seq("id"), "left")
+      .agg(count(lit(1)), avg(col("rrf_score")), var_pop(col("rrf_score")),
+        countDistinct(col("document_id")))
+      .head()
+    val signals =
+      if (stats.getLong(0) == 0L)
+        analyzeFailure(Seq.empty, 0)
+      else analyzeFailureStats(stats.getLong(0), stats.getDouble(1),
+        if (stats.isNullAt(2)) 0.0 else stats.getDouble(2),
+        stats.getLong(3).toInt)
+
+    val afterFallback =
+      if (signals.confidence >= 0.5) merged
+      else {
+        val recs = signals.recommendations.toSet
+        val noResults = recs.contains("no_results_fallback")
+        val retries = Seq.newBuilder[DataFrame]
+        if (recs.contains("try_keyword_search") || noResults)
+          retries += bm25Only(TextFunctions.tokenizeJvm(query), 5)
+            .select(col("id"), col("score").as("rrf_score"))
+        if (recs.contains("expand_search") || noResults)
+          retries += search(chunks, query, ctx, Map.empty,
+              cfg.copy(limit = 5), index = index)
+            .select(col("id"), col("rrf_score"))
+        retries.result().reduceOption(mergeFirstWriterWins)
+          .fold(merged)(fb => mergeFirstWriterWins(fb, merged))
+      }
+
+    afterFallback
       .withColumn("query_type", lit(queryType))
       .orderBy(col("rrf_score").desc, col("id"))
       .limit(cfg.limit)
@@ -296,15 +354,26 @@ object HybridSearch {
     if (scores.isEmpty)
       return FailureSignals(lowScores = false, highVariance = false,
         singleSource = false, confidence = 0.0, Seq("no_results_fallback"))
-    var confidence = 1.0
-    val recs = Seq.newBuilder[String]
     val avg = scores.sum / scores.size
-    val low = avg < expectedMinScore
-    if (low) { confidence -= 0.2; recs += "try_keyword_search" }
     val variance =
       if (scores.size > 1) scores.map(s => (s - avg) * (s - avg)).sum / scores.size
       else 0.0
-    val highVar = variance > 0.1
+    analyzeFailureStats(scores.size, avg, variance, nSources, expectedMinScore)
+  }
+
+  /** Same signals from pre-aggregated stats (what [[enhancedSearch]]
+    * computes distributed: one count/avg/var_pop/countDistinct row). */
+  def analyzeFailureStats(n: Long, avg: Double, variance: Double,
+                          nSources: Int,
+                          expectedMinScore: Double = 0.3): FailureSignals = {
+    if (n == 0)
+      return FailureSignals(lowScores = false, highVariance = false,
+        singleSource = false, confidence = 0.0, Seq("no_results_fallback"))
+    var confidence = 1.0
+    val recs = Seq.newBuilder[String]
+    val low = avg < expectedMinScore
+    if (low) { confidence -= 0.2; recs += "try_keyword_search" }
+    val highVar = n > 1 && variance > 0.1
     if (highVar) confidence -= 0.1
     val single = nSources == 1
     if (single) recs += "expand_search"

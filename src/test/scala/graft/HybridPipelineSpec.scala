@@ -98,4 +98,41 @@ class HybridPipelineSpec extends SparkSpec {
     assert(s.recommendations.contains("expand_search"))
     assert(HybridSearch.analyzeFailure(Nil, 0).confidence == 0.0)
   }
+
+  test("V10 retry trigger: conf < 0.5 ⟺ empty base (deductions cap at 0.3 here)") {
+    // non-empty results can only lose low-scores (0.2) + variance (0.1):
+    // worst non-empty confidence is 0.7, so retries fire ONLY on empty
+    val worst = HybridSearch.analyzeFailureStats(
+      n = 3, avg = 0.01, variance = 0.5, nSources = 1)
+    assert(worst.confidence >= 0.5 && math.abs(worst.confidence - 0.7) < 1e-9)
+    assert(HybridSearch.analyzeFailureStats(n = 0, avg = 0.0, variance = 0.0,
+      nSources = 0).confidence == 0.0)
+    // stats-form and seq-form agree
+    val seqForm = HybridSearch.analyzeFailure(Seq(0.1, 0.15, 0.2), 1)
+    val statForm = HybridSearch.analyzeFailureStats(3,
+      Seq(0.1, 0.15, 0.2).sum / 3,
+      { val a = 0.15; Seq(0.1, 0.15, 0.2).map(x => (x - a) * (x - a)).sum / 3 }, 1)
+    assert(seqForm == statForm)
+  }
+
+  test("V10 fallbacks execute: empty-filter search self-corrects (q49 path)") {
+    // filter matches nothing -> base empty -> keyword retry (still
+    // filtered, empty) + filterless retry (non-empty) merged in
+    val res = HybridSearch.enhancedSearch(
+      bundle.chunks, "payment terms invoice", TenantContext("org_acme"),
+      filters = Map("document_type" -> Filters.Eq("no_such_type")),
+      cfg = HybridSearch.Config(limit = 5))
+    assert(res.count() > 0, "fallback retry results must be merged in")
+    // tenant isolation survives the filterless retry
+    val ids = res.select($"id").as[String].collect().toSet
+    val acmeIds = Filters.tenantScope(bundle.chunks, TenantContext("org_acme"))
+      .select($"id").as[String].collect().toSet
+    assert(ids.subsetOf(acmeIds))
+    // without the impossible filter, no fallback fires and results match
+    // the plain enhanced path
+    val plain = HybridSearch.enhancedSearch(
+      bundle.chunks, "payment terms invoice", TenantContext("org_acme"),
+      cfg = HybridSearch.Config(limit = 5))
+    assert(plain.count() > 0)
+  }
 }
