@@ -36,6 +36,51 @@ object GraphOps {
       .groupBy("node").agg(min(col("dist")).as("dist"))
   }
 
+  /** J7 relation-chain reconstruction (reference `find_document_chain`,
+    * `document_graph.py:469-513`): BFS over directed edges from
+    * startId, return the first chain reaching endId within maxDepth
+    * hops. The reference returns whichever shortest path its Python
+    * queue happens to pop first; here the semantics are made
+    * deterministic (SURVEY §7 risk 2): among all simple shortest paths,
+    * return the lexicographically smallest node sequence — a
+    * declarative spec a recursive-CTE oracle can replicate exactly.
+    *
+    * Each BFS level is one equi-join expanding every surviving simple
+    * path (cycle check via array_contains); the per-level found-it
+    * check is a 1-row driver action — a point lookup between two
+    * documents, ≤ maxDepth tiny jobs, not a per-row loop. Frontier
+    * growth is Σ out-degree^d; for high-fan-out graphs a per-node
+    * best-path prune would bound it (at the cost of the lexicographic
+    * guarantee on cyclic graphs) — not needed at chain depths ≤ 5.
+    *
+    * Returns the chain as (step, node) rows — empty when no path, a
+    * single (0, startId) row when startId == endId has no hops (the
+    * reference returns []). */
+  def chain(edges: DataFrame, startId: Long, endId: Long,
+            maxDepth: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def pathToRows(h: DataFrame): DataFrame =
+      h.select(posexplode(col("path")).as(Seq("step", "node")))
+        .select(col("step").cast("long").as("step"), col("node"))
+    if (startId == endId)
+      return Seq((0L, startId)).toDF("step", "node").limit(0)
+
+    var frontier = Seq((startId, Seq(startId))).toDF("node", "path")
+    var depth = 0
+    while (depth < maxDepth) {
+      depth += 1
+      frontier = frontier.join(edges, col("node") === col("src"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("node"), concat(col("path"), array(col("dst"))).as("path"))
+        .cache()
+      val hit = frontier.filter(col("node") === endId)
+        .orderBy(col("path")).limit(1)
+      if (!hit.isEmpty) return pathToRows(hit)
+    }
+    Seq((0L, startId)).toDF("step", "node").limit(0)
+  }
+
   /** Related-document lookup (J6): undirected neighbors of an id. */
   def related(edges: DataFrame, id: Long): DataFrame = {
     val out = edges.filter(col("src") === id).select(col("dst").as("node"))

@@ -218,6 +218,30 @@ object RetrievalPack {
       .orderBy($"rrf_score".desc, $"doc_id")
   }
 
+  /** J3/J4/W2/W3 gated end-to-end (q50): pages fixture from the
+    * embeddings reshape (4 patches × 16 dims, vec_id < 100 → 25 docs ×
+    * 4 pages), chunks fixture from documents (doc_id/10 → 50 docs × 5
+    * page slots). Chunks on pages 0-3 of docs 0-24 propagate directly
+    * (J3/W2); chunks on page 4 exercise the max-page-score ×0.8 doc
+    * fallback (J4/W3); chunks of docs 25-49 have no pages and drop out. */
+  def colpaliPropagateGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = emb(spark, dir).filter($"vec_id" < 100).select(
+      floor($"vec_id" / 4).cast("long").as("document_id"),
+      ($"vec_id" % 4).cast("int").as("page_number"),
+      transform(sequence(lit(0), lit(3)), r =>
+        slice($"embedding".cast("array<double>"), r * 16 + 1, lit(16))).as("patches"))
+    val chunks = docs(spark, dir).select(
+      lpad($"doc_id".cast("string"), 6, "0").as("id"),
+      floor($"doc_id" / 10).cast("long").as("document_id"),
+      ($"doc_id" % 5).cast("int").as("page_number"))
+    graft.retrieval.HybridSearch.colpaliPropagate(
+        chunks, pages, QueryTokens,
+        graft.retrieval.HybridSearch.Config(), fetch = FetchLimit)
+      .select($"id".as("chunk_id"), $"score")
+      .orderBy($"score".desc, $"chunk_id")
+  }
+
   /** V5 fully self-contained hybrid: BM25 + feature-hash dense over the
     * documents table only (query embedded with the same deterministic
     * kernel in-engine and in-SQL), fused with RRF. */
@@ -257,6 +281,7 @@ object RetrievalPack {
     "q47_bm25_indexed" -> (bm25Indexed _),
     "q48_ann_knn" -> (annKnn _),
     "q49_enhanced_fallback" -> (enhancedFallback _),
+    "q50_colpali_propagate" -> (colpaliPropagateGate _),
   )
 
   /** CTE prefix computing feature-hash doc embeddings for `documents`:
@@ -384,6 +409,38 @@ object RetrievalPack {
       s"""WITH ${BM25.oracleCtes(IndexedQueryTokens)}
          |SELECT doc_id, round(score, 4) AS score FROM bm25
          |ORDER BY doc_id""".stripMargin,
+    // single-token feature-hash embedding at dim 16 is a ±1 basis
+    // vector at index hash56(t) % 16 with sign from bit 7 — the SQL
+    // twin of EmbedFunctions.embedQuery(Seq(t), 16)
+    "q50_colpali_propagate" -> {
+      def tokenPatch(t: String): String = {
+        val h = TextFunctions.hash56Sql(s"'$t'")
+        s"""list_transform(range(16), i -> CASE WHEN ($h % 16) = i
+           | THEN (CASE WHEN (($h >> 7) & 1) = 1 THEN 1.0 ELSE -1.0 END)
+           | ELSE 0.0 END)""".stripMargin.replaceAll("\n\\s*", " ")
+      }
+      val qlist = QueryTokens.take(32).map(tokenPatch).mkString("[", ", ", "]")
+      s"""WITH qp AS (SELECT $qlist AS q),
+         |pat AS (SELECT CAST(floor(vec_id / 4) AS BIGINT) AS document_id,
+         |  CAST(vec_id % 4 AS INT) AS page_number,
+         |  list_transform(range(4), r -> list_slice(CAST(embedding AS DOUBLE[]), r*16 + 1, r*16 + 16)) AS patches
+         |  FROM embeddings WHERE vec_id < 100),
+         |ps AS (SELECT document_id, page_number,
+         |  round(list_sum(list_transform((SELECT q FROM qp), qrow ->
+         |    list_max(list_transform(patches, prow -> list_dot_product(qrow, prow))))), 6) AS pscore
+         |  FROM pat),
+         |ch AS (SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id,
+         |  CAST(floor(doc_id / 10) AS BIGINT) AS document_id,
+         |  CAST(doc_id % 5 AS INT) AS page_number FROM documents),
+         |direct AS (SELECT ch.id, ps.pscore AS score FROM ch JOIN ps USING (document_id, page_number)),
+         |docbest AS (SELECT document_id, MAX(pscore) * 0.8 AS fscore FROM ps GROUP BY document_id),
+         |fb AS (SELECT ch.id, db.fscore AS score
+         |  FROM ch LEFT JOIN ps USING (document_id, page_number)
+         |  JOIN docbest db ON ch.document_id = db.document_id
+         |  WHERE ps.pscore IS NULL),
+         |u AS (SELECT id, round(score, 6) AS score FROM (SELECT * FROM direct UNION ALL SELECT * FROM fb) t)
+         |SELECT id AS chunk_id, score FROM u ORDER BY score DESC, id LIMIT ${FetchLimit}""".stripMargin
+    },
     // the lang='zz' filter empties the base search, so the expected
     // output IS the executed filterless retry: a full hybrid (BM25
     // positive-only + dense, RRF 0.3/0.5) at k=5 inside tenant src3 —

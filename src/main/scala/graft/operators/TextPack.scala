@@ -153,6 +153,22 @@ object TextPack {
     GraphOps.bfs(edges, seeds, 2).orderBy($"node")
   }
 
+  /** J7 (q51): relation-chain reconstruction over a branching DAG —
+    * +1 step edges everywhere, +3 skip edges from doc_ids divisible by
+    * 5. The unique shortest 0→9 chain is [0,3,4,5,8,9] (5 hops, the
+    * maxDepth boundary); the oracle recovers it with a recursive CTE. */
+  def graphChain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id")
+    val step = d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val skip = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 3 && col("a.doc_id") % 5 === 0)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    GraphOps.chain(step.unionByName(skip), 0L, 9L, maxDepth = 5)
+      .orderBy($"step")
+  }
+
   def tenantScope(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)
@@ -190,6 +206,7 @@ object TextPack {
     "q40_graph_2hop" -> (graph2Hop _),
     "q41_tenant_scope" -> (tenantScope _),
     "q42_multimodal_meta" -> (multimodalMeta _),
+    "q51_graph_chain" -> (graphChain _),
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -330,5 +347,19 @@ object TextPack {
          |       ELSE 'audio/wav' END AS media_type,
          |  (${TextFunctions.hash56Sql("md5(text)")} % 65536) AS feature_bucket
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_graph_chain" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 3 AND a.doc_id % 5 = 0),
+        |paths(node, path) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, [CAST(0 AS BIGINT)] AS path
+        |  UNION ALL
+        |  SELECT e.dst, list_append(p.path, e.dst) FROM paths p JOIN e ON p.node = e.src
+        |  WHERE NOT list_contains(p.path, e.dst) AND len(p.path) <= 5 AND p.node <> 9),
+        |best AS (SELECT path FROM paths WHERE node = 9 ORDER BY len(path), path LIMIT 1)
+        |SELECT u.step, u.node FROM (
+        |  SELECT unnest(list_transform(path, (n, i) -> {'step': CAST(i - 1 AS BIGINT), 'node': n}), recursive := true) FROM best) u
+        |ORDER BY step""".stripMargin,
   )
 }

@@ -60,4 +60,26 @@ class GraphAugmentSpec extends SparkSpec {
       elements, "revenue table data", 10, elementTypes = Seq("Table")).collect()
     assert(res.map(_.getString(0)).sameElements(again.map(_.getString(0))))
   }
+
+  test("chain returns the lexicographically-smallest shortest path (J7)") {
+    // diamond: 1→2→4 and 1→3→4, plus a longer 1→5→6→4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 4L)).toDF("src", "dst")
+    val path = graft.operators.GraphOps.chain(edges, 1L, 4L, 5)
+      .orderBy($"step").collect().map(_.getLong(1))
+    assert(path.toSeq == Seq(1L, 2L, 4L)) // [1,2,4] < [1,3,4]
+    // no path within depth
+    val longEdges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    assert(graft.operators.GraphOps.chain(longEdges, 1L, 7L, 5).isEmpty)
+    assert(graft.operators.GraphOps.chain(longEdges, 1L, 7L, 6)
+      .count() == 7) // reachable at exactly 6 hops
+    // start == end → empty chain (reference returns [])
+    assert(graft.operators.GraphOps.chain(edges, 1L, 1L, 5).isEmpty)
+    // cycles don't trap the walk
+    val cyc = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val p2 = graft.operators.GraphOps.chain(cyc, 1L, 3L, 5)
+      .orderBy($"step").collect().map(_.getLong(1))
+    assert(p2.toSeq == Seq(1L, 2L, 3L))
+  }
 }
