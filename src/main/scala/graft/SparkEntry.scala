@@ -33,8 +33,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RetrievalPack.queries ++ TextPack.queries
+    Relational.queries ++ RetrievalPack.queries ++ TextPack.queries ++
+      Analytics.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ RetrievalPack.oracle ++ TextPack.oracle
+    Relational.oracle ++ RetrievalPack.oracle ++ TextPack.oracle ++
+      Analytics.oracle
 }

@@ -115,6 +115,44 @@ class HybridPipelineSpec extends SparkSpec {
     assert(seqForm == statForm)
   }
 
+  test("search analytics record appends to the log and rolls up") {
+    import graft.operators.Analytics
+    val ctx = TenantContext("org_acme")
+    val a = HybridSearch.SearchAnalytics(
+      query = "payment terms invoice", query_type = "broad",
+      detected_domain = "legal", retrieval_methods = Seq("bm25", "dense"),
+      total_results = 7L, graph_augmented_count = 0L,
+      fallback_triggered = false, processing_time_ms = 12.5,
+      expansions = Nil)
+    val rec = Analytics.searchRecord(spark, ctx, a, topScore = Some(0.9))
+    val path = java.nio.file.Files.createTempDirectory("slog").toString + "/log"
+    Analytics.appendSearchLog(rec, path)
+    Analytics.appendSearchLog(rec, path) // second append accumulates
+    val log = spark.read.parquet(path)
+    assert(log.count() == 2)
+    val roll = Analytics.searchRollup(log).collect()
+    assert(roll.length == 1)
+    assert(roll.head.getAs[Long]("n_queries") == 2)
+    assert(roll.head.getAs[Long]("distinct_queries") == 1)
+  }
+
+  test("job events: latest-event view drives the stats rollup") {
+    import graft.operators.Analytics
+    val events = Seq(
+      (1L, "ingestion", 0, "pending", 0, 0),
+      (1L, "ingestion", 1, "running", 50, 0),
+      (1L, "ingestion", 2, "completed", 100, 0),
+      (2L, "ingestion", 0, "pending", 0, 0),
+      (2L, "ingestion", 1, "failed", 30, 1))
+      .toDF("job_id", "job_type", "event_seq", "status", "progress_percent", "retry_count")
+    val latest = Analytics.jobLatest(events).collect()
+    assert(latest.length == 2)
+    val stats = Analytics.jobStats(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_jobs")).toMap
+    assert(stats(("ingestion", "completed")) == 1)
+    assert(stats(("ingestion", "failed")) == 1)
+  }
+
   test("V10 fallbacks execute: empty-filter search self-corrects (q49 path)") {
     // filter matches nothing -> base empty -> keyword retry (still
     // filtered, empty) + filterless retry (non-empty) merged in
