@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Text kernels shared by the BM25 / dedup / analysis operators.
   *
@@ -55,6 +56,22 @@ object TextFunctions {
   def tokenizeSql(col: String): String =
     s"list_filter(regexp_split_to_array(regexp_replace(lower($col), '[^\\w\\s]', ' ', 'g'), '\\s+'), " +
       s"t -> length(t) >= 2 AND NOT list_contains(${sqlList(stopwords)}, t))"
+
+  /** Porter-stemmed token column (reference `bm25_store.py:73-75`,
+    * optional-off): applied AFTER stopword/length filtering, exactly
+    * as the reference's TextPreprocessor orders its stages. */
+  def porterStem(c: Column): Column =
+    Bridge.column(PorterStem(Bridge.expression(c.cast("string"))))
+
+  /** Tokenizer with the reference's optional stemming stage. The
+    * default (stem = false) is byte-identical to [[tokenize]], keeping
+    * every existing index and oracle stable. */
+  def tokenize(c: Column, stem: Boolean): Column =
+    if (stem) transform(tokenize(c), t => porterStem(t)) else tokenize(c)
+
+  /** JVM twin of the stemming tokenizer. */
+  def tokenizeJvm(text: String, stem: Boolean): Seq[String] =
+    if (stem) tokenizeJvm(text).map(PorterStemmer.stem) else tokenizeJvm(text)
 
   /** Whitespace tokenizer (no stopword/length filtering) — used by the
     * quality/token-count analyses where raw words matter. */

@@ -79,11 +79,13 @@ object BM25 {
 
   /** The read path: score a tokenized query against a prebuilt (e.g.
     * parquet-loaded) index. Touches only the query terms' posting
-    * lists — the `isin` filter pushes into the postings scan, so a
-    * term-sorted/bucketed parquet index skips everything else. Query
-    * terms are a bag (duplicates weight double, as rank_bm25's
-    * get_scores iteration); positive scores only by default
-    * (reference `bm25_store.py:235`). */
+    * lists — the `isin` filter pushes into the postings scan, and when
+    * the index carries a `term_blk` partition column (written by
+    * [[graft.sources.TableStore.save]]) an additional block filter
+    * turns into partition PRUNING: a query reads ≤|query| blocks of
+    * the index directory, never the rest. Query terms are a bag
+    * (duplicates weight double, as rank_bm25's get_scores iteration);
+    * positive scores only by default (reference `bm25_store.py:235`). */
   def scoreFromIndex(index: Index, queryTokens: Seq[String],
                      p: Params = Params(),
                      positiveOnly: Boolean = true): DataFrame = {
@@ -93,9 +95,16 @@ object BM25 {
     val q = queryTokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq
       .toDF("term", "qcount")
 
-    index.postings.filter($"term".isin(terms: _*))
+    def pruned(df: DataFrame): DataFrame =
+      if (df.columns.contains("term_blk")) {
+        val blks = terms.map(graft.sources.TableStore.termBlockJvm).distinct
+        df.filter($"term_blk".isin(blks: _*))
+      } else df
+
+    pruned(index.postings).filter($"term".isin(terms: _*))
       .join(broadcast(q), "term")
-      .join(broadcast(index.idf.filter($"term".isin(terms: _*))), "term")
+      .join(broadcast(pruned(index.idf).filter($"term".isin(terms: _*))
+        .select($"term", $"idf")), "term")
       .crossJoin(broadcast(index.stats.select($"avgdl")))
       .withColumn("term_score",
         $"idf" * ($"tf" * lit(p.k1 + 1.0)) /

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ingest.Pipeline.IndexBundle
+import graft.operators.BM25
+
+/** Physical layout for the persisted engine tables (SURVEY §4 "physical
+  * knobs"): the reference leans on Postgres composite indexes and
+  * Qdrant payload indexes for tenant scoping (`init.sql:221-235`,
+  * `vector_store.py:151-174`); the Spark-native equivalent is
+  * directory partitioning, which turns the mandatory F3 tenant filter
+  * into partition PRUNING — a tenant-scoped query never opens another
+  * tenant's files.
+  *
+  *  - `chunks/` partitioned by `organization_id` (the fact table's
+  *    access path is always tenant-first)
+  *  - `postings/`, `idf/`, `docfreq/` partitioned by `term_blk` =
+  *    hash56(term) mod [[TermBlocks]] — query terms map to a handful of
+  *    blocks, so a BM25 lookup reads ≤|query| blocks of the index
+  *    instead of all of it ([[BM25.scoreFromIndex]] adds the
+  *    term_blk filter automatically when the column is present)
+  *  - `stats/` is a single tiny file
+  *
+  * Partition counts are bounded by design: tenants are organizations
+  * (thousands at most) and term blocks are fixed at [[TermBlocks]] —
+  * never a high-cardinality partition key.
+  */
+object TableStore {
+
+  /** Term-block fan-out for the postings/idf/docfreq layout. 64 blocks
+    * keeps per-block files large (HDFS/S3-friendly) while a typical
+    * query touches < 10. */
+  val TermBlocks = 64
+
+  def termBlock(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(TextFunctions.hash56(term), lit(TermBlocks.toLong))
+
+  def termBlockJvm(term: String): Long =
+    java.lang.Math.floorMod(TextFunctions.hash56Jvm(term), TermBlocks.toLong)
+
+  /** Persist a full index bundle under `root`. */
+  def save(bundle: IndexBundle, root: String): Unit = {
+    bundle.chunks.write.mode("overwrite")
+      .partitionBy("organization_id").parquet(s"$root/chunks")
+    bundle.postings.withColumn("term_blk", termBlock(col("term")))
+      .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/postings")
+    bundle.idf.withColumn("term_blk", termBlock(col("term")))
+      .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/idf")
+    bundle.docFreq.withColumn("term_blk", termBlock(col("term")))
+      .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/docfreq")
+    bundle.stats.write.mode("overwrite").parquet(s"$root/stats")
+  }
+
+  /** Load a bundle saved by [[save]]. The postings/idf keep their
+    * `term_blk` column so the BM25 read path can prune blocks. */
+  def load(spark: SparkSession, root: String): IndexBundle =
+    graft.ingest.Pipeline.IndexBundle(
+      chunks = spark.read.parquet(s"$root/chunks"),
+      postings = spark.read.parquet(s"$root/postings"),
+      docFreq = spark.read.parquet(s"$root/docfreq"),
+      idf = spark.read.parquet(s"$root/idf"),
+      stats = spark.read.parquet(s"$root/stats"))
+}

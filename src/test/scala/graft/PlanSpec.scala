@@ -58,6 +58,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tenant-partitioned store prunes partitions for scoped scans (F3 physical)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "payment terms are net thirty days", "org_aaa"),
+      (2L, "fire safety egress requirements apply", "org_bbb"))
+      .toDF("doc_id", "text", "org")
+    val bundle = graft.ingest.Pipeline.ingest(docs, orgCol = Some("org"))
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    graft.sources.TableStore.save(bundle, root)
+    val loaded = graft.sources.TableStore.load(spark, root)
+
+    // tenant filter becomes a partition filter, not a row filter
+    val p = plan(loaded.chunks.filter(col("organization_id") === "org_aaa"))
+    val partLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("organization_id"), p.take(2000))
+
+    // BM25 read path prunes term blocks of the postings layout
+    val p2 = plan(graft.operators.BM25.scoreFromIndex(loaded.bm25Index, Seq("payment")))
+    val partLine2 = p2.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("term_blk")).getOrElse("")
+    assert(partLine2.nonEmpty, p2.take(2000))
+  }
+
   test("ANN kNN joins buckets, never nested-loops the corpus (T2 scale path)") {
     val p = plan(RetrievalPack.annKnn(spark, sf0001))
     // candidates come from a broadcast-hash equi-join on (tbl, bucket)

@@ -77,6 +77,39 @@ class TokenizerBm25Spec extends SparkSpec {
     }
   }
 
+  test("Porter stemmer matches the published algorithm's examples") {
+    import graft.functions.PorterStemmer.stem
+    // pairs from Porter (1980) §§2-6 worked examples
+    val pins = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "sized" -> "size", "hopping" -> "hop", "falling" -> "fall",
+      "filing" -> "file", "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit",
+      // per-step paper example is electrical→electric; the full
+      // pipeline then strips -ic at m>1 (step 4), as NLTK also does
+      "electrical" -> "electr", "hopeful" -> "hope",
+      "goodness" -> "good", "formative" -> "form",
+      "adjustable" -> "adjust", "replacement" -> "replac",
+      "adoption" -> "adopt", "controll" -> "control", "roll" -> "roll")
+    pins.foreach { case (in, out) => assert(stem(in) == out, s"stem($in)") }
+    // length <= 2 passes through
+    assert(stem("is") == "is" && stem("a") == "a")
+  }
+
+  test("stemming tokenizer: column, JVM and codegen agree; default off") {
+    val text = "the ponies were hopping happily over electrical fences"
+    val expected = TextFunctions.tokenizeJvm(text, stem = true)
+    val df = Seq(Tuple1(text)).toDF("text")
+    val got = df.select(TextFunctions.tokenize($"text", stem = true)).head().getSeq[String](0)
+    assert(got == expected)
+    assert(expected.contains("poni") && expected.contains("hop") &&
+      expected.contains("electr"))
+    // stem = false is byte-identical to the plain tokenizer
+    assert(TextFunctions.tokenizeJvm(text, stem = false) == TextFunctions.tokenizeJvm(text))
+  }
+
   test("scoreFromIndex scans only the query terms' posting lists") {
     val docs = corpus.toDF("id", "text")
     val idx = BM25.buildIndex(docs, "id", "text")
