@@ -196,6 +196,58 @@ object TableExtractor {
         parse(ttext, documentId, i, start, end, conf)
     }
 
+  /** Persistence row for the `extracted_tables` table (reference
+    * `metadata_store.py:423-481`, `init.sql:354-386`): the parsed
+    * table as a NESTED struct — headers + typed cells survive the
+    * round-trip as data, not as a JSON string. chunk_id points at the
+    * `_structured` twin chunk (the retrieval handle); the `_semantic`
+    * chunk id rides along as semantic_vector_id, mirroring the
+    * reference's vector references. */
+  case class StructuredData(
+      headers: Seq[String],
+      rows: Seq[Seq[Cell]],
+      table_type: String,
+      title: Option[String])
+
+  case class TableRecord(
+      id: String,
+      document_id: String,
+      chunk_id: String,
+      organization_id: String,
+      table_index: Int,
+      markdown_content: String,
+      structured_data: StructuredData,
+      description: String,
+      num_rows: Int,
+      num_cols: Int,
+      structured_vector_id: String,
+      semantic_vector_id: String,
+      char_start: Int,
+      char_end: Int,
+      confidence: Double)
+
+  /** `extracted_tables` rows for a batch of parsed tables. */
+  def tableRecords(spark: org.apache.spark.sql.SparkSession,
+                   tables: Seq[ExtractedTable],
+                   organizationId: String = "default"): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    tables.zipWithIndex.map { case (t, i) =>
+      TableRecord(
+        id = t.id, document_id = t.document_id,
+        chunk_id = s"${t.id}_structured",
+        organization_id = organizationId,
+        table_index = i,
+        markdown_content = t.structuredText,
+        structured_data = StructuredData(t.headers, t.rows, t.tableType, t.title),
+        description = t.semanticDescription,
+        num_rows = t.numRows, num_cols = t.numCols,
+        structured_vector_id = s"${t.id}_structured",
+        semantic_vector_id = s"${t.id}_semantic",
+        char_start = t.charStart, char_end = t.charEnd,
+        confidence = t.confidence)
+    }.toDF()
+  }
+
   /** Dual chunks per table (`:631-673`): `_structured` for precise
     * queries, `_semantic` for conceptual queries. */
   def tableChunks(tables: Seq[ExtractedTable],

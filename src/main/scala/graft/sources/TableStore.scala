@@ -63,4 +63,13 @@ object TableStore {
       docFreq = spark.read.parquet(s"$root/docfreq"),
       idf = spark.read.parquet(s"$root/idf"),
       stats = spark.read.parquet(s"$root/stats"))
+
+  /** `extracted_tables` sink (nested structured_data preserved as a
+    * parquet struct), tenant-partitioned like the chunk fact table. */
+  def saveExtractedTables(records: DataFrame, root: String): Unit =
+    records.write.mode("overwrite")
+      .partitionBy("organization_id").parquet(s"$root/extracted_tables")
+
+  def loadExtractedTables(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/extracted_tables")
 }

@@ -115,6 +115,45 @@ class HybridPipelineSpec extends SparkSpec {
     assert(seqForm == statForm)
   }
 
+  test("dimension tables: ensure is idempotent get-or-create; listing paginates") {
+    import graft.model.Dimensions
+    val empty = Dimensions.emptyOrganizations(spark)
+    val dim1 = Dimensions.ensureFromFacts(empty, bundle.chunks)
+    assert(dim1.count() == 2) // org_acme, org_beta
+    // idempotent: ensuring the same facts adds nothing
+    val dim2 = Dimensions.ensureFromFacts(dim1, bundle.chunks)
+    assert(dim2.count() == 2)
+    // new org appears once
+    val dim3 = Dimensions.ensureOrganizations(dim2,
+      Seq("org_new", "org_new").toDF("id"))
+    assert(dim3.count() == 3)
+    assert(dim3.filter($"id" === "org_acme" && $"is_active").count() == 1)
+    // soft delete
+    val dim4 = Dimensions.deactivate(dim3, Seq("org_new"))
+    assert(dim4.filter($"is_active").count() == 2)
+
+    // workspaces hang off orgs
+    val ws = Dimensions.ensureWorkspaces(
+      Dimensions.ensureWorkspaces(
+        Seq.empty[(String, String, String, Boolean)]
+          .toDF("id", "organization_id", "name", "is_active"),
+        Seq(("ws1", "org_acme")).toDF("id", "organization_id")),
+      Seq(("ws1", "org_acme"), ("ws2", "org_beta")).toDF("id", "organization_id"))
+    assert(ws.count() == 2)
+
+    // listing CRUD: newest-first with offset/limit over a doc dim
+    val docsDim = Seq(
+      ("d1", "contract", "completed", "2024-01-01"),
+      ("d2", "contract", "completed", "2024-01-03"),
+      ("d3", "report", "completed", "2024-01-02"),
+      ("d4", "contract", "pending", "2024-01-04"))
+      .toDF("id", "document_type", "status", "created_at")
+    val page = Dimensions.listDocuments(docsDim,
+      documentType = Some("contract"), limit = 1, offset = 1)
+      .collect()
+    assert(page.length == 1 && page.head.getString(0) == "d2")
+  }
+
   test("search analytics record appends to the log and rolls up") {
     import graft.operators.Analytics
     val ctx = TenantContext("org_acme")

@@ -87,4 +87,29 @@ class TableExtractorSpec extends AnyFunSuite {
     val prose = "This is a normal paragraph.\nIt has no tables at all.\nJust sentences."
     assert(TableExtractor.extractTables(prose, "d").isEmpty)
   }
+
+  test("extracted_tables persistence: nested structured_data round-trips") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    val tables = TableExtractor.extractTables(sampleText, "doc9")
+    assert(tables.nonEmpty)
+    val recs = TableExtractor.tableRecords(spark, tables, "org_acme")
+    val root = java.nio.file.Files.createTempDirectory("xtab").toString
+    graft.sources.TableStore.saveExtractedTables(recs, root)
+    val back = graft.sources.TableStore.loadExtractedTables(spark, root)
+    assert(back.count() == tables.length)
+    val row = back.filter(col("id") === tables.head.id).head()
+    // nested struct survives: headers, typed cells, classification
+    val sd = row.getAs[org.apache.spark.sql.Row]("structured_data")
+    assert(sd.getSeq[String](sd.fieldIndex("headers")) == tables.head.headers)
+    assert(sd.getString(sd.fieldIndex("table_type")) == tables.head.tableType)
+    val firstRow = sd.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](
+      sd.fieldIndex("rows")).head
+    assert(firstRow.nonEmpty) // cells present with value/row/col/dataType
+    assert(firstRow.head.schema.fieldNames.toSeq ==
+      Seq("value", "row", "col", "dataType"))
+    // tenant partition column present + chunk linkage
+    assert(row.getAs[String]("organization_id") == "org_acme")
+    assert(row.getAs[String]("chunk_id") == s"${tables.head.id}_structured")
+  }
 }
