@@ -106,10 +106,20 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** SimHash table: (id, simhash) over token hashes. */
+  /** SimHash table: (id, simhash) over token hashes. Up to 32 bits the
+    * token hashes are folded into the Mersenne-31 minhash universe; for
+    * wider fingerprints the raw 56-bit hash is used directly (bits
+    * 31..55 of a mod-P31 value are all zero, which would degenerate the
+    * upper simhash bits). Prefer 56 bits for near-dup sweeps: at corpus
+    * scale a 32-bit fingerprint pairs ~0.03% of ALL pairs within
+    * Hamming 6 by pure chance (quadratic noise); at 56 bits chance
+    * collisions are negligible and only true near-dups survive. */
   def simhashTable(corpus: DataFrame, idCol: String, toksCol: String,
                    bits: Int = 32): DataFrame = {
-    val hashes = transform(col(toksCol), t => TextFunctions.hash56(t) % TextFunctions.P31)
+    val hashes =
+      if (bits <= 32)
+        transform(col(toksCol), t => TextFunctions.hash56(t) % TextFunctions.P31)
+      else transform(col(toksCol), t => TextFunctions.hash56(t))
     corpus.select(col(idCol).as("id"), HashFunctions.simhash(hashes, bits).as("simhash"))
   }
 

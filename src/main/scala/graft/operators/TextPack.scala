@@ -81,8 +81,12 @@ object TextPack {
 
   def hammingPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // 56-bit fingerprint: 8-bit pigeonhole blocks (vs 4-5 bits at 32)
+    // keep candidate fan-out ~16x lower, and chance collisions within
+    // Hamming 6 are ~0 instead of 0.03% of all pairs
     Dedup.hammingPairs(
-        Dedup.simhashTable(dedupCorpus(spark, dir), "doc_id", "toks"), 6)
+        Dedup.simhashTable(dedupCorpus(spark, dir), "doc_id", "toks", bits = 56),
+        6, bits = 56)
       .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
       .orderBy($"id_a", $"id_b")
   }
@@ -272,15 +276,16 @@ object TextPack {
          |sh AS (SELECT doc_id, list_transform(toks, t -> ${TextFunctions.hashModSql("t")}) AS hs FROM dc)
          |SELECT doc_id, $simhashExpr AS simhash FROM sh ORDER BY doc_id""".stripMargin,
     "q32_hamming_pairs" -> {
-      // same pigeonhole layout as Dedup.hammingPairs (7 blocks over 32
-      // bits for maxDist=6): agree-on-one-block candidates, exact verify
-      val blockStructs = Dedup.pigeonholeBlocks(32, 6).zipWithIndex
+      // same pigeonhole layout as Dedup.hammingPairs (7 8-bit blocks
+      // over the 56-bit fingerprint for maxDist=6): agree-on-one-block
+      // candidates, exact verify
+      val blockStructs = Dedup.pigeonholeBlocks(56, 6).zipWithIndex
         .map { case ((off, w), i) =>
           s"{'blk': $i, 'v': (simhash >> $off) & ${(1L << w) - 1}}"
         }.mkString(", ")
       s"""WITH $dcCte,
-         |sh AS (SELECT doc_id, list_transform(toks, t -> ${TextFunctions.hashModSql("t")}) AS hs FROM dc),
-         |sim AS (SELECT doc_id, $simhashExpr AS simhash FROM sh),
+         |sh AS (SELECT doc_id, list_transform(toks, t -> ${TextFunctions.hash56Sql("t")}) AS hs FROM dc),
+         |sim AS (SELECT doc_id, ${HashFunctions.simhashSql("hs", 56)} AS simhash FROM sh),
          |bk AS (SELECT doc_id, simhash, unnest([$blockStructs], recursive := true) FROM sim),
          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
