@@ -156,12 +156,20 @@ object RetrievalPack {
 
   def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val idx = BM25.buildIndex(docs(spark, dir), "doc_id", "text")
+    // tokenize ONCE and share across the three index-table writes —
+    // postings/idf/stats all derive from the same tokenized corpus, and
+    // without the cache each write job re-runs the whole tokenize
+    // pipeline (at cluster scale this intermediate is checkpointed)
+    val c = BM25.corpus(docs(spark, dir), "doc_id", "text").cache()
+    val post = BM25.postings(c)
+    val st = BM25.stats(c)
+    val idx = BM25.Index(post, BM25.idfTable(BM25.docFreq(post), st), st)
     val tmp = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_q47_index").getAbsolutePath
-    idx.postings.write.mode("overwrite").parquet(s"$tmp/postings")
-    idx.idf.write.mode("overwrite").parquet(s"$tmp/idf")
-    idx.stats.write.mode("overwrite").parquet(s"$tmp/stats")
+    idx.postings.coalesce(4).write.mode("overwrite").parquet(s"$tmp/postings")
+    idx.idf.coalesce(1).write.mode("overwrite").parquet(s"$tmp/idf")
+    idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    c.unpersist()
     val loaded = BM25.Index(
       spark.read.parquet(s"$tmp/postings"),
       spark.read.parquet(s"$tmp/idf"),

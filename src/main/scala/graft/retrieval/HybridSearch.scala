@@ -216,7 +216,7 @@ object HybridSearch {
     }
 
     val (isPrecision, ptypeOpt, refOpt) = QueryAnalyzer.detectPrecision(query)
-    val merged = (isPrecision, ptypeOpt, refOpt) match {
+    val merged0 = (isPrecision, ptypeOpt, refOpt) match {
       case (true, Some(ptype), Some(ref)) =>
         // V9: BM25-only lookups for the reference terms, +0.5 boost
         val terms = QueryAnalyzer.precisionSearchTerms(ptype, ref)
@@ -228,6 +228,10 @@ object HybridSearch {
         } else base.select(col("id"), col("rrf_score"))
       case _ => base.select(col("id"), col("rrf_score"))
     }
+
+    // ≤2·limit rows, but its lineage is the whole base search — cache
+    // so the failure-stats action and the final plan compute it once
+    val merged = merged0.cache()
 
     // V10 steps 6-7: failure analysis on the merged base, then retries
     val docId =
