@@ -77,13 +77,19 @@ object Pipeline {
       }
       .toDF()
 
-    // dense embedding stage (I9): skip for garbage
+    // dense embedding stage (I9): skip for garbage. The chunk table is
+    // cached: it feeds BOTH the metadata/vector sinks and the postings
+    // aggregation below, and without materialization each consumer
+    // re-runs the quality→chunk→embed pass (at cluster scale this is
+    // the parquet write of the chunk fact table that everything else
+    // derives from)
     val embedded = chunks.withColumn("embedding",
       when(col("metadata").getItem("skip_embedding") === "true",
         lit(null).cast("array<double>"))
         .otherwise(EmbedFunctions.featureHashEmbed(
           transform(TextFunctions.tokenize(col("text")),
             t => TextFunctions.hash56(t)), embeddingDim)))
+      .cache()
 
     // BM25 index (A1): paragraph-level chunks are the retrieval unit (F7)
     val retrievalUnits = embedded.filter(col("level") === "paragraph" ||
