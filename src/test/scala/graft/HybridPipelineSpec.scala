@@ -91,6 +91,16 @@ class HybridPipelineSpec extends SparkSpec {
     assert(postIds.subsetOf(survivingIds))
   }
 
+  test("doc-id generation: {filename}_{md5(content)[:12]} (I14)") {
+    // document_processor.py:183-188 — stable across calls, content-sensitive
+    val id = graft.ingest.Pipeline.documentId("report.pdf", "hello world")
+    assert(id == "report.pdf_" + java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12))
+    assert(id.length == "report.pdf".length + 1 + 12)
+    assert(graft.ingest.Pipeline.documentId("report.pdf", "hello world") == id)
+    assert(graft.ingest.Pipeline.documentId("report.pdf", "other") != id)
+  }
+
   test("failure signals mirror enhanced_hybrid_search.py:144-197") {
     val s = HybridSearch.analyzeFailure(Seq(0.1, 0.15, 0.2), nSources = 1)
     assert(s.lowScores && s.singleSource)

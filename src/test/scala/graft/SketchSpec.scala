@@ -81,6 +81,30 @@ class SketchSpec extends SparkSpec {
     assert(all.map(r => (r.getLong(0), r.getLong(1))).distinct.length == all.length)
   }
 
+  test("hammingPairs 56-bit: 8-bit blocks, recall across every block boundary") {
+    val base = 0x5AA55AA55AA55AL // 56-bit pattern
+    val rows = Seq(
+      (1L, base),
+      (2L, base ^ (0x7L << 53)),   // 3 flips in the TOP block (bits 48-55)
+      (3L, base ^ 0x0000001000001L), // 2 flips straddling blocks 0 and 6
+      (4L, base ^ 0x7F000000000000L)) // 7 flips -> beyond maxDist
+    val pairs = Dedup.hammingPairs(rows.toDF("id", "simhash"), 6, bits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number]("hamming").intValue).toMap
+    assert(pairs((1L, 2L)) == 3)
+    assert(pairs((1L, 3L)) == 2)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("simhashTable > 32 bits uses the raw 56-bit hash domain") {
+    val df = Seq((1L, Seq("alpha", "beta", "gamma"))).toDF("id", "toks")
+    val wide = Dedup.simhashTable(df, "id", "toks", bits = 56).collect().head.getLong(1)
+    // a mod-P31 token universe would zero bits 31..55 of the sketch;
+    // the raw hash56 domain populates them
+    assert((wide >>> 31) != 0L, f"upper simhash bits empty: $wide%x")
+    val narrow = Dedup.simhashTable(df, "id", "toks").collect().head.getLong(1)
+    assert((narrow >>> 32) == 0L)
+  }
+
   test("hyperplane buckets: deterministic, bounded, equal vectors collide") {
     val vs = Seq(
       (1L, Array(0.5, -0.2, 0.8, 0.1)),
