@@ -195,6 +195,16 @@ object Relational {
       .orderBy($"lang", $"source")
   }
 
+  /** Gaps-and-islands sessionization (q54): the batch twin of the
+    * streaming flatMapGroupsWithState operator — per-user sessions
+    * split at >30 min gaps. Partitioned windows only (scales by user
+    * key; no global window). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.streaming.EventStream.sessionizeBatch(Tables(spark, dir, "events"), 1800)
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_filter_topk" -> (filterTopK _),
@@ -208,6 +218,7 @@ object Relational {
     "q10_asof_join" -> (asofJoin _),
     "q11_stream_window" -> (streamWindowAgg _),
     "q12_cube_rollup" -> (cubeRollup _),
+    "q54_sessionize" -> (sessionize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -296,6 +307,21 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    "q54_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+        |g AS (SELECT user_id, event_id, es, value,
+        |  CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 1800
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (SELECT user_id, es, value,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        |  FROM g)
+        |SELECT user_id, MIN(es) AS session_start, MAX(es) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess_no
+        |ORDER BY user_id, session_start""".stripMargin,
     "q12_cube_rollup" ->
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars

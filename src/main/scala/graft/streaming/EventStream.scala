@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.ingest.Pipeline
@@ -26,12 +27,20 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an events-shaped parquet directory. */
+  /** File-source stream over an events-shaped parquet directory (or a
+    * testdata sf dir — then only the events table file is streamed, so
+    * foreign-schema siblings never inject all-null rows). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a glob (not a bare file path): FileStreamSource requires a
+    // directory-rooted pattern, and the brace-glob pins the selection
+    // to the events table file alone
+    val path =
+      if (new java.io.File(s"$dir/events.parquet").isFile) s"$dir/{events}.parquet"
+      else dir
     spark.readStream
       .schema(eventSchema)
-      .parquet(dir)
+      .parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -69,6 +78,87 @@ object EventStream {
           bundle.postings.write.mode("append").parquet(s"$outDir/postings")
         }
       }
+
+  /** A closed user session: epoch-second bounds (sub-second precision
+    * is floored identically by Spark's `unix_timestamp` and the
+    * oracle's `floor(epoch(ts))`, keeping hash parity). */
+  case class SessionOut(user_id: Long, session_start: Long,
+                        session_end: Long, n_events: Long, sum_value: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Batch gaps-and-islands sessionization (the oracle-checkable twin
+    * of [[sessionize]]): a session is a maximal run of a user's events
+    * with gaps ≤ gapSec. Scales as a per-user window — partitioned by
+    * user_id, never a global window. */
+  def sessionizeBatch(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("es"), col("value"))
+      .withColumn("new_sess",
+        when(col("es") - lag(col("es"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id")))
+          > gapSec, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(
+        min(col("es")).as("session_start"),
+        max(col("es")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
+      .drop("sess_no")
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState (the stateful
+    * §2.9 op): per-user session state with an event-time timeout at
+    * last+gap. Sessions close either when a later in-batch event
+    * overshoots the gap, or when the watermark passes the timeout
+    * (hasTimedOut) with no new data for the user. State size is O(1)
+    * per active user — the 100 TB-stream shape, no per-event state.
+    * Double sums accumulate in event-time order (deterministic;
+    * compare to the batch twin's exact decimal sum with a tolerance).
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800,
+                 watermark: String = "0 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n, s.sum))
+          } else {
+            val evs = it.map(e => (e._2.getTime / 1000, e._3)).toSeq.sortBy(_._1)
+            val out = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            for ((t, v) <- evs) cur match {
+              case Some(s) if t - s.last <= gapSec =>
+                cur = Some(SessState(s.start, t, s.n + 1, s.sum + v))
+              case Some(s) =>
+                out += SessionOut(user, s.start, s.last, s.n, s.sum)
+                cur = Some(SessState(t, t, 1, v))
+              case None =>
+                cur = Some(SessState(t, t, 1, v))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000)
+            }
+            out.result().iterator
+          }
+        })
+  }
 
   /** Run a windowed-stats query to a memory sink synchronously (local
     * smoke path: batch parquet drives the stream to completion). */
