@@ -73,4 +73,51 @@ object AnnKnn {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  // ---- IVF (inverted-file) variant --------------------------------------
+
+  /** Deterministic coarse centroids: every `step`-th vector by id (the
+    * reproducible stand-in for a k-means quantizer — the list-pruning
+    * structure is identical, and the oracle can recompute it). */
+  def ivfCentroids(data: DataFrame, idCol: String, vecCol: String,
+                   step: Int): DataFrame =
+    data.filter(col(idCol) % step === 0)
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+
+  /** IVF index build: assign every vector to its nearest centroid
+    * (max dot; ties → larger cid, mirrored by the oracle). One
+    * broadcast of the small centroid table + one map-side argmax pass
+    * over the corpus — the standard IVF build cost, no shuffle of the
+    * big side. Output (cid, id, vec) is parquet-persistable
+    * partitioned by cid, so a query reads only its probed lists. */
+  def ivfIndex(data: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame): DataFrame =
+    data.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        round(VectorFunctions.dot(col("vec"), col("cvec")), 6).as("cdot"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cdot"), col("cid"))).as("m"),
+        first(col("vec")).as("vec"))
+      .select(col("m.cid").as("cid"), col("id"), col("vec"))
+
+  /** IVF top-k: rank centroids against the query, probe the nProbe
+    * best lists (deterministic: dot desc, cid asc), exact-rescore only
+    * their members. Candidate volume is ~nProbe/n_centroids of the
+    * corpus; with a cid-partitioned index the scan prunes to the
+    * probed lists. */
+  def ivfTopK(index: DataFrame, centroids: DataFrame, query: DataFrame,
+              queryVecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = query.select(col(queryVecCol).cast("array<double>").as("qvec"))
+    val probes = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), col("qvec"),
+        round(VectorFunctions.dot(col("cvec"), col("qvec")), 6).as("cdot"))
+      .orderBy(col("cdot").desc, col("cid"))
+      .limit(nProbe)
+    index.join(broadcast(probes.select(col("cid"), col("qvec"))), Seq("cid"))
+      .select(col("id"),
+        round(VectorFunctions.dot(col("vec"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -196,6 +196,21 @@ object RetrievalPack {
       .orderBy($"score".desc, $"vec_id")
   }
 
+  /** T2 scale path, IVF variant (q55): deterministic coarse centroids
+    * (every 19th vector), nearest-centroid assignment, probe the 4
+    * best lists, exact rescore — the cluster-pruned alternative to
+    * q48's hash buckets (the two standard ANN layouts side by side). */
+  def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = AnnKnn.ivfCentroids(e, "vec_id", "embedding", 19)
+    val idx = AnnKnn.ivfIndex(e, "vec_id", "embedding", cents)
+    val q = e.filter($"vec_id" === 0).select($"embedding")
+    AnnKnn.ivfTopK(idx, cents, q, "embedding", Limit, nProbe = 4)
+      .select($"id".as("vec_id"), $"score")
+      .orderBy($"score".desc, $"vec_id")
+  }
+
   /** V10 executed end-to-end (q49): enhanced search whose user filter
     * (lang = 'zz') empties the base result → confidence 0 →
     * no_results_fallback → keyword retry (still filtered ⇒ empty) +
@@ -288,6 +303,7 @@ object RetrievalPack {
     "q46_hybrid_full" -> (hybridFull _),
     "q47_bm25_indexed" -> (bm25Indexed _),
     "q48_ann_knn" -> (annKnn _),
+    "q55_ivf_knn" -> (ivfKnn _),
     "q49_enhanced_fallback" -> (enhancedFallback _),
     "q50_colpali_propagate" -> (colpaliPropagateGate _),
   )
@@ -484,6 +500,20 @@ object RetrievalPack {
          |qv AS (SELECT e FROM e WHERE vec_id = 0)
          |SELECT c.vec_id, round(list_dot_product(e.e, (SELECT e FROM qv)), 6) AS score
          |FROM cand c JOIN e USING (vec_id)
+         |ORDER BY score DESC, vec_id LIMIT ${Limit}""".stripMargin,
+    "q55_ivf_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 19 = 0),
+         |asg AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_dot_product(e.v, c.cv), 6) DESC, c.cid DESC) AS rn
+         |  FROM e, c) t WHERE rn = 1),
+         |qv AS (SELECT v FROM e WHERE vec_id = 0),
+         |probes AS (SELECT cid FROM c, qv
+         |  ORDER BY round(list_dot_product(cv, qv.v), 6) DESC, cid LIMIT 4)
+         |SELECT a.vec_id, round(list_dot_product(a.v, (SELECT v FROM qv)), 6) AS score
+         |FROM asg a JOIN probes p USING (cid)
          |ORDER BY score DESC, vec_id LIMIT ${Limit}""".stripMargin,
   )
 }

@@ -92,4 +92,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("IVF kNN: query path equi-joins probed lists; top-1 is the query itself") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnKnn
+    val e = graft.Tables(spark, sf0001, "embeddings")
+    val cents = AnnKnn.ivfCentroids(e, "vec_id", "embedding", 19)
+    val idx = AnnKnn.ivfIndex(e, "vec_id", "embedding", cents).cache()
+    idx.count()
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+    val top = AnnKnn.ivfTopK(idx, cents, q, "embedding", 10, nProbe = 4)
+    // the query vector lives in a probed list (its own), so ANN must
+    // return it first with its exact self-similarity
+    val rows = top.collect()
+    assert(rows.head.getAs[Long]("id") == 0L, rows.take(3).mkString)
+    // query path: candidates come from a broadcast equi-join on cid —
+    // no nested loop over the corpus after the index is built
+    val p = plan(top)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+    idx.unpersist()
+  }
 }
