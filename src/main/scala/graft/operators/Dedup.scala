@@ -158,6 +158,46 @@ object Dedup {
       .distinct() // a pair may agree on several blocks
   }
 
+  /** Connected components over a near-dup pair graph: the step a real
+    * dedup pipeline ships — pairs become clusters with a canonical
+    * (min-id) representative, so "keep one per cluster" is a single
+    * filter. Iterative min-label propagation: each round every node
+    * takes the min of its own and its neighbors' labels; converges in
+    * ≤ diameter rounds (near-dup clusters are shallow). Each round is
+    * one equi-join + hash agg on the edge list — the scalable
+    * alternative to driver-side union-find; per-round results are
+    * cached so lineage stays flat (at cluster scale, checkpointed).
+    * Input pairs (id_a, id_b); output (id, cluster) for every node
+    * that appears in a pair. */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("ncluster")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("ncluster")).as("ncluster"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .cache()
+      changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+        .filter(col("cluster") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup within blocks: pairs with cosine ≥ tau,
     * joined only inside the blocking column. General primitive — the
     * caller supplies the block; for a data-independent block use

@@ -72,6 +72,25 @@ object TextPack {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Dedup cluster formation (q56): connected components over the
+    * LSH-verified near-dup pairs (q30's graph), with the min-id
+    * canonical representative and cluster size — the "keep one per
+    * cluster" view a training-data pipeline materializes. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dc = dedupCorpus(spark, dir)
+    val sigs = Dedup.minhashSignatures(dc, "doc_id", "toks", MinhashK)
+    val cands = Dedup.lshCandidates(sigs, Bands, Rows)
+    val pairs = Dedup.jaccardVerify(cands, dc, "doc_id", "toks")
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .filter($"jaccard" >= 0.4)
+    val cl = Dedup.clusters(pairs)
+    val sizes = cl.groupBy($"cluster").agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, "cluster")
+      .select($"id".as("doc_id"), $"cluster".as("cluster_id"), $"n_members")
+      .orderBy($"doc_id")
+  }
+
   def simhashTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.simhashTable(dedupCorpus(spark, dir), "doc_id", "toks")
@@ -211,6 +230,7 @@ object TextPack {
     "q41_tenant_scope" -> (tenantScope _),
     "q42_multimodal_meta" -> (multimodalMeta _),
     "q51_graph_chain" -> (graphChain _),
+    "q56_dedup_clusters" -> (dedupClusters _),
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -366,5 +386,27 @@ object TextPack {
         |SELECT u.step, u.node FROM (
         |  SELECT unnest(list_transform(path, (n, i) -> {'step': CAST(i - 1 AS BIGINT), 'node': n}), recursive := true) FROM best) u
         |ORDER BY step""".stripMargin,
+    // q30's near-dup pair graph → connected components (min reachable
+    // id per node) via a recursive CTE, then cluster sizes
+    "q56_dedup_clusters" ->
+      s"""WITH RECURSIVE $dcCte,
+         |$sigCte,
+         |banded AS (SELECT doc_id, unnest(list_transform(range($Bands), b ->
+         |  {'band': b, 'band_key': md5(array_to_string(list_slice(sig, b*$Rows + 1, b*$Rows + $Rows), '_'))}), recursive := true) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |$jaccardCtes,
+         |jp AS (SELECT id_a, id_b FROM jac WHERE round(jaccard, 6) >= 0.4),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
+         |nodes AS (SELECT DISTINCT src AS id FROM ed),
+         |reach(id, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN ed e ON e.src = r.id),
+         |cl AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+         |csz AS (SELECT cluster_id, COUNT(*) AS n_members FROM cl GROUP BY cluster_id)
+         |SELECT c.id AS doc_id, c.cluster_id, s.n_members
+         |FROM cl c JOIN csz s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

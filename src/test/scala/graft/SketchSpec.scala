@@ -105,6 +105,15 @@ class SketchSpec extends SparkSpec {
     assert((narrow >>> 32) == 0L)
   }
 
+  test("clusters: transitive closure with min-id representative") {
+    // 1-2, 2-3 chain; 10-11 pair; isolated pair 20-21 via reversed order
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("hyperplane buckets: deterministic, bounded, equal vectors collide") {
     val vs = Seq(
       (1L, Array(0.5, -0.2, 0.8, 0.1)),
