@@ -115,6 +115,28 @@ object BM25 {
       .filter(if (positiveOnly) $"score" > 0 else lit(true))
   }
 
+  /** Partition-scoped index maintenance (S8): replace or add documents
+    * without rebuilding the index from the raw corpus — the reference
+    * rebuilds its whole pickled index on every mutation
+    * (`bm25_store.py:176-188`). Old rows for re-upserted ids anti-join
+    * away, the new documents' postings append, and the idf/stats
+    * refresh reads only the merged postings' per-term aggregates —
+    * never the corpus text. With a term-block-partitioned store the
+    * physical rewrite touches only the blocks whose terms changed.
+    * Documents that tokenize empty drop out (they can match no term) —
+    * the same stance as [[graft.ingest.Pipeline.cascadeDelete]]. */
+  def upsertIndex(index: Index, docs: DataFrame, idCol: String,
+                  textCol: String, p: Params = Params()): Index = {
+    val newCorpus = corpus(docs, idCol, textCol)
+    val newIds = newCorpus.select(col("id"))
+    val merged = index.postings.join(newIds, Seq("id"), "left_anti")
+      .unionByName(postings(newCorpus))
+    val st = merged.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    Index(merged, idfTable(docFreq(merged), st, p), st)
+  }
+
   /** Top-k over a prebuilt index (T1 read path): deterministic
     * tie-break on rounded score then id. */
   def searchFromIndex(index: Index, queryTokens: Seq[String], k: Int,

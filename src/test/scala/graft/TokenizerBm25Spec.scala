@@ -77,6 +77,31 @@ class TokenizerBm25Spec extends SparkSpec {
     }
   }
 
+  test("upsertIndex == full rebuild (S8 partition-scoped maintenance)") {
+    val base = corpus.toDF("id", "text")
+    val idx0 = BM25.buildIndex(base, "id", "text")
+    // replace doc 2 and add doc 4
+    val delta = Seq(
+      ("2", "Revised payment terms are net 60 days from invoice receipt"),
+      ("4", "Invoice disputes must be raised within ten days"))
+      .toDF("id", "text")
+    val upserted = BM25.upsertIndex(idx0, delta, "id", "text")
+    val rebuilt = BM25.buildIndex(
+      base.filter(col("id") =!= "2").unionByName(delta), "id", "text")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(upserted.postings) == canon(rebuilt.postings))
+    assert(canon(upserted.stats) == canon(rebuilt.stats))
+    assert(canon(upserted.idf.select(col("term"), round(col("idf"), 9))) ==
+      canon(rebuilt.idf.select(col("term"), round(col("idf"), 9))))
+    val q = Seq("payment", "invoice")
+    assert(canon(BM25.scoreFromIndex(upserted, q)
+        .select(col("id"), round(col("score"), 9))) ==
+      canon(BM25.scoreFromIndex(rebuilt, q)
+        .select(col("id"), round(col("score"), 9))))
+  }
+
   test("Porter stemmer matches the published algorithm's examples") {
     import graft.functions.PorterStemmer.stem
     // pairs from Porter (1980) §§2-6 worked examples
