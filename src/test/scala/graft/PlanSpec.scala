@@ -93,6 +93,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("global ranking windows only ever see pre-limited lists") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{BM25, Fusion}
+    // Fusion.rank's Window.orderBy is global BY DESIGN (RRF ranks a
+    // fused candidate list) — correct only because every input is
+    // already a top-k. Pin that: the window's child plan must be a
+    // distributed top-k (TakeOrderedAndProject / GlobalLimit), so a
+    // refactor can't silently rank an unlimited list.
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val ranked = Fusion.rank(
+      BM25.search(docs, "doc_id", "text", Seq("payment", "terms"), 60))
+    val p = plan(ranked)
+    val iw = p.indexOf("Window")
+    val il = math.max(p.indexOf("TakeOrderedAndProject"), p.indexOf("GlobalLimit"))
+    assert(iw >= 0, p.take(1500))
+    assert(il > iw, "rank window must consume a limited child:\n" + p.take(2000))
+
+    // same invariant on the paginated listing (q07)
+    val p2 = plan(Relational.pagination(spark, sf0001))
+    val iw2 = p2.indexOf("Window")
+    val il2 = math.max(p2.indexOf("TakeOrderedAndProject"), p2.indexOf("GlobalLimit"))
+    assert(iw2 >= 0 && il2 > iw2, p2.take(2000))
+  }
+
   test("IVF kNN: query path equi-joins probed lists; top-1 is the query itself") {
     import org.apache.spark.sql.functions.col
     import graft.operators.AnnKnn
