@@ -277,6 +277,34 @@ object VectorFunctions {
   def hyperplaneBuckets(v: Column, tables: Int, bits: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec(v)), tables, bits))
 
+  /** JVM twin of [[hyperplaneBuckets]] for driver-side query vectors
+    * (byte-identical to the column/codegen forms) — lets the ANN store
+    * read path compute its probe buckets without a Spark job and turn
+    * them into a static partition filter. */
+  def hyperplaneBucketsJvm(v: Array[Double], tables: Int, bits: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var i = 0
+      while (i < bits) {
+        val p = t * bits + i
+        var s = 0.0
+        var j = 0
+        while (j < v.length) {
+          val w = ((((p + 1) * 2654435761L + (j + 1) * 40503L) >> 13) & 1L) * 2L - 1L
+          s += v(j) * w
+          j += 1
+        }
+        if (s > 0) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
   /** DuckDB-SQL twin of [[hyperplaneBuckets]] for one table id `t`
     * (a BIGINT SQL expression/column reference), over a DOUBLE[] column
     * expression `vec` of dimension `dim`. */

@@ -74,6 +74,26 @@ object AnnKnn {
       .limit(k)
   }
 
+  /** ANN top-k against a (tbl, bucket)-partitioned store
+    * ([[graft.sources.TableStore.saveAnn]] layout): the query's probe
+    * buckets are computed driver-side with the JVM twin of the bucket
+    * kernel and applied as a STATIC (tbl, bucket) filter — partition
+    * pruning, so the scan opens only the L probed directories of the
+    * index, never the rest of the corpus. */
+  def topKFromStore(idx: DataFrame, queryVec: Array[Double], k: Int,
+                    tables: Int = DefaultTables,
+                    bits: Int = DefaultBits): DataFrame = {
+    val sig = VectorFunctions.hyperplaneBucketsJvm(queryVec, tables, bits)
+    val probe = sig.zipWithIndex.map { case (b, t) =>
+      col("tbl") === t && col("bucket") === b }.reduce(_ || _)
+    idx.filter(probe)
+      .groupBy(col("id")).agg(first(col("vec")).as("vec"))
+      .select(col("id"),
+        round(VectorFunctions.dot(col("vec"), typedLit(queryVec.toSeq)), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   // ---- IVF (inverted-file) variant --------------------------------------
 
   /** Deterministic coarse centroids: every `step`-th vector by id (the

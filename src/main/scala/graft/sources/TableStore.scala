@@ -64,6 +64,20 @@ object TableStore {
       idf = spark.read.parquet(s"$root/idf"),
       stats = spark.read.parquet(s"$root/stats"))
 
+  /** ANN index layout: the [[graft.operators.AnnKnn.index]] posting
+    * table partitioned by (tbl, bucket) — tables × 2^bits directories
+    * (bounded by construction: 4 × 64 default). A query's L probe
+    * buckets become a static partition filter
+    * ([[graft.operators.AnnKnn.topKFromStore]]), so the scan opens
+    * only those directories — the HNSW-replacement read path with
+    * physical pruning, not just a logical equi-join. */
+  def saveAnn(index: DataFrame, root: String): Unit =
+    index.write.mode("overwrite")
+      .partitionBy("tbl", "bucket").parquet(s"$root/ann")
+
+  def loadAnn(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/ann")
+
   /** `extracted_tables` sink (nested structured_data preserved as a
     * parquet struct), tenant-partitioned like the chunk fact table. */
   def saveExtractedTables(records: DataFrame, root: String): Unit =

@@ -117,6 +117,33 @@ class PlanSpec extends SparkSpec {
     assert(iw2 >= 0 && il2 > iw2, p2.take(2000))
   }
 
+  test("ANN store read path prunes to the probed (tbl,bucket) partitions") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnKnn
+    import graft.sources.TableStore
+    val e = graft.Tables(spark, sf0001, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    TableStore.saveAnn(AnnKnn.index(e, "vec_id", "embedding"), root)
+    val loaded = TableStore.loadAnn(spark, root)
+
+    val qvec = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val fromStore = AnnKnn.topKFromStore(loaded, qvec, 10)
+
+    // physical pruning: the scan's PartitionFilters mention tbl/bucket
+    val p = plan(fromStore)
+    val partLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")).getOrElse("")
+    assert(partLine.nonEmpty, p.take(2000))
+
+    // and the store path returns exactly what the in-memory path does
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+    val inMem = AnnKnn.topK(e, "vec_id", "embedding", q, "embedding", 10)
+    assert(fromStore.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      inMem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("IVF kNN: query path equi-joins probed lists; top-1 is the query itself") {
     import org.apache.spark.sql.functions.col
     import graft.operators.AnnKnn
