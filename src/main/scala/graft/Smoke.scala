@@ -11,6 +11,7 @@ import graft.functions.VectorFunctions._
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions()(_))
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
