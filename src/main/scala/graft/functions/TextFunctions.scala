@@ -38,19 +38,18 @@ object TextFunctions {
   private def sqlList(xs: Seq[String]): String =
     xs.mkString("['", "', '", "']")
 
-  /** BM25 tokenizer as a Column (all built-ins — codegen-friendly,
-    * no UDF).
+  /** BM25 tokenizer as a Column — the single-pass codegen kernel
+    * ([[TokenizeKernel]]), byte-identical to the regex column program
+    * it replaced (`filter(split(regexp_replace(lower(c), "[^\w\s]",
+    * " "), "\s+"), …)`; parity pinned in TokenizerBm25Spec).
     *
     * Regex-fidelity note (SURVEY §7 risk 3): Java and DuckDB-RE2 treat
     * `\w` as ASCII, while the reference's CPython `re` is Unicode-aware
     * — so "naïve" tokenizes to ["na","ve"] here but ["naïve"] in the
     * reference. Engine and oracle agree with each other on all inputs;
     * the divergence vs the reference only affects non-ASCII letters. */
-  def tokenize(c: Column): Column = {
-    val cleaned = regexp_replace(lower(c), "[^\\w\\s]", " ")
-    filter(split(cleaned, "\\s+"), t =>
-      length(t) >= 2 && !array_contains(lit(stopwords.toArray), t))
-  }
+  def tokenize(c: Column): Column =
+    Bridge.column(Tokenize(Bridge.expression(c.cast("string"))))
 
   /** Same tokenizer as a DuckDB SQL fragment over column expr `col`. */
   def tokenizeSql(col: String): String =

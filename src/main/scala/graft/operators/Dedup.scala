@@ -163,10 +163,14 @@ object Dedup {
     * (min-id) representative, so "keep one per cluster" is a single
     * filter. Iterative min-label propagation: each round every node
     * takes the min of its own and its neighbors' labels; converges in
-    * ≤ diameter rounds (near-dup clusters are shallow). Each round is
-    * one equi-join + hash agg on the edge list — the scalable
-    * alternative to driver-side union-find; per-round results are
-    * cached so lineage stays flat (at cluster scale, checkpointed).
+    * ≤ diameter rounds. Near-dup graphs are dup-GROUPS (diameter 2-3),
+    * so the round count stays tiny; a pointer-halving variant (label →
+    * label-of-label self-join per round) was measured 5× slower here —
+    * the extra per-round join dwarfs any round savings below diameter
+    * ~8, so the simple loop is the default. Each round is one
+    * equi-join + hash agg on the edge list — the scalable alternative
+    * to driver-side union-find; per-round results are cached so
+    * lineage stays flat (at cluster scale, checkpointed).
     * Input pairs (id_a, id_b); output (id, cluster) for every node
     * that appears in a pair. */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -178,6 +182,8 @@ object Dedup {
     labels.count()
     var changed = 1L
     var iter = 0
+    val verbose = sys.env.contains("GRAFT_CLUSTERS_VERBOSE")
+    if (verbose) println(s"[clusters] init done ${System.nanoTime() / 1000000}")
     while (changed > 0 && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("ncluster")), Seq("dst"))
@@ -193,6 +199,8 @@ object Dedup {
       labels.unpersist()
       labels = next
       iter += 1
+      if (verbose)
+        println(s"[clusters] round $iter changed=$changed t=${System.nanoTime() / 1000000}")
     }
     edges.unpersist()
     labels

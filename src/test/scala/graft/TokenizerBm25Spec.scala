@@ -25,6 +25,27 @@ class TokenizerBm25Spec extends SparkSpec {
     assert(TextFunctions.tokenizeJvm("a I x !!!") == Seq.empty)
   }
 
+  test("tokenizer kernel is byte-identical to the regex column program") {
+    import graft.functions.TextFunctions.stopwords
+    // the original composed program the codegen kernel replaced
+    def regexTokenize(c: org.apache.spark.sql.Column) = {
+      val cleaned = regexp_replace(lower(c), "[^\\w\\s]", " ")
+      filter(split(cleaned, "\\s+"), t =>
+        length(t) >= 2 && !array_contains(lit(stopwords.toArray), t))
+    }
+    val tricky = Seq("", "a I x !!!", "  leading and trailing  ",
+      "naïve Café au-lait 5_5 __ok İstanbul ẞharp",
+      "tabs\tand\nnewlines\r\nmix", "ALL-CAPS_WITH_123 numbers 42",
+      "punct!@#$%^&*()everywhere").toDF("text")
+    val docs = graft.Tables(spark, sf0001, "documents").select($"text")
+      .unionByName(tricky)
+    val diff = docs.select(
+        TextFunctions.tokenize($"text").as("kernel"),
+        regexTokenize($"text").as("regex"))
+      .filter($"kernel" =!= $"regex")
+    assert(diff.count() == 0, diff.take(3).mkString("\n"))
+  }
+
   test("column tokenizer agrees with JVM tokenizer") {
     val df = corpus.toDF("id", "text")
     val got = df.select($"id", TextFunctions.tokenize($"text").as("toks"))
