@@ -32,8 +32,14 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      // each query is measured self-contained: operators cache their own
+      // shared intermediates (self-join sides, iteration state), and
+      // letting those accumulate across 50 queries distorts later
+      // timings with storage-memory pressure
+      spark.catalog.clearCache()
       results(name) = time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
     }
+    spark.catalog.clearCache()
     // ingestion throughput: documents -> chunks+postings (I1)
     results("ingest_pipeline") = time {
       val docs = Tables(spark, sfDir, "documents")

@@ -179,12 +179,14 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).cache()
-    labels.count()
-    var changed = 1L
+    // convergence watches sum(cluster): labels only ever decrease, so
+    // the sum strictly drops until fixpoint — one single-table agg per
+    // round instead of a join against the previous labels
+    var curSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+    var converged = false
     var iter = 0
     val verbose = sys.env.contains("GRAFT_CLUSTERS_VERBOSE")
-    if (verbose) println(s"[clusters] init done ${System.nanoTime() / 1000000}")
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("ncluster")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("ncluster")).as("ncluster"))
@@ -193,14 +195,14 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
         .cache()
-      changed = next
-        .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .filter(col("cluster") < col("prev")).count()
+      val newSum = next.agg(sum(col("cluster"))).head.getLong(0)
+      converged = newSum == curSum
+      curSum = newSum
       labels.unpersist()
       labels = next
       iter += 1
       if (verbose)
-        println(s"[clusters] round $iter changed=$changed t=${System.nanoTime() / 1000000}")
+        println(s"[clusters] round $iter sum=$newSum t=${System.nanoTime() / 1000000}")
     }
     edges.unpersist()
     labels
