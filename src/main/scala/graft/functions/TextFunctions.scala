@@ -73,9 +73,11 @@ object TextFunctions {
     if (stem) tokenizeJvm(text).map(PorterStemmer.stem) else tokenizeJvm(text)
 
   /** Whitespace tokenizer (no stopword/length filtering) — used by the
-    * quality/token-count analyses where raw words matter. */
+    * quality/token-count analyses where raw words matter. Single-pass
+    * kernel, byte-identical to `filter(split(trim(c), "\s+"), len>0)`
+    * (parity pinned in TokenizerBm25Spec). */
   def wsTokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+    Bridge.column(WsTokens(Bridge.expression(c.cast("string"))))
 
   def wsTokensSql(col: String): String =
     s"list_filter(regexp_split_to_array(trim($col), '\\s+'), t -> length(t) > 0)"

@@ -14,8 +14,19 @@ import graft.functions.TextFunctions
 object TextAnalysis {
 
   /** Language ID: argmax of function-word hit counts with deterministic
-    * priority en > de > es > fr > zh; no hits ⇒ "und". */
-  def langId(toks: Column): Column = {
+    * priority en > de > es > fr > zh; no hits ⇒ "und". Single-pass
+    * kernel ([[graft.functions.LangIdKernel]]); the declarative
+    * per-language filter + nested-when program it replaced lives on as
+    * [[langIdColumnProgram]] (spec parity) and as the shape the DuckDB
+    * twin [[langIdSql]] is generated from. */
+  def langId(toks: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.LangId(
+        org.apache.spark.sql.graftbridge.Bridge.expression(toks)))
+
+  /** The original declarative form of [[langId]] — kept as the parity
+    * reference for the kernel and the template of the SQL twin. */
+  def langIdColumnProgram(toks: Column): Column = {
     val hits = TextFunctions.langWords.map { case (lang, words) =>
       lang -> TextFunctions.langHits(toks, words)
     }

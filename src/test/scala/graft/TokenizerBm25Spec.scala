@@ -46,6 +46,28 @@ class TokenizerBm25Spec extends SparkSpec {
     assert(diff.count() == 0, diff.take(3).mkString("\n"))
   }
 
+  test("wsTokens and langId kernels match their regex/when column programs") {
+    def wsRegex(c: org.apache.spark.sql.Column) =
+      filter(split(trim(c), "\\s+"), t => length(t) > 0)
+    val tricky = Seq("", "   ", "a\tb\ncd\fe\rf", " x ",
+      "der die el los the and 的 是 le les", "une est dans qui — und ist nicht",
+      "the quick brown fox", "el que los las y un es").toDF("text")
+    val docs = graft.Tables(spark, sf0001, "documents").select($"text")
+      .unionByName(tricky)
+    val wsDiff = docs.select(TextFunctions.wsTokens($"text").as("k"),
+        wsRegex($"text").as("r"))
+      .filter($"k" =!= $"r").count()
+    assert(wsDiff == 0)
+
+    val langDiff = docs.select(
+        graft.operators.TextAnalysis.langId(
+          TextFunctions.wsTokens(lower($"text"))).as("k"),
+        graft.operators.TextAnalysis.langIdColumnProgram(
+          wsRegex(lower($"text"))).as("r"))
+      .filter($"k" =!= $"r").count()
+    assert(langDiff == 0)
+  }
+
   test("column tokenizer agrees with JVM tokenizer") {
     val df = corpus.toDF("id", "text")
     val got = df.select($"id", TextFunctions.tokenize($"text").as("toks"))
