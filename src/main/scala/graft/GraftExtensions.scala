@@ -70,5 +70,11 @@ object GraftExtensions {
         HyperplaneBuckets(a(0), intLit(n, a(1), 1), intLit(n, a(2), 2)) }),
     ("graft_porter_stem", "graft_porter_stem(term) - Porter-stemmed term",
       (n, a) => { arity(n, a, 1); PorterStem(a(0)) }),
+    ("graft_tokenize", "graft_tokenize(text) - BM25 tokenizer (lowercase, punct-strip, stopwords, len>=2)",
+      (n, a) => { arity(n, a, 1); Tokenize(a(0)) }),
+    ("graft_ws_tokens", "graft_ws_tokens(text) - whitespace tokens (no filtering)",
+      (n, a) => { arity(n, a, 1); WsTokens(a(0)) }),
+    ("graft_lang_id", "graft_lang_id(tokens) - function-word language ID (en/de/es/fr/zh/und)",
+      (n, a) => { arity(n, a, 1); LangId(a(0)) }),
   )
 }

@@ -46,6 +46,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.getString(6) == "connect")
   }
 
+  test("text kernels reachable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_tokenize('Payment terms are net 30 days!') AS t,
+        |  graft_ws_tokens(' a  b ') AS w,
+        |  graft_lang_id(array('the', 'and', 'of')) AS l""".stripMargin)
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("payment", "terms", "net", "30", "days"))
+    assert(r.getSeq[String](1) == Seq("a", "b"))
+    assert(r.getString(2) == "en")
+  }
+
   test("MaxSim reachable from SQL over patch matrices") {
     import spark.implicits._
     Seq((Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(0.5, 0.5), Seq(1.0, 0.0))))
