@@ -173,7 +173,16 @@ object Dedup {
     * lineage stays flat (at cluster scale, checkpointed).
     * Input pairs (id_a, id_b); output (id, cluster) for every node
     * that appears in a pair. */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 20,
+               driverThreshold: Long = 1000000L): DataFrame = {
+    // The pair graph is the OUTPUT of near-dup filtering — orders of
+    // magnitude smaller than the corpus. Below the threshold, resolve
+    // components with a driver union-find over one collect of the
+    // already-small edge list (exactly what a coordinator does in
+    // production CC systems); the distributed label-propagation loop
+    // below is the path for genuinely huge pair sets.
+    val cnt = pairs.count()
+    if (cnt <= driverThreshold) return clustersDriver(pairs)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -206,6 +215,34 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver union-find with path compression + union-by-min: the
+    * small-graph fast path of [[clusters]] (same output contract:
+    * (id, cluster = component min id)). */
+  private def clustersDriver(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo
+      }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
   /** Embedding-cosine near-dup within blocks: pairs with cosine ≥ tau,

@@ -105,13 +105,19 @@ class SketchSpec extends SparkSpec {
     assert((narrow >>> 32) == 0L)
   }
 
-  test("clusters: transitive closure with min-id representative") {
+  test("clusters: transitive closure with min-id representative (both paths)") {
     // 1-2, 2-3 chain; 10-11 pair; isolated pair 20-21 via reversed order
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L)).toDF("id_a", "id_b")
-    val cl = Dedup.clusters(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find fast path
+    val fast = Dedup.clusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
-      11L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(fast == expected)
+    // distributed label-propagation path (threshold forced to 0)
+    val dist = Dedup.clusters(pairs, driverThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("hyperplane buckets: deterministic, bounded, equal vectors collide") {
