@@ -21,8 +21,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warm-up outside the measurement (tiny job)
+    // JVM/codegen warm-up outside the measurement (tiny jobs, no
+    // benchmark data touched): plain agg, decimal agg + sort (the
+    // heavyweight codegen paths the first measured queries would
+    // otherwise compile on the clock)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000)
+      .selectExpr("cast(id % 7 as string) k", "cast(id as decimal(18,4)) v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(v)"))
+      .orderBy("k").collect()
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()

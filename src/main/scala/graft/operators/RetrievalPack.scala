@@ -224,6 +224,9 @@ object RetrievalPack {
 
   def enhancedFallback(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT cached: the lazy plan pushes the tenant/lang filters below
+    // the embed kernel, so each subplan embeds only its scoped slice —
+    // materializing the fixture would embed the whole table upfront
     val chunks = docs(spark, dir).select(
       lpad($"doc_id".cast("string"), 6, "0").as("id"),
       $"text", $"lang",
