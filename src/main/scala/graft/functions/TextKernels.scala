@@ -80,7 +80,8 @@ object LangIdKernel {
     var i = 0
     val n = toks.numElements()
     while (i < n) {
-      val hit = wordLang.get(toks.getUTF8String(i).toString)
+      val tok = toks.getUTF8String(i) // null element = no hit, as in the
+      val hit = if (tok == null) null else wordLang.get(tok.toString) // filter program
       if (hit != null) {
         var j = 0
         while (j < hit.length) { counts(hit(j)) += 1; total += 1; j += 1 }

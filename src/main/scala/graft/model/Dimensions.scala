@@ -30,7 +30,9 @@ object Dimensions {
     * `ensure_organization`): existing rows win, new ids get default
     * name = id, is_active = true. */
   def ensureOrganizations(existing: DataFrame, neededIds: DataFrame): DataFrame = {
-    val fresh = neededIds.select(col("id").cast("string").as("id")).distinct()
+    val fresh = neededIds.select(col("id").cast("string").as("id"))
+      .filter(col("id").isNotNull) // null ids never match the anti-join
+      .distinct()                  // and would append a dup row per call
       .join(existing.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("name"), lit(true).as("is_active"))
     existing.unionByName(fresh)
@@ -42,6 +44,7 @@ object Dimensions {
     val fresh = needed
       .select(col("id").cast("string").as("id"),
         col("organization_id").cast("string").as("organization_id"))
+      .filter(col("id").isNotNull)
       .distinct()
       .join(existing.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("organization_id"), col("id").as("name"),
@@ -55,6 +58,7 @@ object Dimensions {
       .select(col("id").cast("string").as("id"),
         col("organization_id").cast("string").as("organization_id"),
         col("workspace_id").cast("string").as("workspace_id"))
+      .filter(col("id").isNotNull)
       .distinct()
       .join(existing.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("organization_id"), col("workspace_id"),

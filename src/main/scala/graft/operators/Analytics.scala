@@ -85,16 +85,11 @@ object Analytics {
 
   private def docs(spark: SparkSession, dir: String) = Tables(spark, dir, "documents")
 
-  private def tmpDir(name: String): String = {
-    val d = new java.io.File(sys.props("java.io.tmpdir"), name)
-    // append-mode gates must start from a clean log to be reproducible
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(d)
-    d.getAbsolutePath
-  }
+  // per-process unique dir: append-mode gates must start from a clean
+  // log to be reproducible, and a FIXED path would let two concurrent
+  // runs (bench + verify on one host) corrupt each other's logs
+  private def tmpDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
 
   /** q52: synthesize search-query records from `documents`, append in
     * TWO batches (proving append semantics), reload, roll up. The

@@ -50,8 +50,13 @@ object BM25 {
     postings.groupBy("term").agg(count(lit(1)).as("df"))
 
   /** Corpus stats (n_docs, avgdl) from the tokenized corpus. */
+  /** Corpus stats over docs that tokenize non-empty (dl > 0). Empty
+    * docs can never match a term, carry no postings, and are invisible
+    * to every index mutation — excluding them here makes buildIndex,
+    * upsertIndex and cascadeDelete agree on one corpus-stats contract
+    * instead of drifting on stopword-only documents. */
   def stats(corpus: DataFrame): DataFrame =
-    corpus.agg(
+    corpus.filter(col("dl") > 0).agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
 
@@ -123,8 +128,9 @@ object BM25 {
     * refresh reads only the merged postings' per-term aggregates —
     * never the corpus text. With a term-block-partitioned store the
     * physical rewrite touches only the blocks whose terms changed.
-    * Documents that tokenize empty drop out (they can match no term) —
-    * the same stance as [[graft.ingest.Pipeline.cascadeDelete]]. */
+    * Documents that tokenize empty are outside the index AND its
+    * corpus stats by contract ([[stats]] filters dl > 0), so upsert,
+    * delete and full rebuild agree exactly on every input. */
   def upsertIndex(index: Index, docs: DataFrame, idCol: String,
                   textCol: String, p: Params = Params()): Index = {
     val newCorpus = corpus(docs, idCol, textCol)
@@ -173,7 +179,7 @@ object BM25 {
       .map { case (t, c) => s"('$t', $c)" }.mkString(", ")
     s"""tok AS (SELECT doc_id, $toks AS toks FROM $table),
        |base AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
-       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM base),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM base WHERE dl > 0),
        |posting AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base) u GROUP BY doc_id, dl, term),
        |dfreq AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
        |idf0 AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5)) AS idf0 FROM dfreq, stats),

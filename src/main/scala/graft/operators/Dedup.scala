@@ -181,6 +181,14 @@ object Dedup {
     // already-small edge list (exactly what a coordinator does in
     // production CC systems); the distributed label-propagation loop
     // below is the path for genuinely huge pair sets.
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Seq("id_a", "id_b").forall(c => pairs.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }), "clusters() requires integral id_a/id_b columns (map string ids " +
+        "to a dense numeric key first, e.g. hash56 or zipWithIndex)")
+    }
     val cnt = pairs.count()
     if (cnt <= driverThreshold) return clustersDriver(pairs)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -214,6 +222,12 @@ object Dedup {
         println(s"[clusters] round $iter sum=$newSum t=${System.nanoTime() / 1000000}")
     }
     edges.unpersist()
+    if (!converged)
+      // never silently return a non-fixpoint: a partially propagated
+      // labeling splits one component into several "canonical" ids
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIter rounds — raise maxIter " +
+          "(component diameter exceeds it)")
     labels
   }
 

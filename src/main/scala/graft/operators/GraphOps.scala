@@ -53,9 +53,9 @@ object GraphOps {
     * best-path prune would bound it (at the cost of the lexicographic
     * guarantee on cyclic graphs) — not needed at chain depths ≤ 5.
     *
-    * Returns the chain as (step, node) rows — empty when no path, a
-    * single (0, startId) row when startId == endId has no hops (the
-    * reference returns []). */
+    * Returns the chain as (step, node) rows — empty when no path, and
+    * empty for startId == endId (the reference returns [] for the
+    * trivial chain too; pinned by GraphAugmentSpec). */
   def chain(edges: DataFrame, startId: Long, endId: Long,
             maxDepth: Int = 5): DataFrame = {
     val spark = edges.sparkSession

@@ -164,8 +164,8 @@ object RetrievalPack {
     val post = BM25.postings(c)
     val st = BM25.stats(c)
     val idx = BM25.Index(post, BM25.idfTable(BM25.docFreq(post), st), st)
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q47_index").getAbsolutePath
+    // unique per process — a fixed path would race a concurrent run
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q47_index").toString
     idx.postings.coalesce(4).write.mode("overwrite").parquet(s"$tmp/postings")
     idx.idf.coalesce(1).write.mode("overwrite").parquet(s"$tmp/idf")
     idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")

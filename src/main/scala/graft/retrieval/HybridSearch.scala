@@ -71,15 +71,7 @@ object HybridSearch {
     // own terms' posting lists instead of re-deriving the index from
     // the raw corpus.
     if (qTokens.nonEmpty && weights.getOrElse("bm25", 0.0) > 0) {
-      val bm = index match {
-        case Some(idx) =>
-          BM25.scoreFromIndex(idx, qTokens)
-            .join(scoped.select(col("id")), Seq("id"), "left_semi")
-            .select(col("id"), round(col("score"), 4).as("score"))
-            .orderBy(col("score").desc, col("id"))
-            .limit(fetch)
-        case None => BM25.search(scoped, "id", "text", qTokens, fetch)
-      }
+      val bm = scopedBm25(scoped, qTokens, fetch, index)
       methods += ((Fusion.rank(bm).join(bm, "id"), weights("bm25"), "bm25"))
     }
 
@@ -206,14 +198,8 @@ object HybridSearch {
 
     val scoped = Filters.tenantScope(chunks, ctx).filter(Filters.compile(filters))
     // BM25-only lookup reused by the precision and fallback branches
-    def bm25Only(tokens: Seq[String], k: Int): DataFrame = index match {
-      case Some(idx) =>
-        BM25.scoreFromIndex(idx, tokens)
-          .join(scoped.select(col("id")), Seq("id"), "left_semi")
-          .select(col("id"), round(col("score"), 4).as("score"))
-          .orderBy(col("score").desc, col("id")).limit(k)
-      case None => BM25.search(scoped, "id", "text", tokens, k)
-    }
+    def bm25Only(tokens: Seq[String], k: Int): DataFrame =
+      scopedBm25(scoped, tokens, k, index)
 
     val (isPrecision, ptypeOpt, refOpt) = QueryAnalyzer.detectPrecision(query)
     val merged0 = (isPrecision, ptypeOpt, refOpt) match {
@@ -230,7 +216,11 @@ object HybridSearch {
     }
 
     // ≤2·limit rows, but its lineage is the whole base search — cache
-    // so the failure-stats action and the final plan compute it once
+    // so the failure-stats action and the final plan compute it once.
+    // Deliberately not unpersisted: the returned plan still references
+    // it lazily; the entries are tiny and evict LRU. Long-lived query
+    // services should clear the cache between requests (as Bench and
+    // Verify do) if they care about storage-pool hygiene.
     val merged = merged0.cache()
 
     // V10 steps 6-7: failure analysis on the merged base, then retries
@@ -335,6 +325,21 @@ object HybridSearch {
       fallback_triggered: Boolean,
       processing_time_ms: Double,
       expansions: Seq[String])
+
+  /** The one indexed-BM25 read shape every branch shares (base search,
+    * precision lookup, keyword retry): score from the persisted index
+    * (global corpus stats, reference F1 semantics), tenant/filter
+    * semi-join, round, deterministic top-k; without an index, the
+    * build-and-score oracle baseline over the scoped corpus. */
+  private def scopedBm25(scoped: DataFrame, tokens: Seq[String], k: Int,
+                         index: Option[BM25.Index]): DataFrame = index match {
+    case Some(idx) =>
+      BM25.scoreFromIndex(idx, tokens)
+        .join(scoped.select(col("id")), Seq("id"), "left_semi")
+        .select(col("id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(k)
+    case None => BM25.search(scoped, "id", "text", tokens, k)
+  }
 
   /** J8: priority ∪ base with first-writer-wins dedup by id. */
   def mergeFirstWriterWins(priority: DataFrame, base: DataFrame): DataFrame = {

@@ -76,6 +76,11 @@ object EventStream {
           val bundle = Pipeline.ingest(batch)
           bundle.chunks.write.mode("append").parquet(s"$outDir/chunks")
           bundle.postings.write.mode("append").parquet(s"$outDir/postings")
+          // ingest caches the chunk table for its consumers; release it
+          // per micro-batch or a long-running stream accumulates one
+          // dead cached DataFrame per batch
+          bundle.chunks.unpersist()
+          ()
         }
       }
 

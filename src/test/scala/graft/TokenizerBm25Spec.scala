@@ -143,6 +143,17 @@ class TokenizerBm25Spec extends SparkSpec {
         .select(col("id"), round(col("score"), 9))) ==
       canon(BM25.scoreFromIndex(rebuilt, q)
         .select(col("id"), round(col("score"), 9))))
+
+    // the invariant must survive documents that tokenize EMPTY (all
+    // stopwords / 1-char tokens): they are outside the index and its
+    // corpus stats by contract, identically on both paths
+    val emptyDoc = Seq(("5", "the and of a I")).toDF("id", "text")
+    val upserted2 = BM25.upsertIndex(upserted, emptyDoc, "id", "text")
+    val rebuilt2 = BM25.buildIndex(
+      base.filter(col("id") =!= "2").unionByName(delta).unionByName(emptyDoc),
+      "id", "text")
+    assert(canon(upserted2.stats) == canon(rebuilt2.stats))
+    assert(canon(upserted2.postings) == canon(rebuilt2.postings))
   }
 
   test("Porter stemmer matches the published algorithm's examples") {
