@@ -34,9 +34,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RetrievalPack.queries ++ TextPack.queries ++
-      Analytics.queries
+      Analytics.queries ++ Curation.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ RetrievalPack.oracle ++ TextPack.oracle ++
-      Analytics.oracle
+      Analytics.oracle ++ Curation.oracle
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Training-data curation operators beyond the dedup family: eval-set
+  * decontamination, repetition-based quality signals (Gopher-style),
+  * and deterministic stratified sampling.
+  *
+  * Scale design notes (100 TB):
+  *  - decontamination joins the corpus-sized shingle stream against a
+  *    BROADCAST eval-shingle set (eval sets are tiny vs the corpus) on
+  *    fixed-width 8-byte hash keys — one pass over the corpus, no
+  *    corpus-side shuffle except the final per-doc count of the
+  *    (small) hit set;
+  *  - repetition metrics are row-local higher-order-function programs
+  *    — zero shuffle, embarrassingly parallel, whole-stage codegen;
+  *  - sampling is a deterministic hash predicate — one scan, no
+  *    shuffle, reproducible across reruns/partitionings, and the
+  *    per-stratum rate lookup is a literal map (no join).
+  */
+object Curation {
+
+  // ---- eval-set decontamination -----------------------------------------
+
+  /** Flag training documents sharing any word n-gram with an eval set
+    * (the standard n-gram-collision decontamination check, cf. GPT-3
+    * appendix C / PaLM §7). Inputs: train(id, toks), evalDocs(toks).
+    * Output: (id, n_hits, n_shingles, hit_frac) for CONTAMINATED
+    * training docs only — the hit set is tiny, so downstream "drop
+    * contaminated" is a broadcast anti-join. Shingles are compared as
+    * [[TextFunctions.hash56]] keys: 8-byte fixed-width join keys
+    * instead of ~50-byte strings, collision odds ~2^-56 per pair. */
+  def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    toksCol: String, n: Int): DataFrame = {
+    val evalSh = evalDocs
+      .select(explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
+      .select(TextFunctions.hash56(col("sh")).as("sh_h"))
+      .distinct()
+    val trainSh = train.select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
+      .select(col("id"), TextFunctions.hash56(col("sh")).as("sh_h"))
+    val sizes = train.select(col(idCol).as("id"),
+      size(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("n_shingles"))
+    trainSh.join(broadcast(evalSh), "sh_h")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .join(sizes, "id")
+      .select(col("id"), col("n_hits"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        round(col("n_hits") / col("n_shingles"), 6).as("hit_frac"))
+  }
+
+  // ---- repetition signals (Gopher-style quality filters) ----------------
+
+  /** Per-document bigram repetition: (id, n_bigrams, dup_bigram_frac,
+    * top_bigram_frac) for docs with ≥ 2 tokens. High values mark
+    * boilerplate / TTS spam / degenerate text (Gopher table A1 uses
+    * exactly these families of signals as training-data filters).
+    * Row-local HOF program — the per-doc mode is computed inside the
+    * row (O(distinct·n) on doc-sized arrays), so the whole metric runs
+    * shuffle-free instead of explode + corpus-wide re-aggregation. */
+  def repetitionSignals(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    val bg = TextFunctions.shingles(col(toksCol), 2)
+    val total = size(bg)
+    val distinctN = size(array_distinct(bg))
+    val topCount = array_max(transform(array_distinct(bg), b =>
+      size(filter(bg, x => x === b))))
+    docs.filter(size(col(toksCol)) >= 2)
+      .select(col(idCol).as("id"),
+        total.cast("long").as("n_bigrams"),
+        round(lit(1.0) - distinctN / total.cast("double"), 6).as("dup_bigram_frac"),
+        round(topCount / total.cast("double"), 6).as("top_bigram_frac"))
+  }
+
+  // ---- deterministic stratified sampling --------------------------------
+
+  /** Deterministic per-stratum Bernoulli sample: keep a row iff
+    * hash56(id:salt) mod 1e6 < rate(stratum)·1e6. Reproducible across
+    * reruns, partitionings and engines (the oracle computes the same
+    * predicate), unlike `DataFrame.sample`'s RNG. rates misses →
+    * defaultRate. */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val bucket = TextFunctions.hash56(
+      concat(col(idCol).cast("string"), lit(":" + salt))) % 1000000L
+    docs.filter(bucket < (rate * 1000000L).cast("long"))
+  }
+
+  // ---- gate queries ------------------------------------------------------
+
+  private def docs(spark: SparkSession, dir: String) = Tables(spark, dir, "documents")
+
+  /** Tokenized docs: (doc_id, toks) over ws-lowered tokens. */
+  private def toksDf(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      TextFunctions.wsTokens(lower(col("text"))).as("toks"))
+
+  /** q57: eval = doc_id % 25 == 0; train = the rest ∪ perturbed copies
+    * (doc_id+1e6, last two tokens dropped) of doc_id % 5 == 0 — every
+    * eval doc with ≥ n+2 tokens leaves a contaminated near-copy in the
+    * training set, so the check demonstrably fires at any SF. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = toksDf(spark, dir)
+    val evalDocs = base.filter($"doc_id" % 25 === 0)
+    val pert = base.filter($"doc_id" % 5 === 0 && size($"toks") >= 10)
+      .select(($"doc_id" + TextPack.PerturbOffset).as("doc_id"),
+        slice($"toks", lit(1), greatest(size($"toks") - 2, lit(0))).as("toks"))
+    val train = base.filter($"doc_id" % 25 =!= 0).unionByName(pert)
+    contamination(train, evalDocs, "doc_id", "toks", 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** q58: repetition signals over every document. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    repetitionSignals(toksDf(spark, dir), "doc_id", "toks")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** q59: language-stratified deterministic sample (en .5 / es .3 /
+    * zh .2 / default .1, salt s42). */
+  def sample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    stratifiedSample(docs(spark, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "es" -> 0.3, "zh" -> 0.2), 0.1, "s42")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_decontaminate" -> (decontaminate _),
+    "q58_repetition" -> (repetition _),
+    "q59_stratified_sample" -> (sample _),
+  )
+
+  // ---- oracle SQL --------------------------------------------------------
+
+  private val wsLowerSql = TextFunctions.wsTokensSql("lower(text)")
+
+  val oracle: Map[String, String] = Map(
+    "q57_decontaminate" -> {
+      val sh8 = TextFunctions.shinglesSql("toks", 8)
+      s"""WITH base AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
+         |train AS (
+         |  SELECT doc_id, toks FROM base WHERE doc_id % 25 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + ${TextPack.PerturbOffset}, list_slice(toks, 1, greatest(len(toks) - 2, 0))
+         |  FROM base WHERE doc_id % 5 = 0 AND len(toks) >= 10),
+         |ev AS (SELECT DISTINCT ${TextFunctions.hash56Sql("sh")} AS sh_h
+         |  FROM (SELECT unnest(list_distinct($sh8)) AS sh FROM base WHERE doc_id % 25 = 0)),
+         |tr AS (SELECT doc_id, ${TextFunctions.hash56Sql("sh")} AS sh_h
+         |  FROM (SELECT doc_id, unnest(list_distinct($sh8)) AS sh FROM train)),
+         |sz AS (SELECT doc_id, CAST(len(list_distinct($sh8)) AS BIGINT) AS n_shingles FROM train),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (sh_h) GROUP BY doc_id)
+         |SELECT h.doc_id, h.n_hits, s.n_shingles,
+         |  round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 6) AS hit_frac
+         |FROM hits h JOIN sz s USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "q58_repetition" -> {
+      val bg = TextFunctions.shinglesSql("toks", 2)
+      s"""WITH base AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
+         |b AS (SELECT doc_id, $bg AS bg FROM base WHERE len(toks) >= 2)
+         |SELECT doc_id,
+         |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+         |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) AS dup_bigram_frac,
+         |  round(CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6) AS top_bigram_frac
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "q59_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (${TextFunctions.hash56Sql("(doc_id::VARCHAR || ':s42')")} % 1000000)
+         |  < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3 WHEN 'zh' THEN 0.2 ELSE 0.1 END) * 1000000 AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
+  )
+}

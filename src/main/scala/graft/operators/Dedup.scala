@@ -85,14 +85,33 @@ object Dedup {
     * the shingle itself (within the blocking column), count
     * co-occurrences per pair, then jaccard — cost is Σ df² per shingle
     * instead of O(pairs × shingles). Pairs sharing no shingle (jaccard
-    * 0) never materialize. The scalable form of n-gram near-dup. */
+    * 0) never materialize. The scalable form of n-gram near-dup.
+    *
+    * `maxDf` caps the document frequency of index entries: a shingle
+    * appearing in > maxDf docs of a block is dropped from the INDEX
+    * (not from the per-doc sizes), bounding the per-shingle join
+    * fan-out at maxDf² — without it one boilerplate shingle shared by
+    * a million docs materializes 10^12 candidate rows. Hot shingles
+    * carry ~no similarity signal, but technically the capped jaccard
+    * is a lower bound: pairs whose overlap is ONLY hot shingles drop
+    * out. Default = no cap (exact, the oracle-gated configuration). */
   def jaccardBlocked(corpus: DataFrame, idCol: String, toksCol: String,
-                     blockCol: String, tau: Double): DataFrame = {
+                     blockCol: String, tau: Double,
+                     maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = corpus.select(col(blockCol).as("blk"), col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(toksCol), 3))).as("sh"))
       .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val idx =
+      if (maxDf == Long.MaxValue) sh
+      else {
+        // the hot set is by construction tiny (≤ vocab · blocks rows
+        // survive the > maxDf filter) → broadcast anti-join, no shuffle
+        val hot = sh.groupBy("blk", "sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("blk", "sh")
+        sh.join(broadcast(hot), Seq("blk", "sh"), "left_anti")
+      }
+    val inter = idx.as("a").join(idx.as("b"),
         col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

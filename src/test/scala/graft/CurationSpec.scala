@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup}
+
+/** Training-data curation: decontamination, repetition signals,
+  * deterministic stratified sampling, and the hot-shingle df cap on
+  * the inverted-index jaccard. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), TextFunctions.wsTokens(lower(col("text"))).as("toks"))
+
+  test("contamination flags exactly the docs sharing an eval n-gram") {
+    val train = toks(Seq(
+      (1L, "a b c d e f g h i j"),     // contains eval 8-gram a..h
+      (2L, "z y x w v u t s r q"),     // disjoint
+      (3L, "k a b c d e f g h m")      // eval 8-gram shifted inside
+    ).toDF("id", "text"))
+    val ev = toks(Seq((99L, "a b c d e f g h")).toDF("id", "text"))
+    val out = Curation.contamination(train, ev, "id", "toks", 8)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // doc 1: 3 distinct 8-grams, 1 hit; doc 3: 3 distinct, 1 hit
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (1L, 3L)))
+  }
+
+  test("repetition signals: hand-checked fractions") {
+    val d = Seq((1L, "a b a b"), (2L, "p q r s"), (3L, "solo")).toDF("id", "text")
+    val out = Curation.repetitionSignals(toks(d), "id", "toks")
+      .orderBy("id").collect()
+    // doc 3 has < 2 tokens -> excluded
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // "a b a b": bigrams [a b, b a, a b] -> total 3, distinct 2, top 2
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L)
+    assert(r1.getDouble(2) == 0.333333)
+    assert(r1.getDouble(3) == 0.666667)
+    // all-distinct doc: dup 0, top 1/3
+    val r2 = out(1)
+    assert(r2.getDouble(2) == 0.0)
+    assert(r2.getDouble(3) == 0.333333)
+  }
+
+  test("stratified sample is deterministic and tracks per-stratum rates") {
+    val docs = spark.range(0, 2000)
+      .select(col("id"), (col("id") % 2).cast("string").as("s"))
+    val rates = Map("0" -> 0.5, "1" -> 0.1)
+    val a = Curation.stratifiedSample(docs, "id", "s", rates, 0.0, "t1")
+    val b = Curation.stratifiedSample(docs, "id", "s", rates, 0.0, "t1")
+    // bit-deterministic across runs
+    assert(a.collect().map(_.getLong(0)).sorted.toSeq ==
+      b.collect().map(_.getLong(0)).sorted.toSeq)
+    val byStratum = a.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 per stratum; hash-uniform within ±~10%
+    assert(math.abs(byStratum("0") - 500L) < 60, byStratum.toString)
+    assert(math.abs(byStratum("1") - 100L) < 40, byStratum.toString)
+    // a different salt draws a different sample
+    val c = Curation.stratifiedSample(docs, "id", "s", rates, 0.0, "t2")
+    assert(c.collect().map(_.getLong(0)).sorted.toSeq !=
+      a.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("jaccardBlocked df cap: identical pairs without hot shingles; bounded fan-out") {
+    // docs 1/2 are near-dups; every doc shares the boilerplate prefix
+    // "x y z" whose shingle appears in all 4 docs
+    val d = Seq(
+      (1L, "x y z a b c d e"),
+      (2L, "x y z a b c d f"),
+      (3L, "x y z p q r s t"),
+      (4L, "x y z g h i j k")
+    ).toDF("id", "text")
+    val corpus = toks(d).withColumn("blk", lit("one"))
+    val exact = Dedup.jaccardBlocked(corpus, "id", "toks", "blk", 0.05)
+      .orderBy("id_a", "id_b").collect()
+    val capped = Dedup.jaccardBlocked(corpus, "id", "toks", "blk", 0.05, maxDf = 3)
+      .orderBy("id_a", "id_b").collect()
+    // the (1,2) near-dup survives the cap with a (lower-bound) score;
+    // pairs held together ONLY by the hot "x y z" shingle drop out
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)))
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // capped score <= exact score for the surviving pair
+    val je = exact.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    val jc = capped.head.getDouble(2)
+    assert(jc <= je)
+  }
+}

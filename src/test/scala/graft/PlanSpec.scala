@@ -144,6 +144,31 @@ class PlanSpec extends SparkSpec {
       inMem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("curation: contamination broadcasts the eval side; row-local ops don't shuffle") {
+    import org.apache.spark.sql.functions.{col, lower}
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    val d = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), TextFunctions.wsTokens(lower(col("text"))).as("toks"))
+    // eval-shingle set joins as a broadcast build side — the corpus
+    // stream must never shuffle for the containment probe
+    val p = plan(Curation.contamination(
+      d.filter(col("doc_id") % 25 =!= 0), d.filter(col("doc_id") % 25 === 0),
+      "doc_id", "toks", 8))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+
+    // repetition metrics are a pure column program: zero exchanges
+    val p2 = plan(Curation.repetitionSignals(d, "doc_id", "toks"))
+    assert(!p2.contains("Exchange"), p2.take(1500))
+
+    // deterministic sampling is filter-on-scan: zero exchanges
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val p3 = plan(Curation.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.5), 0.1, "s42"))
+    assert(!p3.contains("Exchange"), p3.take(1500))
+  }
+
   test("IVF kNN: query path equi-joins probed lists; top-1 is the query itself") {
     import org.apache.spark.sql.functions.col
     import graft.operators.AnnKnn
