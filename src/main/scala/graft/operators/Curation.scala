@@ -93,6 +93,74 @@ object Curation {
     docs.filter(bucket < (rate * 1000000L).cast("long"))
   }
 
+  // ---- token-budget shard packing ---------------------------------------
+
+  /** Pack documents into fixed token-budget shards per stratum: doc d
+    * goes to shard floor(prefix(d) / budget) where prefix(d) is the
+    * running token total of all earlier docs (by id) in its stratum —
+    * the deterministic contiguous-shard assignment training pipelines
+    * use to cut a corpus into ~equal-token output files.
+    *
+    * Distributed prefix sum, NOT one window per stratum (which would
+    * put an entire stratum — possibly most of the corpus — in a single
+    * task): ids are range-bucketed into groups of `groupSize`; phase 1
+    * aggregates per-(stratum, group) token totals (tiny table) and
+    * prefix-sums THOSE with a window; phase 2 computes the within-group
+    * prefix (window over ≤ groupSize rows) and adds the group offset.
+    * Both windows are bounded: one by the group count, one by
+    * groupSize. Output: (id, stratum, n_tokens, shard_id). */
+  def packShards(docs: DataFrame, idCol: String, stratumCol: String,
+                 nTokensCol: String, budget: Long,
+                 groupSize: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), col(stratumCol).as("stratum"),
+        col(nTokensCol).cast("long").as("n_tokens"))
+      .withColumn("grp", floor(col("id") / groupSize))
+    val groupTotals = base.groupBy("stratum", "grp")
+      .agg(sum(col("n_tokens")).as("grp_tokens"))
+    val wg = Window.partitionBy("stratum").orderBy("grp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = groupTotals
+      .select(col("stratum"), col("grp"),
+        (sum(col("grp_tokens")).over(wg) - col("grp_tokens")).as("grp_offset"))
+    val wl = Window.partitionBy("stratum", "grp").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("local_prefix", sum(col("n_tokens")).over(wl) - col("n_tokens"))
+      .join(broadcast(offsets), Seq("stratum", "grp"))
+      .select(col("id"), col("stratum"), col("n_tokens"),
+        floor((col("grp_offset") + col("local_prefix")) / budget).as("shard_id"))
+  }
+
+  // ---- dataset statistics -----------------------------------------------
+
+  /** Exact per-stratum token-count quantiles (linear interpolation —
+    * the quantile_cont definition both Spark's `percentile` and DuckDB
+    * share). Exact percentiles sort every value within the group; at
+    * corpus scale call [[approxTokenQuantiles]] instead (t-digest
+    * sketch, mergeable, single pass) and keep this as the oracle
+    * baseline. */
+  def tokenQuantiles(docs: DataFrame, stratumCol: String,
+                     nTokensCol: String, ps: Seq[Double]): DataFrame = {
+    val pArr = ps.map(p => lit(p)).toArray
+    val q = expr(s"percentile($nTokensCol, array(${ps.mkString("D,")}D))")
+    docs.groupBy(col(stratumCol).as("stratum")).agg(q.as("qs"))
+      .select(col("stratum") +: ps.zipWithIndex.map { case (p, i) =>
+        round(element_at(col("qs"), i + 1), 6).as(s"p${(p * 100).toInt}")
+      }: _*)
+  }
+
+  /** Sketch-based quantiles for the 100 TB path: single pass,
+    * mergeable partial states, no per-group sort. */
+  def approxTokenQuantiles(docs: DataFrame, stratumCol: String,
+                           nTokensCol: String, ps: Seq[Double],
+                           accuracy: Int = 10000): DataFrame =
+    docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(expr(s"approx_percentile($nTokensCol, array(${ps.mkString("D,")}D), $accuracy)").as("qs"))
+      .select(col("stratum") +: ps.zipWithIndex.map { case (p, i) =>
+        element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}")
+      }: _*)
+
   // ---- gate queries ------------------------------------------------------
 
   private def docs(spark: SparkSession, dir: String) = Tables(spark, dir, "documents")
@@ -137,15 +205,41 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** q60: token-budget shard packing per lang (budget 2000, groups of
+    * 100 ids — small enough that sf0.001 already exercises multi-group
+    * offsets). The oracle computes the same prefix with ONE window —
+    * proving the two-phase distributed form is identical. */
+  def shards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"lang",
+      size(TextFunctions.wsTokens($"text")).as("n_tokens"))
+    packShards(d, "doc_id", "lang", "n_tokens", budget = 2000L, groupSize = 100L)
+      .select($"id".as("doc_id"), $"stratum".as("lang"), $"n_tokens", $"shard_id")
+      .orderBy($"doc_id")
+  }
+
+  /** q61: exact per-lang p50/p90 of whitespace token counts. */
+  def quantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"lang",
+      size(TextFunctions.wsTokens($"text")).cast("long").as("n_tokens"))
+    tokenQuantiles(d, "lang", "n_tokens", Seq(0.5, 0.9))
+      .withColumnRenamed("stratum", "lang")
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_decontaminate" -> (decontaminate _),
     "q58_repetition" -> (repetition _),
     "q59_stratified_sample" -> (sample _),
+    "q60_token_shards" -> (shards _),
+    "q61_token_quantiles" -> (quantiles _),
   )
 
   // ---- oracle SQL --------------------------------------------------------
 
   private val wsLowerSql = TextFunctions.wsTokensSql("lower(text)")
+  private val wsSql = TextFunctions.wsTokensSql("text")
 
   val oracle: Map[String, String] = Map(
     "q57_decontaminate" -> {
@@ -181,5 +275,20 @@ object Curation {
          |WHERE (${TextFunctions.hash56Sql("(doc_id::VARCHAR || ':s42')")} % 1000000)
          |  < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3 WHEN 'zh' THEN 0.2 ELSE 0.1 END) * 1000000 AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+    // single-window prefix sum — the simple form the distributed
+    // two-phase version must agree with exactly
+    "q60_token_shards" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, lang, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prefix
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, CAST(floor(prefix / 2000.0) AS BIGINT) AS shard_id
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q61_token_quantiles" ->
+      s"""WITH t AS (SELECT lang, CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT lang, round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

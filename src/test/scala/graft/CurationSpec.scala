@@ -66,6 +66,43 @@ class CurationSpec extends SparkSpec {
       a.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("packShards: two-phase distributed prefix == single-window prefix") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.range(0, 500)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"),
+        ((col("id") * 37 % 91) + 5).as("n"))
+    val packed = Curation.packShards(docs, "id", "s", "n", budget = 300L,
+      groupSize = 50L)
+    val w = Window.partitionBy("s").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.select(col("id"),
+      floor((sum(col("n")).over(w) - col("n")) / lit(300L)).as("shard_id"))
+    val got = packed.select("id", "shard_id").orderBy("id").collect().toSeq
+    assert(got == ref.orderBy("id").collect().toSeq)
+    // shards fill contiguously: within a stratum, shard ids are
+    // non-decreasing in id and start at 0
+    val perStratum = packed.orderBy("id").collect()
+      .groupBy(_.getString(1)).values
+    perStratum.foreach { rows =>
+      val ids = rows.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+      assert(ids.head == 0L)
+      assert(ids.zip(ids.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("approx quantiles track exact quantiles") {
+    val docs = spark.range(0, 2000)
+      .select((col("id") % 4).cast("string").as("s"), (col("id") % 211).as("n"))
+    val exact = Curation.tokenQuantiles(docs, "s", "n", Seq(0.5, 0.9))
+      .orderBy("stratum").collect()
+    val approx = Curation.approxTokenQuantiles(docs, "s", "n", Seq(0.5, 0.9))
+      .orderBy("stratum").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e.getDouble(1) - a.getLong(1)) <= 3.0, (e, a).toString)
+      assert(math.abs(e.getDouble(2) - a.getLong(2)) <= 3.0, (e, a).toString)
+    }
+  }
+
   test("jaccardBlocked df cap: identical pairs without hot shingles; bounded fan-out") {
     // docs 1/2 are near-dups; every doc shares the boilerplate prefix
     // "x y z" whose shingle appears in all 4 docs
