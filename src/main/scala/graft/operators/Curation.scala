@@ -59,20 +59,38 @@ object Curation {
     * top_bigram_frac) for docs with ≥ 2 tokens. High values mark
     * boilerplate / TTS spam / degenerate text (Gopher table A1 uses
     * exactly these families of signals as training-data filters).
-    * Row-local HOF program — the per-doc mode is computed inside the
-    * row (O(distinct·n) on doc-sized arrays), so the whole metric runs
-    * shuffle-free instead of explode + corpus-wide re-aggregation. */
+    * Row-local program — shuffle-free, embarrassingly parallel.
+    *
+    * The per-doc mode and distinct count come from ONE linear fold
+    * over the SORTED bigram array (run-length scan), not from
+    * `transform(array_distinct(bg), b -> size(filter(bg, _ == b)))`:
+    * expressions inside HOF lambdas are re-evaluated per element (no
+    * common-subexpression elimination), so the naive form recomputes
+    * the whole shingle construction O(distinct) times per row —
+    * measured 60× slower on this corpus. The bigram array is also
+    * materialized into a column first so it is built exactly once. */
   def repetitionSignals(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
-    val bg = TextFunctions.shingles(col(toksCol), 2)
-    val total = size(bg)
-    val distinctN = size(array_distinct(bg))
-    val topCount = array_max(transform(array_distinct(bg), b =>
-      size(filter(bg, x => x === b))))
+    val folded = aggregate(
+      array_sort(col("bg")),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("d")),
+      (s, x) => {
+        val same = x === s.getField("prev")
+        val run = when(same, s.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"),
+          (s.getField("d") + when(same, lit(0L)).otherwise(lit(1L))).as("d"))
+      },
+      s => struct(s.getField("best").as("best"), s.getField("d").as("d")))
     docs.filter(size(col(toksCol)) >= 2)
       .select(col(idCol).as("id"),
-        total.cast("long").as("n_bigrams"),
-        round(lit(1.0) - distinctN / total.cast("double"), 6).as("dup_bigram_frac"),
-        round(topCount / total.cast("double"), 6).as("top_bigram_frac"))
+        TextFunctions.shingles(col(toksCol), 2).as("bg"))
+      .select(col("id"), size(col("bg")).cast("long").as("n_bigrams"), folded.as("st"))
+      .select(col("id"), col("n_bigrams"),
+        round(lit(1.0) - col("st.d") / col("n_bigrams").cast("double"), 6)
+          .as("dup_bigram_frac"),
+        round(col("st.best") / col("n_bigrams").cast("double"), 6)
+          .as("top_bigram_frac"))
   }
 
   // ---- deterministic stratified sampling --------------------------------
@@ -263,12 +281,14 @@ object Curation {
     "q58_repetition" -> {
       val bg = TextFunctions.shinglesSql("toks", 2)
       s"""WITH base AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
-         |b AS (SELECT doc_id, $bg AS bg FROM base WHERE len(toks) >= 2)
+         |b AS (SELECT doc_id, unnest($bg) AS bigram FROM base WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM b GROUP BY doc_id, bigram),
+         |a AS (SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS n_distinct, MAX(cnt) AS top FROM c GROUP BY doc_id)
          |SELECT doc_id,
-         |  CAST(len(bg) AS BIGINT) AS n_bigrams,
-         |  round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6) AS dup_bigram_frac,
-         |  round(CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6) AS top_bigram_frac
-         |FROM b ORDER BY doc_id""".stripMargin
+         |  CAST(total AS BIGINT) AS n_bigrams,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / total, 6) AS dup_bigram_frac,
+         |  round(CAST(top AS DOUBLE) / total, 6) AS top_bigram_frac
+         |FROM a ORDER BY doc_id""".stripMargin
     },
     "q59_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents

@@ -84,6 +84,21 @@ object EventStream {
         }
       }
 
+  /** Streaming exact dedup: drop rows whose key was already seen
+    * within the watermark horizon — the batch `Dedup.exactGroups`
+    * lifted to a continuous source. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates`) is the 100 TB-stream shape: seen-key
+    * state is EVICTED once the watermark passes it, so state is
+    * O(distinct keys per horizon), not O(all keys ever) — unbounded
+    * dedup state is the classic streaming-pipeline OOM. Works for
+    * event streams (key = event_id) and document streams (key =
+    * content hash): duplicates in the same micro-batch and across
+    * batches both drop. */
+  def dedupStream(rows: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** A closed user session: epoch-second bounds (sub-second precision
     * is floored identically by Spark's `unix_timestamp` and the
     * oracle's `floor(epoch(ts))`, keeping hash parity). */

@@ -108,6 +108,49 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_events") == 2L)
   }
 
+  test("streaming dedup drops duplicates within and across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    def write(file: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val stage = s"$tmp/stage_$file"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/in/$file.parquet"))
+    }
+    val t0 = 1700000000L
+    val ns = 1000000000L
+    // f1 carries an in-batch duplicate of event 1; f2 re-sends event 2
+    // (cross-batch duplicate, still inside the 10-minute horizon) plus
+    // a genuinely new event 4
+    write("f1", Seq(
+      (1L, t0 * ns, 1L, "click", 1.0, "{}"),
+      (1L, (t0 + 1) * ns, 1L, "click", 1.0, "{}"),
+      (2L, (t0 + 2) * ns, 1L, "click", 2.0, "{}"),
+      (3L, (t0 + 3) * ns, 2L, "view", 3.0, "{}")))
+    write("f2", Seq(
+      (2L, (t0 + 60) * ns, 1L, "click", 2.0, "{}"),
+      (4L, (t0 + 61) * ns, 2L, "view", 4.0, "{}")))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.dedupStream(stream, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("dedup_out").select($"event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L), s"got $out")
+  }
+
   test("streaming ingest via foreachBatch writes chunk + postings tables") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val docsDir = s"$tmp/in"
