@@ -250,6 +250,20 @@ object Dedup {
     labels
   }
 
+  /** The step every dedup pipeline actually ships: drop all non-
+    * canonical cluster members from the corpus. `clusterLabels` is
+    * [[clusters]] output (id, cluster); docs not in any cluster are
+    * untouched (a doc with no near-dup never appears in a pair). The
+    * non-canonical id set is |clustered docs| − |clusters| rows —
+    * orders of magnitude smaller than the corpus — so the anti-join
+    * broadcasts. */
+  def keepCanonical(docs: DataFrame, idCol: String,
+                    clusterLabels: DataFrame): DataFrame = {
+    val losers = clusterLabels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** Driver union-find with path compression + union-by-min: the
     * small-graph fast path of [[clusters]] (same output contract:
     * (id, cluster = component min id)). */

@@ -41,6 +41,21 @@ object TableStore {
   def termBlockJvm(term: String): Long =
     java.lang.Math.floorMod(TextFunctions.hash56Jvm(term), TermBlocks.toLong)
 
+  /** Bucketed external table: pre-shuffled storage for co-located
+    * joins. Both sides of a repeated equi-join (chunks ⋈ postings by
+    * doc, chunks ⋈ graph edges, fact ⋈ fact) written with the SAME
+    * key and bucket count join with ZERO runtime exchange — the
+    * shuffle is paid once at write time, not per query. sortBy(key)
+    * additionally removes the per-task sort under sort-merge joins.
+    * Spark bucketing lives in the session catalog, so this registers
+    * `table` (external, data at `path`). */
+  def saveBucketed(df: DataFrame, table: String, path: String,
+                   key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Persist a full index bundle under `root`. */
   def save(bundle: IndexBundle, root: String): Unit = {
     bundle.chunks.write.mode("overwrite")

@@ -103,6 +103,15 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("keepCanonical drops exactly the non-canonical cluster members") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // clusters: {1,2,3} canonical 1, {4} not in any pair, 5 untouched
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster")
+    val kept = Dedup.keepCanonical(docs, "id", labels)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
   test("jaccardBlocked df cap: identical pairs without hot shingles; bounded fan-out") {
     // docs 1/2 are near-dups; every doc shares the boilerplate prefix
     // "x y z" whose shingle appears in all 4 docs

@@ -144,6 +144,37 @@ class PlanSpec extends SparkSpec {
       inMem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("bucketed tables co-locate joins: zero exchange, zero sort on the bucket key") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.TableStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_buck").toString
+    val a = spark.range(0, 1000).select(col("id"), (col("id") * 2).as("x"))
+    val b = spark.range(0, 1000).select(col("id"), (col("id") * 3).as("y"))
+    // one writer task -> one file per bucket, so the scan's output
+    // ordering is the sortBy key and the join needs no Sort either
+    TableStore.saveBucketed(a.coalesce(1), "buck_a", s"$tmp/a", "id", 8)
+    TableStore.saveBucketed(b.coalesce(1), "buck_b", s"$tmp/b", "id", 8)
+    try {
+      // surfacing the write-time sort to the planner is opt-in since
+      // Spark 3 (file-listing cost): without it buckets still join
+      // exchange-free, just with a cheap re-sort of sorted runs
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val j = spark.table("buck_a").hint("merge")
+        .join(spark.table("buck_b").hint("merge"), "id")
+      assert(j.count() == 1000)
+      val p = plan(j)
+      // the write-time shuffle+sort makes the read-side join exchange-
+      // and sort-free — the property that makes bucketing pay at scale
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      assert(!p.contains("Exchange"), p.take(2000))
+      assert(!p.contains("Sort "), p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      spark.sql("DROP TABLE IF EXISTS buck_a")
+      spark.sql("DROP TABLE IF EXISTS buck_b")
+    }
+  }
+
   test("curation: contamination broadcasts the eval side; row-local ops don't shuffle") {
     import org.apache.spark.sql.functions.{col, lower}
     import graft.operators.Curation
