@@ -93,6 +93,17 @@ object TableStore {
   def loadAnn(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/ann")
 
+  /** Incremental ANN upsert: bucket the delta
+    * ([[graft.operators.AnnKnn.index]] on the new rows only) and
+    * APPEND — files land only in the delta's (tbl, bucket) partitions;
+    * no existing file is rewritten (the [[BM25.upsertIndex]] stance on
+    * the vector side). Re-inserting an existing id requires deleting
+    * it first — a partition-scoped rewrite of its L bucket
+    * directories, never a full-index rebuild. */
+  def appendAnn(delta: DataFrame, root: String): Unit =
+    delta.write.mode("append")
+      .partitionBy("tbl", "bucket").parquet(s"$root/ann")
+
   /** `extracted_tables` sink (nested structured_data preserved as a
     * parquet struct), tenant-partitioned like the chunk fact table. */
   def saveExtractedTables(records: DataFrame, root: String): Unit =

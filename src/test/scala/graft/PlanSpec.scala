@@ -144,6 +144,57 @@ class PlanSpec extends SparkSpec {
       inMem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("ANN store append: delta visible, no pre-existing file rewritten") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.AnnKnn
+    import graft.sources.TableStore
+    val e = graft.Tables(spark, sf0001, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_up").toString
+    TableStore.saveAnn(
+      AnnKnn.index(e.filter(col("vec_id") =!= 0), "vec_id", "embedding"), root)
+    def files(): Set[String] = {
+      val b = Set.newBuilder[String]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/ann")).forEach(p =>
+        if (p.toString.endsWith(".parquet")) b += p.toString)
+      b.result()
+    }
+    val before = files()
+    TableStore.appendAnn(
+      AnnKnn.index(e.filter(col("vec_id") === 0), "vec_id", "embedding"), root)
+    // append-only: every pre-existing file survives untouched
+    assert(before.subsetOf(files()))
+    // and the appended vector is retrievable as its own top-1
+    val qvec = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val top = AnnKnn.topKFromStore(TableStore.loadAnn(spark, root), qvec, 5)
+      .collect()
+    assert(top.head.getLong(0) == 0L, top.take(3).mkString)
+  }
+
+  test("extracted_tables: nested schema pruning reads only the touched subfield") {
+    import org.apache.spark.sql.functions.col
+    import graft.ingest.TableExtractor
+    import graft.sources.TableStore
+    val text =
+      """Revenue by region:
+        || Region | Q1 | Q2 |
+        || ------ | -- | -- |
+        || EMEA   | 10 | 20 |
+        || APAC   | 30 | 40 |""".stripMargin
+    val recs = TableExtractor.tableRecords(spark,
+      TableExtractor.extractTables(text, "doc_np"), "org_np")
+    val root = java.nio.file.Files.createTempDirectory("graft_xt").toString
+    TableStore.saveExtractedTables(recs, root)
+    val p = plan(TableStore.loadExtractedTables(spark, root)
+      .select(col("id"), col("structured_data.table_type")))
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // the scan must request ONLY structured_data.table_type, not the
+    // full nested struct (headers/rows stay unread on disk)
+    assert(rs.contains("structured_data:struct<table_type"), rs)
+    assert(!rs.contains("headers"), rs)
+  }
+
   test("bucketed tables co-locate joins: zero exchange, zero sort on the bucket key") {
     import org.apache.spark.sql.functions.col
     import graft.sources.TableStore
