@@ -150,6 +150,31 @@ object Curation {
         floor((col("grp_offset") + col("local_prefix")) / budget).as("shard_id"))
   }
 
+  // ---- weighted source interleaving -------------------------------------
+
+  /** Deterministic proportional interleave of sources into one global
+    * training order: doc with per-source rank r (1-based, by id) gets
+    * virtual position (r − 0.5) / weight(source); reading in position
+    * order yields each source at a rate ∝ its weight (the mixture-
+    * sampling order training runs consume, but reproducible — no RNG).
+    * The rank window is per-source (partitioned); consumers sort by
+    * `mix_pos`, which range-partitions — no global window anywhere. */
+  def interleaveByWeight(docs: DataFrame, idCol: String, sourceCol: String,
+                         weights: Map[String, Double],
+                         defaultWeight: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(defaultWeight > 0 && weights.values.forall(_ > 0),
+      "interleave weights must be positive")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("__r", row_number()
+        .over(Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
+      .withColumn("mix_pos", (col("__r") - lit(0.5)) / w)
+      .drop("__r")
+  }
+
   // ---- dataset statistics -----------------------------------------------
 
   /** Exact per-stratum token-count quantiles (linear interpolation —
@@ -246,12 +271,24 @@ object Curation {
       .orderBy($"lang")
   }
 
+  /** q62: weighted source interleave (src0 ×3, src1 ×2, src2 ×1,
+    * default ×0.5) — first 200 positions of the mixture order. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    interleaveByWeight(docs(spark, dir).select($"doc_id", $"source"),
+        "doc_id", "source", Map("src0" -> 3.0, "src1" -> 2.0, "src2" -> 1.0), 0.5)
+      .select($"doc_id", $"source", round($"mix_pos", 6).as("mix_pos"))
+      .orderBy($"mix_pos", $"doc_id")
+      .limit(200)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_decontaminate" -> (decontaminate _),
     "q58_repetition" -> (repetition _),
     "q59_stratified_sample" -> (sample _),
     "q60_token_shards" -> (shards _),
     "q61_token_quantiles" -> (quantiles _),
+    "q62_source_mix" -> (sourceMix _),
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -310,5 +347,13 @@ object Curation {
          |SELECT lang, round(quantile_cont(n_tokens, 0.5), 6) AS p50,
          |  round(quantile_cont(n_tokens, 0.9), 6) AS p90
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q62_source_mix" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents),
+        |p AS (SELECT doc_id, source,
+        |  round((rn - 0.5) / (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+        |    WHEN 'src2' THEN 1.0 ELSE 0.5 END), 6) AS mix_pos FROM r)
+        |SELECT doc_id, source, mix_pos FROM p
+        |ORDER BY mix_pos, doc_id LIMIT 200""".stripMargin,
   )
 }

@@ -112,6 +112,20 @@ class CurationSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("interleaveByWeight: prefix rates proportional to weights") {
+    val docs = spark.range(0, 200)
+      .select(col("id"), when(col("id") < 100, "a").otherwise("b").as("src"))
+    val mixed = Curation.interleaveByWeight(docs, "id", "src",
+        Map("a" -> 2.0), defaultWeight = 1.0)
+      .orderBy("mix_pos", "id").limit(30).collect()
+    val bySrc = mixed.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // weight 2:1 ⇒ the first 30 mixture positions hold 20 a's and 10 b's
+    assert(bySrc == Map("a" -> 20, "b" -> 10), bySrc.toString)
+    // and within a source the original id order is preserved
+    val aIds = mixed.filter(_.getString(1) == "a").map(_.getLong(0)).toSeq
+    assert(aIds == aIds.sorted)
+  }
+
   test("jaccardBlocked df cap: identical pairs without hot shingles; bounded fan-out") {
     // docs 1/2 are near-dups; every doc shares the boilerplate prefix
     // "x y z" whose shingle appears in all 4 docs
