@@ -103,12 +103,17 @@ object Curation {
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
                        rates: Map[String, Double], defaultRate: Double,
                        salt: String): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
-      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    // thresholds resolve to exact integers DRIVER-side: 0.3 * 1e6 in
+    // column-space double arithmetic is 299999.999…→299999, while a
+    // SQL decimal literal gives 300000 — a doc hashing exactly onto
+    // the boundary bucket would diverge from the oracle
+    def ppm(r: Double) = lit(math.round(r * 1000000L))
+    val threshold = rates.foldLeft(ppm(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, ppm(v)).otherwise(acc)
     }
     val bucket = TextFunctions.hash56(
       concat(col(idCol).cast("string"), lit(":" + salt))) % 1000000L
-    docs.filter(bucket < (rate * 1000000L).cast("long"))
+    docs.filter(bucket < threshold)
   }
 
   // ---- token-budget shard packing ---------------------------------------
@@ -327,10 +332,11 @@ object Curation {
          |  round(CAST(top AS DOUBLE) / total, 6) AS top_bigram_frac
          |FROM a ORDER BY doc_id""".stripMargin
     },
+    // integer ppm thresholds, exactly as the Spark side rounds them
     "q59_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE (${TextFunctions.hash56Sql("(doc_id::VARCHAR || ':s42')")} % 1000000)
-         |  < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.3 WHEN 'zh' THEN 0.2 ELSE 0.1 END) * 1000000 AS BIGINT)
+         |  < (CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 300000 WHEN 'zh' THEN 200000 ELSE 100000 END)
          |ORDER BY doc_id""".stripMargin,
     // single-window prefix sum — the simple form the distributed
     // two-phase version must agree with exactly
