@@ -87,9 +87,10 @@ object Analytics {
 
   // per-process unique dir: append-mode gates must start from a clean
   // log to be reproducible, and a FIXED path would let two concurrent
-  // runs (bench + verify on one host) corrupt each other's logs
+  // runs (bench + verify on one host) corrupt each other's logs;
+  // deleted at JVM exit so repeated bench loops don't litter /tmp
   private def tmpDir(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    TmpDirs.create(s"graft_$name")
 
   /** q52: synthesize search-query records from `documents`, append in
     * TWO batches (proving append semantics), reload, roll up. The

@@ -40,16 +40,20 @@ object Curation {
       .select(explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
       .select(TextFunctions.hash56(col("sh")).as("sh_h"))
       .distinct()
-    val trainSh = train.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
-      .select(col("id"), TextFunctions.hash56(col("sh")).as("sh_h"))
-    val sizes = train.select(col(idCol).as("id"),
-      size(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("n_shingles"))
+    // ONE corpus pass: build the distinct-shingle array once, carry
+    // its size through the explode (recovered with first() in the
+    // aggregate) — a separate `sizes` branch would re-run the whole
+    // shingle construction over every training doc
+    val trainSh = train
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingles(col(toksCol), n)).as("arr"))
+      .select(col("id"), size(col("arr")).cast("long").as("n_shingles"),
+        explode(col("arr")).as("sh"))
+      .select(col("id"), col("n_shingles"), TextFunctions.hash56(col("sh")).as("sh_h"))
     trainSh.join(broadcast(evalSh), "sh_h")
-      .groupBy("id").agg(count(lit(1)).as("n_hits"))
-      .join(sizes, "id")
-      .select(col("id"), col("n_hits"),
-        col("n_shingles").cast("long").as("n_shingles"),
+      .groupBy("id").agg(count(lit(1)).as("n_hits"),
+        first(col("n_shingles")).as("n_shingles"))
+      .select(col("id"), col("n_hits"), col("n_shingles"),
         round(col("n_hits") / col("n_shingles"), 6).as("hit_frac"))
   }
 
@@ -134,25 +138,41 @@ object Curation {
     * groupSize. Output: (id, stratum, n_tokens, shard_id). */
   def packShards(docs: DataFrame, idCol: String, stratumCol: String,
                  nTokensCol: String, budget: Long,
-                 groupSize: Long = 1000000L): DataFrame = {
+                 groupSize: Long = 1000000L): DataFrame =
+    distributedPrefix(
+        docs.select(col(idCol).as("id"), col(stratumCol).as("stratum"),
+          col(nTokensCol).cast("long").as("n_tokens")),
+        weightCol = "n_tokens", groupSize)
+      .select(col("id"), col("stratum"), col("n_tokens"),
+        // integral div: long/long `/` goes through double and can
+        // misbucket near boundaries once prefixes pass 2^53
+        expr(s"prefix div ${budget}L").as("shard_id"))
+
+  /** Exclusive running total of `weightCol` per stratum in id order —
+    * the distributed prefix sum packShards/interleaveByWeight share.
+    * Two phases of BOUNDED windows (per-group totals prefix-summed on
+    * a tiny table + within-group windows over ≤ groupSize rows); null
+    * strata/groups survive via null-safe join keys (a plain equi-join
+    * would silently drop every null-stratum row the windows kept). */
+  private def distributedPrefix(base0: DataFrame, weightCol: String,
+                                groupSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("id"), col(stratumCol).as("stratum"),
-        col(nTokensCol).cast("long").as("n_tokens"))
-      .withColumn("grp", floor(col("id") / groupSize))
+    val base = base0.withColumn("grp", expr(s"id div ${groupSize}L"))
     val groupTotals = base.groupBy("stratum", "grp")
-      .agg(sum(col("n_tokens")).as("grp_tokens"))
+      .agg(sum(col(weightCol)).as("grp_total"))
     val wg = Window.partitionBy("stratum").orderBy("grp")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = groupTotals
-      .select(col("stratum"), col("grp"),
-        (sum(col("grp_tokens")).over(wg) - col("grp_tokens")).as("grp_offset"))
+      .select(col("stratum").as("o_stratum"), col("grp").as("o_grp"),
+        (sum(col("grp_total")).over(wg) - col("grp_total")).as("grp_offset"))
     val wl = Window.partitionBy("stratum", "grp").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
-      .withColumn("local_prefix", sum(col("n_tokens")).over(wl) - col("n_tokens"))
-      .join(broadcast(offsets), Seq("stratum", "grp"))
-      .select(col("id"), col("stratum"), col("n_tokens"),
-        floor((col("grp_offset") + col("local_prefix")) / budget).as("shard_id"))
+      .withColumn("local_prefix", sum(col(weightCol)).over(wl) - col(weightCol))
+      .join(broadcast(offsets),
+        col("stratum") <=> col("o_stratum") && col("grp") <=> col("o_grp"))
+      .withColumn("prefix", col("grp_offset") + col("local_prefix"))
+      .drop("o_stratum", "o_grp", "grp", "grp_total", "grp_offset", "local_prefix")
   }
 
   // ---- weighted source interleaving -------------------------------------
@@ -162,22 +182,26 @@ object Curation {
     * virtual position (r − 0.5) / weight(source); reading in position
     * order yields each source at a rate ∝ its weight (the mixture-
     * sampling order training runs consume, but reproducible — no RNG).
-    * The rank window is per-source (partitioned); consumers sort by
-    * `mix_pos`, which range-partitions — no global window anywhere. */
+    * The per-source rank comes from [[distributedPrefix]] with unit
+    * weights — NOT one row_number window per source, which would
+    * funnel an entire source (possibly most of the corpus) through a
+    * single task; consumers sort by `mix_pos`, which range-partitions. */
   def interleaveByWeight(docs: DataFrame, idCol: String, sourceCol: String,
                          weights: Map[String, Double],
-                         defaultWeight: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                         defaultWeight: Double,
+                         groupSize: Long = 1000000L): DataFrame = {
     require(defaultWeight > 0 && weights.values.forall(_ > 0),
       "interleave weights must be positive")
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
-      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+      when(col("stratum") === k, lit(v)).otherwise(acc)
     }
-    docs
-      .withColumn("__r", row_number()
-        .over(Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
-      .withColumn("mix_pos", (col("__r") - lit(0.5)) / w)
-      .drop("__r")
+    distributedPrefix(
+        docs.select(col(idCol).as("id"), col(sourceCol).as("stratum"),
+          lit(1L).as("one")),
+        weightCol = "one", groupSize)
+      // rank = prefix + 1 ⇒ (rank − 0.5) = prefix + 0.5
+      .withColumn("mix_pos", (col("prefix") + lit(0.5)) / w)
+      .select(col("id").as(idCol), col("stratum").as(sourceCol), col("mix_pos"))
   }
 
   // ---- dataset statistics -----------------------------------------------
@@ -190,7 +214,6 @@ object Curation {
     * baseline. */
   def tokenQuantiles(docs: DataFrame, stratumCol: String,
                      nTokensCol: String, ps: Seq[Double]): DataFrame = {
-    val pArr = ps.map(p => lit(p)).toArray
     val q = expr(s"percentile($nTokensCol, array(${ps.mkString("D,")}D))")
     docs.groupBy(col(stratumCol).as("stratum")).agg(q.as("qs"))
       .select(col("stratum") +: ps.zipWithIndex.map { case (p, i) =>
@@ -346,7 +369,7 @@ object Curation {
          |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prefix
          |  FROM t)
-         |SELECT doc_id, lang, n_tokens, CAST(floor(prefix / 2000.0) AS BIGINT) AS shard_id
+         |SELECT doc_id, lang, n_tokens, CAST(prefix // 2000 AS BIGINT) AS shard_id
          |FROM p ORDER BY doc_id""".stripMargin,
     "q61_token_quantiles" ->
       s"""WITH t AS (SELECT lang, CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents)

@@ -255,13 +255,15 @@ object Dedup {
     * [[clusters]] output (id, cluster); docs not in any cluster are
     * untouched (a doc with no near-dup never appears in a pair). The
     * non-canonical id set is |clustered docs| − |clusters| rows —
-    * orders of magnitude smaller than the corpus — so the anti-join
-    * broadcasts. */
+    * usually far smaller than the corpus, but on heavily duplicated
+    * crawls it can be 30-50% of it, so the broadcast decision is left
+    * to the planner/AQE (a forced broadcast() would OOM the driver
+    * exactly when dedup matters most). */
   def keepCanonical(docs: DataFrame, idCol: String,
                     clusterLabels: DataFrame): DataFrame = {
     val losers = clusterLabels.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Driver union-find with path compression + union-by-min: the

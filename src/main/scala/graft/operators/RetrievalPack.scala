@@ -164,8 +164,9 @@ object RetrievalPack {
     val post = BM25.postings(c)
     val st = BM25.stats(c)
     val idx = BM25.Index(post, BM25.idfTable(BM25.docFreq(post), st), st)
-    // unique per process — a fixed path would race a concurrent run
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q47_index").toString
+    // unique per process (a fixed path would race a concurrent run),
+    // removed at JVM exit
+    val tmp = TmpDirs.create("graft_q47_index")
     idx.postings.coalesce(4).write.mode("overwrite").parquet(s"$tmp/postings")
     idx.idf.coalesce(1).write.mode("overwrite").parquet(s"$tmp/idf")
     idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")

@@ -20,16 +20,22 @@ object Skew {
     * the right side is replicated `salts` times, and the join key
     * becomes (keys…, salt) — a hot key's rows spread over `salts`
     * reducers instead of one. Result is row-identical to
-    * `left.join(right, keys)` for any salt assignment, so the salt is
-    * derived from `monotonically_increasing_id` (cheap, uniform);
-    * right-side replication costs |right|·salts — use for non-
-    * broadcastable right sides only (a broadcastable dim never needs
-    * salting). */
+    * `left.join(right, keys)` for any salt assignment. The salt must
+    * be DETERMINISTIC (a function of the row, not
+    * monotonically_increasing_id/rand): the salt is part of the
+    * shuffle key, and a nondeterministic one re-deals rows differently
+    * when a lost map stage is recomputed, mixing attempt outputs into
+    * duplicated/missing join rows (the SPARK-23207 corruption class) —
+    * so it hashes the whole left row. Identical left rows share a
+    * salt, which only matters if one hot key's rows are also mostly
+    * byte-identical. Right-side replication costs |right|·salts — use
+    * for non-broadcastable right sides only (a broadcastable dim never
+    * needs salting). */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val l = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")

@@ -88,6 +88,14 @@ class CurationSpec extends SparkSpec {
       assert(ids.head == 0L)
       assert(ids.zip(ids.tail).forall { case (a, b) => b >= a })
     }
+
+    // null strata must survive the internal offset join (a null-unsafe
+    // equi-join would silently drop every null-stratum doc)
+    val withNull = spark.range(0, 100)
+      .select(col("id"),
+        when(col("id") % 2 === 0, "s").otherwise(lit(null)).as("s"),
+        lit(1L).as("n"))
+    assert(Curation.packShards(withNull, "id", "s", "n", 30L, 20L).count() == 100)
   }
 
   test("approx quantiles track exact quantiles") {
