@@ -104,6 +104,41 @@ object AnnKnn {
     data.filter(col(idCol) % step === 0)
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
 
+  /** Lloyd-refined centroids: start from [[ivfCentroids]]' sampled
+    * seeds and run `iters` k-means rounds (assign by max dot, then
+    * per-cluster mean) — deterministic end to end (sampled init, no
+    * RNG; argmax ties → larger cid), so reruns produce bit-identical
+    * quantizers. Each round is one broadcast argmax pass + one hash
+    * agg over the corpus: O(iters · n · k) with no corpus shuffle
+    * beyond the per-cid partial-aggregated mean. A trained quantizer
+    * balances list sizes, which directly bounds IVF probe cost — the
+    * production upgrade over raw sampled seeds (empty clusters keep
+    * their previous centroid). */
+  def kmeansCentroids(data: DataFrame, idCol: String, vecCol: String,
+                      step: Int, iters: Int = 3): DataFrame = {
+    val vecs = data
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    var cents = ivfCentroids(data, idCol, vecCol, step)
+    for (_ <- 1 to iters) {
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .select(col("id"), col("vec"), col("cid"),
+          VectorFunctions.dot(col("vec"), col("cvec")).as("cdot"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("cdot"), col("cid"))).as("m"), first(col("vec")).as("vec"))
+        .select(col("m.cid").as("cid"), col("vec"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
+        .select(col("cid"), transform(col("pairs"), p => p.getField("mx")).as("cvec"))
+      // clusters that attracted no vectors keep their previous centroid
+      cents = means.unionByName(
+        cents.join(means.select(col("cid")), Seq("cid"), "left_anti"))
+    }
+    cents
+  }
+
   /** IVF index build: assign every vector to its nearest centroid
     * (max dot; ties → larger cid, mirrored by the oracle). One
     * broadcast of the small centroid table + one map-side argmax pass

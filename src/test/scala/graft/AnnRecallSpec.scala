@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnKnn, DenseKnn}
+
+/** Measured ANN quality: recall@10 of both approximate paths against
+  * the exact scan, and the effect of Lloyd-refined centroids — the
+  * numbers that justify calling these the 100 TB retrieval paths. */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val e = Tables(spark, sf0001, "embeddings")
+  private lazy val queryIds = (0L until 500L by 37L).take(12).toSeq
+
+  private def exactTop(qid: Long, k: Int): Set[Long] = {
+    val q = e.filter(col("vec_id") === qid).select(col("embedding"))
+    DenseKnn.topK(e, "vec_id", "embedding", q, "embedding", k)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  private def recall(approx: Long => Set[Long], k: Int): Double = {
+    val rs = queryIds.map { qid =>
+      val ex = exactTop(qid, k)
+      approx(qid).intersect(ex).size.toDouble / ex.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("LSH recall@10 rises as buckets coarsen; self always found") {
+    def lshRecall(tables: Int, bits: Int): Double = {
+      val idx = AnnKnn.index(e, "vec_id", "embedding", tables, bits).cache()
+      idx.count()
+      def lsh(qid: Long): Set[Long] = {
+        val q = e.filter(col("vec_id") === qid).select(col("embedding"))
+        AnnKnn.topKFromIndex(idx, q, "embedding", 10, tables, bits)
+          .collect().map(_.getLong(0)).toSet
+      }
+      val r = recall(lsh, 10)
+      assert(queryIds.forall(q => lsh(q).contains(q)), "self must be a candidate")
+      idx.unpersist()
+      r
+    }
+    // the recall/cost knob: halving bits (coarser, bigger buckets) and
+    // doubling tables trades candidate volume for recall — on these
+    // near-uniform synthetic embeddings (neighbors barely closer than
+    // noise, LSH's hardest case) the fine config still lands ~0.3
+    val fine = lshRecall(AnnKnn.DefaultTables, AnnKnn.DefaultBits)
+    val coarse = lshRecall(8, 3)
+    assert(fine >= 0.2, s"fine-config recall@10 = $fine")
+    assert(coarse >= 0.7, s"coarse-config recall@10 = $coarse")
+    assert(coarse > fine, s"coarse $coarse should beat fine $fine")
+  }
+
+  test("IVF recall@10: Lloyd-refined centroids not worse than sampled seeds") {
+    def ivfRecall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val idx = AnnKnn.ivfIndex(e, "vec_id", "embedding", cents).cache()
+      idx.count()
+      def ivf(qid: Long): Set[Long] = {
+        val q = e.filter(col("vec_id") === qid).select(col("embedding"))
+        AnnKnn.ivfTopK(idx, cents, q, "embedding", 10, nProbe = 4)
+          .collect().map(_.getLong(0)).toSet
+      }
+      val r = recall(ivf, 10)
+      idx.unpersist()
+      r
+    }
+    val sampled = AnnKnn.ivfCentroids(e, "vec_id", "embedding", 19).cache()
+    val trained = AnnKnn.kmeansCentroids(e, "vec_id", "embedding", 19, iters = 3).cache()
+    assert(trained.count() == sampled.count(), "k must be preserved")
+    val rs = ivfRecall(sampled)
+    val rt = ivfRecall(trained)
+    assert(rs >= 0.4, s"sampled-seed IVF recall@10 = $rs")
+    assert(rt >= rs - 0.05, s"trained $rt vs sampled $rs")
+  }
+
+  test("kmeans refinement is deterministic (bit-identical across runs)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cid"), transform(col("cvec"), x => round(x, 9)).as("v"))
+        .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val a = canon(AnnKnn.kmeansCentroids(e, "vec_id", "embedding", 19, iters = 2))
+    val b = canon(AnnKnn.kmeansCentroids(e, "vec_id", "embedding", 19, iters = 2))
+    assert(a == b)
+  }
+}
