@@ -178,6 +178,32 @@ object Curation {
       .drop("o_stratum", "o_grp", "grp", "grp_total", "grp_offset", "local_prefix")
   }
 
+  // ---- leakage-free splitting ---------------------------------------------
+
+  /** Train/eval split that cannot leak near-duplicates across the
+    * boundary: the split key is the document's dedup CLUSTER id (its
+    * own id when unclustered), so every member of a near-dup cluster
+    * lands on the same side — splitting by raw doc id puts a document
+    * in train and its near-copy in eval, silently inflating eval
+    * scores. Deterministic hash split (as [[stratifiedSample]]);
+    * `clusterLabels` is [[Dedup.clusters]] output (id, cluster),
+    * joined left so unclustered docs need no row there. Output: docs
+    * plus a `split` column ("train" / "eval"). */
+  def leakageFreeSplit(docs: DataFrame, idCol: String,
+                       clusterLabels: DataFrame, evalFrac: Double,
+                       salt: String): DataFrame = {
+    require(evalFrac >= 0 && evalFrac <= 1, "evalFrac must be in [0,1]")
+    val threshold = lit(math.round(evalFrac * 1000000L))
+    val labels = clusterLabels
+      .select(col("id").as(idCol), col("cluster"))
+    val bucket = TextFunctions.hash56(
+      concat(coalesce(col("cluster"), col(idCol)).cast("string"), lit(":" + salt))
+    ) % 1000000L
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("split", when(bucket < threshold, "eval").otherwise("train"))
+      .drop("cluster")
+  }
+
   // ---- weighted source interleaving -------------------------------------
 
   /** Deterministic proportional interleave of sources into one global

@@ -111,6 +111,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("leakageFreeSplit: whole clusters on one side, fractions track evalFrac") {
+    val docs = spark.range(0, 1000).select(col("id"))
+    // clusters of 3: {0,1,2} -> 0, {3,4,5} -> 3, … for the first 600 ids
+    val labels = spark.range(0, 600)
+      .select(col("id"), (col("id") - col("id") % 3).as("cluster"))
+    val out = Curation.leakageFreeSplit(docs, "id", labels, 0.25, "sp1")
+      .select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 1000)
+    // every cluster is entirely train or entirely eval
+    (0L until 600L by 3L).foreach { c =>
+      assert(Set(out(c), out(c + 1), out(c + 2)).size == 1, s"cluster $c split")
+    }
+    // fraction ~25% (hash-uniform over ~200 clusters + 400 singletons)
+    val evalN = out.values.count(_ == "eval")
+    assert(evalN > 150 && evalN < 350, s"evalN=$evalN")
+    // deterministic
+    val again = Curation.leakageFreeSplit(docs, "id", labels, 0.25, "sp1")
+      .select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("keepCanonical drops exactly the non-canonical cluster members") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     // clusters: {1,2,3} canonical 1, {4} not in any pair, 5 untouched
