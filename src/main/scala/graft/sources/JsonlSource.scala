@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON-lines document source: how training corpora actually arrive
+  * (one JSON object per line, thousands of gzip'd part files). Reads
+  * with an EXPLICIT schema — schema inference is a full extra pass
+  * over 100 TB — in PERMISSIVE mode with a corrupt-record column, so
+  * one malformed line quarantines instead of failing a billion-line
+  * read (FAILFAST) or silently vanishing (DROPMALFORMED).
+  */
+object JsonlSource {
+
+  /** documents-shaped schema (TESTDATA.md) + the quarantine column. */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  /** Read a JSONL directory/file into (good, quarantined): `good` has
+    * clean rows without the quarantine column; `quarantined` keeps the
+    * raw offending line for repair/audit. Spark requires caching the
+    * parsed frame before filtering on the corrupt column (the parser
+    * short-circuits otherwise); the cache is the parsed batch, released
+    * by the caller when both sides are consumed. */
+  def readDocuments(spark: SparkSession, path: String,
+                    schema: StructType = documentSchema): (DataFrame, DataFrame) = {
+    val parsed = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val good = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, quarantined)
+  }
+}

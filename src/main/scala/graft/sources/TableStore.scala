@@ -41,6 +41,28 @@ object TableStore {
   def termBlockJvm(term: String): Long =
     java.lang.Math.floorMod(TextFunctions.hash56Jvm(term), TermBlocks.toLong)
 
+  /** Compact a parquet directory to ~`targetFileRows`-row files: the
+    * small-files fix for append-heavy stores (streaming ingest and
+    * incremental index upsert both append one file set per batch —
+    * after 10k micro-batches a scan pays 10k file opens; object-store
+    * listings and footers dominate). Rewrites into a temp dir first,
+    * then swaps, so a concurrent reader never sees a half-compacted
+    * table. Partitioned layouts should compact per partition
+    * directory. */
+  def compact(spark: SparkSession, dir: String, targetFileRows: Long): Unit = {
+    val df = spark.read.parquet(dir)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetFileRows).toInt)
+    val tmp = dir.stripSuffix("/") + "__compact_tmp"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ()
+  }
+
   /** Bucketed external table: pre-shuffled storage for co-located
     * joins. Both sides of a repeated equi-join (chunks ⋈ postings by
     * doc, chunks ⋈ graph edges, fact ⋈ fact) written with the SAME
