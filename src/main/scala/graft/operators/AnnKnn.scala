@@ -140,21 +140,30 @@ object AnnKnn {
   }
 
   /** IVF index build: assign every vector to its nearest centroid
-    * (max dot; ties → larger cid, mirrored by the oracle). One
-    * broadcast of the small centroid table + one map-side argmax pass
-    * over the corpus — the standard IVF build cost, no shuffle of the
-    * big side. Output (cid, id, vec) is parquet-persistable
+    * (max dot; ties → larger cid, mirrored by the oracle). The
+    * quantizer is by definition tiny, so the centroids are collected
+    * driver-side and the argmax runs ROW-LOCALLY via
+    * greatest(struct(cdot, cid)) — scan → project, ZERO shuffle and no
+    * k× row inflation (the previous crossJoin+groupBy(id) form
+    * re-shuffled the whole corpus to re-assemble rows it had just
+    * exploded). Output (cid, id, vec) is parquet-persistable
     * partitioned by cid, so a query reads only its probed lists. */
   def ivfIndex(data: DataFrame, idCol: String, vecCol: String,
-               centroids: DataFrame): DataFrame =
+               centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cid"), col("cvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "ivfIndex needs at least one centroid")
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        round(VectorFunctions.dot(col("vec"), typedLit(cv)), 6).as("cdot"),
+        lit(cid).as("cid"))
+    }
+    val best =
+      if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
     data.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("cid"),
-        round(VectorFunctions.dot(col("vec"), col("cvec")), 6).as("cdot"))
-      .groupBy(col("id"))
-      .agg(max(struct(col("cdot"), col("cid"))).as("m"),
-        first(col("vec")).as("vec"))
+      .withColumn("m", best)
       .select(col("m.cid").as("cid"), col("id"), col("vec"))
+  }
 
   /** IVF top-k: rank centroids against the query, probe the nProbe
     * best lists (deterministic: dot desc, cid asc), exact-rescore only

@@ -271,5 +271,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("TakeOrderedAndProject"))
     idx.unpersist()
+
+    // build path: row-local argmax over driver-collected centroids —
+    // the index build is scan → project, no exchange at all
+    val pb = plan(AnnKnn.ivfIndex(e, "vec_id", "embedding", cents))
+    assert(!pb.contains("Exchange"), pb.take(1500))
   }
 }
