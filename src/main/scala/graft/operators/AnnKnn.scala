@@ -120,12 +120,9 @@ object AnnKnn {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
     var cents = ivfCentroids(data, idCol, vecCol, step)
     for (_ <- 1 to iters) {
-      val assigned = vecs.crossJoin(broadcast(cents))
-        .select(col("id"), col("vec"), col("cid"),
-          VectorFunctions.dot(col("vec"), col("cvec")).as("cdot"))
-        .groupBy(col("id"))
-        .agg(max(struct(col("cdot"), col("cid"))).as("m"), first(col("vec")).as("vec"))
-        .select(col("m.cid").as("cid"), col("vec"))
+      // ivfIndex's row-local argmax: assignment is scan → project
+      // (zero shuffle); only the per-cluster mean aggregates
+      val assigned = ivfIndex(vecs, "id", "vec", cents)
       val means = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("mx"))
