@@ -148,19 +148,22 @@ object AnnKnn {
   def ivfIndex(data: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid"), col("cvec").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .collect().map(r => CentroidLit(r.getSeq[Double](1), r.getLong(0)))
     require(cents.nonEmpty, "ivfIndex needs at least one centroid")
-    val scored = cents.map { case (cid, cv) =>
+    // ONE literal (the centroid table) + a fold over it — k unrolled
+    // struct expressions each embedding a d-dim literal array blow the
+    // generated method past codegen limits (measured 2-3× slower)
+    val best = array_max(transform(typedLit(cents.toSeq), c =>
       struct(
-        round(VectorFunctions.dot(col("vec"), typedLit(cv)), 6).as("cdot"),
-        lit(cid).as("cid"))
-    }
-    val best =
-      if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
+        round(VectorFunctions.dot(col("vec"), c.getField("cvec")), 6).as("cdot"),
+        c.getField("cid").as("cid"))))
     data.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .withColumn("m", best)
       .select(col("m.cid").as("cid"), col("id"), col("vec"))
   }
+
+  /** Literal element for the driver-collected quantizer. */
+  private case class CentroidLit(cvec: Seq[Double], cid: Long)
 
   /** IVF top-k: rank centroids against the query, probe the nProbe
     * best lists (deterministic: dot desc, cid asc), exact-rescore only
