@@ -35,6 +35,28 @@ object JsonlSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
       .cache()
+    split(parsed)
+  }
+
+  /** CSV/TSV sibling of [[readDocuments]] — same explicit-schema +
+    * PERMISSIVE + quarantine stance (`delimiter` = "\t" for TSV).
+    * multiLine stays off: splittable files, a quoted-newline corpus
+    * should be JSONL instead. */
+  def readDocumentsCsv(spark: SparkSession, path: String,
+                       delimiter: String = ",", header: Boolean = false,
+                       schema: StructType = documentSchema): (DataFrame, DataFrame) = {
+    val parsed = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("delimiter", delimiter)
+      .option("header", header)
+      .csv(path)
+      .cache()
+    split(parsed)
+  }
+
+  private def split(parsed: DataFrame): (DataFrame, DataFrame) = {
     val good = parsed.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     val quarantined = parsed.filter(col("_corrupt_record").isNotNull)

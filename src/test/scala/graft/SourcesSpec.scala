@@ -35,6 +35,22 @@ class SourcesSpec extends SparkSpec {
     bundle.chunks.unpersist()
   }
 
+  test("TSV read: clean rows parse, short/garbled rows quarantine") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsv").toString
+    val lines = Seq(
+      "1\thello tab world\ten\ts1",
+      "2\tbonjour\tfr\ts1",
+      "not-a-number\tbroken row\ten\ts1",
+      "3\tok\tde\ts2")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/part-0.tsv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val (good, bad) = JsonlSource.readDocumentsCsv(spark, tmp, delimiter = "\t")
+    assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(bad.count() == 1)
+  }
+
   test("compact rewrites a many-file table into the target file count, same rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val dir = s"$tmp/t"
