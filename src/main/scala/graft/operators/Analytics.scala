@@ -66,12 +66,14 @@ object Analytics {
 
   /** Current job state: the latest event per job_id (highest
     * event_seq; ties — e.g. a retried writer double-appending one seq
-    * — break deterministically by status then progress, so reruns
-    * always pick the same row). One shuffle on job_id; at scale the
-    * log is partitioned so the window stays within partitions. */
+    * — break deterministically by retry_count, then status, then
+    * progress, so reruns always pick the same row; all four are part
+    * of the documented event shape). One shuffle on job_id; at scale
+    * the log is partitioned so the window stays within partitions. */
   def jobLatest(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("job_id")).orderBy(
-      col("event_seq").desc, col("status").desc, col("progress_percent").desc)
+      col("event_seq").desc, col("retry_count").desc,
+      col("status").desc, col("progress_percent").desc)
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -116,24 +116,38 @@ object AnnKnn {
     * their previous centroid). */
   def kmeansCentroids(data: DataFrame, idCol: String, vecCol: String,
                       step: Int, iters: Int = 3): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
     val vecs = data
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-    var cents = ivfCentroids(data, idCol, vecCol, step)
+    // the quantizer lives driver-side between rounds (k·d doubles):
+    // keeping it as chained DataFrames would nest each round's lineage
+    // inside the next — O(iters²) corpus aggregations, re-run on every
+    // downstream action — instead of one flat pass per round
+    var cents: Map[Long, Seq[Double]] = ivfCentroids(data, idCol, vecCol, step)
+      .select(col("cid").cast("long"), col("cvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     for (_ <- 1 to iters) {
-      // ivfIndex's row-local argmax: assignment is scan → project
-      // (zero shuffle); only the per-cluster mean aggregates
-      val assigned = ivfIndex(vecs, "id", "vec", cents)
+      val centsDf = cents.toSeq.map { case (cid, cv) => (cid, cv) }
+        .toDF("cid", "cvec")
+      val assigned = ivfIndex(vecs, "id", "vec", centsDf)
+      // per-(cid, dim) mean with the sum in DECIMAL: double partials
+      // merge in shuffle-arrival order, which would leak last-ulp
+      // nondeterminism into the centroids and (via tie boundaries)
+      // whole assignments — decimal addition is exactly associative
       val means = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("mx"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("mx")))).as("pairs"))
-        .select(col("cid"), transform(col("pairs"), p => p.getField("mx")).as("cvec"))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
+          .cast("double").as("mx"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val updated = means.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3).toSeq
+      }
       // clusters that attracted no vectors keep their previous centroid
-      cents = means.unionByName(
-        cents.join(means.select(col("cid")), Seq("cid"), "left_anti"))
+      cents = cents ++ updated
     }
-    cents
+    cents.toSeq.sortBy(_._1).toDF("cid", "cvec")
   }
 
   /** IVF index build: assign every vector to its nearest centroid
@@ -147,7 +161,8 @@ object AnnKnn {
     * partitioned by cid, so a query reads only its probed lists. */
   def ivfIndex(data: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("cid"), col("cvec").cast("array<double>"))
+    val cents = centroids
+      .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
       .collect().map(r => CentroidLit(r.getSeq[Double](1), r.getLong(0)))
     require(cents.nonEmpty, "ivfIndex needs at least one centroid")
     // ONE literal (the centroid table) + a fold over it — k unrolled

@@ -194,14 +194,16 @@ object Curation {
                        salt: String): DataFrame = {
     require(evalFrac >= 0 && evalFrac <= 1, "evalFrac must be in [0,1]")
     val threshold = lit(math.round(evalFrac * 1000000L))
+    // internal name: docs that already carry a `cluster` column (the
+    // natural upstream joined Dedup.clusters in) must not collide
     val labels = clusterLabels
-      .select(col("id").as(idCol), col("cluster"))
+      .select(col("id").as(idCol), col("cluster").as("__lfs_cluster"))
     val bucket = TextFunctions.hash56(
-      concat(coalesce(col("cluster"), col(idCol)).cast("string"), lit(":" + salt))
-    ) % 1000000L
+      concat(coalesce(col("__lfs_cluster"), col(idCol)).cast("string"),
+        lit(":" + salt))) % 1000000L
     docs.join(labels, Seq(idCol), "left")
       .withColumn("split", when(bucket < threshold, "eval").otherwise("train"))
-      .drop("cluster")
+      .drop("__lfs_cluster")
   }
 
   // ---- weighted source interleaving -------------------------------------
@@ -224,13 +226,15 @@ object Curation {
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
       when(col("stratum") === k, lit(v)).otherwise(acc)
     }
-    distributedPrefix(
+    val pos = distributedPrefix(
         docs.select(col(idCol).as("id"), col(sourceCol).as("stratum"),
           lit(1L).as("one")),
         weightCol = "one", groupSize)
       // rank = prefix + 1 ⇒ (rank − 0.5) = prefix + 0.5
       .withColumn("mix_pos", (col("prefix") + lit(0.5)) / w)
-      .select(col("id").as(idCol), col("stratum").as(sourceCol), col("mix_pos"))
+      .select(col("id").as(idCol), col("mix_pos"))
+    // re-attach every payload column — callers keep the full row
+    docs.join(pos, Seq(idCol))
   }
 
   // ---- dataset statistics -----------------------------------------------

@@ -26,16 +26,21 @@ object Skew {
     * shuffle key, and a nondeterministic one re-deals rows differently
     * when a lost map stage is recomputed, mixing attempt outputs into
     * duplicated/missing join rows (the SPARK-23207 corruption class) —
-    * so it hashes the whole left row. Identical left rows share a
-    * salt, which only matters if one hot key's rows are also mostly
-    * byte-identical. Right-side replication costs |right|·salts — use
-    * for non-broadcastable right sides only (a broadcastable dim never
+    * so it hashes the left row's hashable columns (maps are excluded —
+    * Spark's hash() rejects MapType). Identical left rows share a
+    * salt, so a hot key made of byte-identical copies still lands on
+    * one reducer — exact-dedup such rows first, or include a unique id
+    * column. Right-side replication costs |right|·salts — use for
+    * non-broadcastable right sides only (a broadcastable dim never
     * needs salting). */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val hashable = left.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    require(hashable.nonEmpty, "saltedJoin needs at least one non-map column")
+    val l = left.withColumn("__salt", pmod(hash(hashable: _*), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")

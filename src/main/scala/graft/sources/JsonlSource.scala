@@ -21,14 +21,21 @@ object JsonlSource {
     StructField("source", StringType),
     StructField("_corrupt_record", StringType)))
 
-  /** Read a JSONL directory/file into (good, quarantined): `good` has
-    * clean rows without the quarantine column; `quarantined` keeps the
-    * raw offending line for repair/audit. Spark requires caching the
-    * parsed frame before filtering on the corrupt column (the parser
-    * short-circuits otherwise); the cache is the parsed batch, released
-    * by the caller when both sides are consumed. */
+  /** A quarantining read: `good` has clean rows without the quarantine
+    * column; `quarantined` keeps the raw offending line for repair /
+    * audit. Both views share one cached parsed batch (Spark requires
+    * caching before filtering on the corrupt column — the parser
+    * short-circuits otherwise); call [[JsonlRead.release]] once both
+    * sides are consumed, since unpersisting the derived frames would
+    * be a no-op against the underlying cache. */
+  final case class JsonlRead(good: DataFrame, quarantined: DataFrame,
+                             private val parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
+  /** Read a JSONL directory/file into a quarantining [[JsonlRead]]. */
   def readDocuments(spark: SparkSession, path: String,
-                    schema: StructType = documentSchema): (DataFrame, DataFrame) = {
+                    schema: StructType = documentSchema): JsonlRead = {
     val parsed = spark.read
       .schema(schema)
       .option("mode", "PERMISSIVE")
@@ -44,7 +51,7 @@ object JsonlSource {
     * should be JSONL instead. */
   def readDocumentsCsv(spark: SparkSession, path: String,
                        delimiter: String = ",", header: Boolean = false,
-                       schema: StructType = documentSchema): (DataFrame, DataFrame) = {
+                       schema: StructType = documentSchema): JsonlRead = {
     val parsed = spark.read
       .schema(schema)
       .option("mode", "PERMISSIVE")
@@ -56,11 +63,11 @@ object JsonlSource {
     split(parsed)
   }
 
-  private def split(parsed: DataFrame): (DataFrame, DataFrame) = {
+  private def split(parsed: DataFrame): JsonlRead = {
     val good = parsed.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (good, quarantined)
+    JsonlRead(good, quarantined, parsed)
   }
 }

@@ -45,21 +45,29 @@ object TableStore {
     * small-files fix for append-heavy stores (streaming ingest and
     * incremental index upsert both append one file set per batch —
     * after 10k micro-batches a scan pays 10k file opens; object-store
-    * listings and footers dominate). Rewrites into a temp dir first,
-    * then swaps, so a concurrent reader never sees a half-compacted
-    * table. Partitioned layouts should compact per partition
-    * directory. */
+    * listings and footers dominate). Rewrites into a temp dir, swaps
+    * via rename-aside (old data stays recoverable at `dir__compact_old`
+    * until the new table is in place — a crash mid-swap never strands
+    * the table empty), then removes the old tree. The rename window is
+    * small but not atomic for concurrent readers; pause writers, and
+    * compact partitioned layouts per partition directory. */
   def compact(spark: SparkSession, dir: String, targetFileRows: Long): Unit = {
     val df = spark.read.parquet(dir)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetFileRows).toInt)
-    val tmp = dir.stripSuffix("/") + "__compact_tmp"
-    df.repartition(files).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + "__compact_old")
+    df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: could not move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back — the original table stays live
+      throw new java.io.IOException(s"compact: could not install $tmp at $dst")
+    }
+    fs.delete(old, true)
     ()
   }
 

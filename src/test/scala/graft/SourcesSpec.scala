@@ -21,18 +21,19 @@ class SourcesSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$tmp/part-0.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
 
-    val (good, bad) = JsonlSource.readDocuments(spark, tmp)
-    assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+    val read = JsonlSource.readDocuments(spark, tmp)
+    assert(read.good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 4L))
-    assert(!good.columns.contains("_corrupt_record"))
-    val rawBad = bad.collect().map(_.getString(0)).toSeq
+    assert(!read.good.columns.contains("_corrupt_record"))
+    val rawBad = read.quarantined.collect().map(_.getString(0)).toSeq
     assert(rawBad.size == 2)
     assert(rawBad.exists(_.contains("not json at all")))
     // the good side feeds the normal pipeline unchanged
     val bundle = graft.ingest.Pipeline.ingest(
-      good.select($"doc_id", $"text", $"source"), orgCol = Some("source"))
+      read.good.select($"doc_id", $"text", $"source"), orgCol = Some("source"))
     assert(bundle.chunks.count() > 0)
     bundle.chunks.unpersist()
+    read.release()
   }
 
   test("TSV read: clean rows parse, short/garbled rows quarantine") {
@@ -45,10 +46,11 @@ class SourcesSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$tmp/part-0.tsv"),
       lines.mkString("\n").getBytes("UTF-8"))
-    val (good, bad) = JsonlSource.readDocumentsCsv(spark, tmp, delimiter = "\t")
-    assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+    val read = JsonlSource.readDocumentsCsv(spark, tmp, delimiter = "\t")
+    assert(read.good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L))
-    assert(bad.count() == 1)
+    assert(read.quarantined.count() == 1)
+    read.release()
   }
 
   test("compact rewrites a many-file table into the target file count, same rows") {
