@@ -34,9 +34,14 @@ object Relational {
       .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum($"l_quantity".cast(D)).cast("double").as("sum_qty"),
-        sum($"l_extendedprice".cast(D)).cast("double").as("sum_base_price"),
-        sum(($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))))
+        // round the decimal sums to scale 2 BEFORE the double cast: a
+        // scale-2 unscaled value stays inside double's 53-bit exact
+        // range far longer, and DuckDB's decimal->double (int128 cast +
+        // division, two roundings) picks the ulp-adjacent double for
+        // wider sums while Spark's BigDecimal conversion rounds once
+        round(sum($"l_quantity".cast(D)), 2).cast("double").as("sum_qty"),
+        round(sum($"l_extendedprice".cast(D)), 2).cast("double").as("sum_base_price"),
+        round(sum(($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))), 2)
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
@@ -71,7 +76,7 @@ object Relational {
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        sum(($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))))
+        round(sum(($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))), 2)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"r_name", $"n_name")
@@ -145,7 +150,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct($"user_id").as("n_users"),
-        sum($"value".cast("decimal(25,6)")).cast("double").as("sum_value"),
+        round(sum($"value".cast("decimal(25,6)")), 2).cast("double").as("sum_value"),
         min($"value").as("min_value"),
         max($"value").as("max_value"))
       .orderBy($"event_type")
@@ -177,7 +182,7 @@ object Relational {
       .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        sum($"value".cast("decimal(25,6)")).cast("double").as("sum_value"))
+        round(sum($"value".cast("decimal(25,6)")), 2).cast("double").as("sum_value"))
       .orderBy($"window_start", $"event_type")
   }
 
@@ -224,9 +229,9 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -240,7 +245,7 @@ object Relational {
         |LIMIT 100""".stripMargin,
     "q03_join_revenue" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -285,7 +290,7 @@ object Relational {
       """SELECT event_type,
         | COUNT(*) AS n_events,
         | COUNT(DISTINCT user_id) AS n_users,
-        | CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_value,
         | MIN(value) AS min_value,
         | MAX(value) AS max_value
         |FROM events
@@ -303,7 +308,7 @@ object Relational {
     "q11_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
