@@ -305,6 +305,34 @@ object VectorFunctions {
     out
   }
 
+  /** Per-plane signed margins for a query vector — the projection
+    * values whose signs form [[hyperplaneBucketsJvm]]'s buckets.
+    * `out(t)(i)` is plane (t·bits+i)'s projection; |margin| near zero
+    * marks the bits most likely to disagree between a query and its
+    * true neighbors — exactly the bits multi-probe LSH flips first. */
+  def hyperplaneMarginsJvm(v: Array[Double], tables: Int,
+                           bits: Int): Array[Array[Double]] = {
+    val out = Array.ofDim[Double](tables, bits)
+    var t = 0
+    while (t < tables) {
+      var i = 0
+      while (i < bits) {
+        val p = t * bits + i
+        var s = 0.0
+        var j = 0
+        while (j < v.length) {
+          val w = ((((p + 1) * 2654435761L + (j + 1) * 40503L) >> 13) & 1L) * 2L - 1L
+          s += v(j) * w
+          j += 1
+        }
+        out(t)(i) = s
+        i += 1
+      }
+      t += 1
+    }
+    out
+  }
+
   /** DuckDB-SQL twin of [[hyperplaneBuckets]] for one table id `t`
     * (a BIGINT SQL expression/column reference), over a DOUBLE[] column
     * expression `vec` of dimension `dim`. */

@@ -94,6 +94,41 @@ object AnnKnn {
       .limit(k)
   }
 
+  /** Multi-probe bucket set: each table's base bucket plus
+    * `extraProbes` variants with the lowest-|margin| bits flipped —
+    * the standard multi-probe LSH trick (Lv et al., VLDB'07): a true
+    * neighbor that lands one bucket over almost always differs in the
+    * plane the query barely cleared, so probing those neighbors lifts
+    * recall without building more tables. Driver-side (the query is
+    * one vector); returns (tbl, bucket) pairs. */
+  def multiProbeBuckets(queryVec: Array[Double], tables: Int, bits: Int,
+                        extraProbes: Int): Seq[(Int, Long)] = {
+    val base = VectorFunctions.hyperplaneBucketsJvm(queryVec, tables, bits)
+    val margins = VectorFunctions.hyperplaneMarginsJvm(queryVec, tables, bits)
+    (0 until tables).flatMap { t =>
+      val weakest = margins(t).zipWithIndex.sortBy { case (m, _) => math.abs(m) }
+        .take(extraProbes).map(_._2)
+      (t, base(t)) +: weakest.map(b => (t, base(t) ^ (1L << b))).toSeq
+    }
+  }
+
+  /** [[topKFromStore]] with multi-probing: same static (tbl, bucket)
+    * partition pruning, (1 + extraProbes)·tables probed directories
+    * instead of `tables`. */
+  def topKMultiProbe(idx: DataFrame, queryVec: Array[Double], k: Int,
+                     extraProbes: Int = 2, tables: Int = DefaultTables,
+                     bits: Int = DefaultBits): DataFrame = {
+    val probe = multiProbeBuckets(queryVec, tables, bits, extraProbes)
+      .map { case (t, b) => col("tbl") === t && col("bucket") === b }
+      .reduce(_ || _)
+    idx.filter(probe)
+      .groupBy(col("id")).agg(first(col("vec")).as("vec"))
+      .select(col("id"),
+        round(VectorFunctions.dot(col("vec"), typedLit(queryVec.toSeq)), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   // ---- IVF (inverted-file) variant --------------------------------------
 
   /** Deterministic coarse centroids: every `step`-th vector by id (the

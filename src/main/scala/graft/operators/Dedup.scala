@@ -41,6 +41,13 @@ object Dedup {
       .select(col(idCol).as("id"), HashFunctions.minhashSig(hashes, k).as("sig"))
   }
 
+  /** Explode signatures into (id, band, band_key) rows. */
+  private def banded(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
+      .toDF("id", "band", "band_key")
+
   /** LSH banding: explode signatures into (band, band_key) buckets and
     * self-join — candidates are pairs sharing any band. bandsRows = (b
     * bands, r rows), k = b*r. */
@@ -48,18 +55,37 @@ object Dedup {
     // materialize before the self-join — otherwise both join sides
     // recompute the whole tokenize→shingle→minhash pipeline (at cluster
     // scale this intermediate is persisted/checkpointed the same way)
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
-      .toDF("id", "band", "band_key")
-      .cache()
-    banded.as("a").join(banded.as("b"),
+    val b = banded(sigs, bands, rows).cache()
+    b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** Incremental (delta) LSH candidates: NEW-batch signatures joined
+    * against the EXISTING corpus's banded index only — the shape a
+    * continuously-ingesting pipeline needs, where re-running the
+    * corpus×corpus self-join per batch would be quadratic over time.
+    * The corpus side is the persisted band table (append the delta's
+    * bands to it afterwards); cost is |delta bands| ⋈ matching corpus
+    * buckets. Output (id_new, id_corpus) pairs for [[jaccardVerify]]
+    * (corpus-internal pairs were emitted when THEIR batch arrived). */
+  def lshCandidatesDelta(newSigs: DataFrame, corpusBands: DataFrame,
+                         bands: Int, rows: Int): DataFrame =
+    banded(newSigs, bands, rows).as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
+      .distinct()
+
+  /** The corpus band table [[lshCandidatesDelta]] joins against —
+    * persist this (partitioned by band) and append each batch's bands. */
+  def bandTable(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    banded(sigs, bands, rows)
 
   /** Exact Jaccard between candidate pairs over distinct 3-gram shingle
     * sets. Input candidates (id_a, id_b); corpus (id, toks). */

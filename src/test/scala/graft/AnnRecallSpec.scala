@@ -51,6 +51,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(coarse > fine, s"coarse $coarse should beat fine $fine")
   }
 
+  test("multi-probe lifts store-path recall over single-probe at the same index") {
+    import graft.operators.AnnKnn
+    import graft.sources.TableStore
+    val root = java.nio.file.Files.createTempDirectory("graft_mp").toString
+    TableStore.saveAnn(AnnKnn.index(e, "vec_id", "embedding"), root)
+    val loaded = TableStore.loadAnn(spark, root).cache()
+    loaded.count()
+    def qvec(qid: Long): Array[Double] = e.filter(col("vec_id") === qid)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val single = recall(qid =>
+      AnnKnn.topKFromStore(loaded, qvec(qid), 10)
+        .collect().map(_.getLong(0)).toSet, 10)
+    val multi = recall(qid =>
+      AnnKnn.topKMultiProbe(loaded, qvec(qid), 10, extraProbes = 3)
+        .collect().map(_.getLong(0)).toSet, 10)
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi > single + 0.05, s"expected a real lift: multi $multi single $single")
+    loaded.unpersist()
+  }
+
   test("IVF recall@10: Lloyd-refined centroids not worse than sampled seeds") {
     def ivfRecall(cents: org.apache.spark.sql.DataFrame): Double = {
       val idx = AnnKnn.ivfIndex(e, "vec_id", "embedding", cents).cache()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, TextPack}
 
 /** Training-data curation: decontamination, repetition signals,
   * deterministic stratified sampling, and the hot-shingle df cap on
@@ -132,6 +132,30 @@ class CurationSpec extends SparkSpec {
       .select(col("id"), col("split")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == out)
+  }
+
+  test("delta LSH candidates: new-vs-corpus pairs only, near-dup found") {
+    val corpus = toks(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "red orange yellow green blue indigo violet purple")
+    ).toDF("id", "text"))
+    // doc 10 is a near-copy of corpus doc 1; doc 11 is novel
+    val delta = toks(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (11L, "completely different words appear in this new document")
+    ).toDF("id", "text"))
+    val k = TextPack.MinhashK
+    val corpusBands = Dedup.bandTable(
+      Dedup.minhashSignatures(corpus, "id", "toks", k),
+      TextPack.Bands, TextPack.Rows)
+    val cands = Dedup.lshCandidatesDelta(
+        Dedup.minhashSignatures(delta, "id", "toks", k),
+        corpusBands, TextPack.Bands, TextPack.Rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((10L, 1L)), cands.toString)
+    // delta-side ids only on the left, corpus ids only on the right
+    assert(cands.forall { case (a, b) => a >= 10L && b < 10L }, cands.toString)
   }
 
   test("keepCanonical drops exactly the non-canonical cluster members") {
