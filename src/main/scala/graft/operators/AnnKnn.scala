@@ -103,12 +103,15 @@ object AnnKnn {
     * one vector); returns (tbl, bucket) pairs. */
   def multiProbeBuckets(queryVec: Array[Double], tables: Int, bits: Int,
                         extraProbes: Int): Seq[(Int, Long)] = {
-    val base = VectorFunctions.hyperplaneBucketsJvm(queryVec, tables, bits)
+    // one projection pass: bucket bit i IS margins(t)(i) > 0, so the
+    // base buckets fall out of the margins for free
     val margins = VectorFunctions.hyperplaneMarginsJvm(queryVec, tables, bits)
     (0 until tables).flatMap { t =>
+      val base = margins(t).zipWithIndex
+        .foldLeft(0L) { case (b, (m, i)) => if (m > 0) b | (1L << i) else b }
       val weakest = margins(t).zipWithIndex.sortBy { case (m, _) => math.abs(m) }
         .take(extraProbes).map(_._2)
-      (t, base(t)) +: weakest.map(b => (t, base(t) ^ (1L << b))).toSeq
+      (t, base) +: weakest.map(b => (t, base ^ (1L << b))).toSeq
     }
   }
 
@@ -163,8 +166,7 @@ object AnnKnn {
       .select(col("cid").cast("long"), col("cvec"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     for (_ <- 1 to iters) {
-      val centsDf = cents.toSeq.map { case (cid, cv) => (cid, cv) }
-        .toDF("cid", "cvec")
+      val centsDf = cents.toSeq.toDF("cid", "cvec")
       val assigned = ivfIndex(vecs, "id", "vec", centsDf)
       // per-(cid, dim) mean with the sum in DECIMAL: double partials
       // merge in shuffle-arrival order, which would leak last-ulp

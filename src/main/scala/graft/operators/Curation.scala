@@ -145,37 +145,44 @@ object Curation {
     distributedPrefix(
         docs.select(col(idCol).as("id"), col(stratumCol).as("stratum"),
           col(nTokensCol).cast("long").as("n_tokens")),
-        weightCol = "n_tokens", groupSize)
+        "id", "stratum", "n_tokens", groupSize)
       .select(col("id"), col("stratum"), col("n_tokens"),
         // integral div: long/long `/` goes through double and can
         // misbucket near boundaries once prefixes pass 2^53
-        expr(s"prefix div ${budget}L").as("shard_id"))
+        expr(s"__dp_prefix div ${budget}L").as("shard_id"))
 
-  /** Exclusive running total of `weightCol` per stratum in id order —
-    * the distributed prefix sum packShards/interleaveByWeight share.
-    * Two phases of BOUNDED windows (per-group totals prefix-summed on
-    * a tiny table + within-group windows over ≤ groupSize rows); null
-    * strata/groups survive via null-safe join keys (a plain equi-join
-    * would silently drop every null-stratum row the windows kept). */
-  private def distributedPrefix(base0: DataFrame, weightCol: String,
+  /** Exclusive running total of `weightCol` per stratum in id order,
+    * appended as `__dp_prefix` — every payload column of `df` is
+    * preserved (one output row per input row), which is why callers
+    * never need a re-join that would fan out on duplicate ids or drop
+    * null ids. Two phases of BOUNDED windows (per-group totals
+    * prefix-summed on a tiny table + within-group windows over ≤
+    * groupSize rows); null strata/groups survive via null-safe join
+    * keys (a plain equi-join would silently drop every null-stratum
+    * row the windows kept). Rows tying on (stratum, id) receive
+    * arbitrary relative order — use unique ids per stratum for a fully
+    * deterministic prefix. */
+  private def distributedPrefix(df: DataFrame, idCol: String,
+                                stratumCol: String, weightCol: String,
                                 groupSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = base0.withColumn("grp", expr(s"id div ${groupSize}L"))
-    val groupTotals = base.groupBy("stratum", "grp")
-      .agg(sum(col(weightCol)).as("grp_total"))
-    val wg = Window.partitionBy("stratum").orderBy("grp")
+    val base = df.withColumn("__dp_grp", expr(s"`$idCol` div ${groupSize}L"))
+    val groupTotals = base
+      .groupBy(col(stratumCol).as("__dp_s"), col("__dp_grp").as("__dp_g"))
+      .agg(sum(col(weightCol)).as("__dp_total"))
+    val wg = Window.partitionBy("__dp_s").orderBy("__dp_g")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = groupTotals
-      .select(col("stratum").as("o_stratum"), col("grp").as("o_grp"),
-        (sum(col("grp_total")).over(wg) - col("grp_total")).as("grp_offset"))
-    val wl = Window.partitionBy("stratum", "grp").orderBy("id")
+      .select(col("__dp_s"), col("__dp_g"),
+        (sum(col("__dp_total")).over(wg) - col("__dp_total")).as("__dp_offset"))
+    val wl = Window.partitionBy(col(stratumCol), col("__dp_grp")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
-      .withColumn("local_prefix", sum(col(weightCol)).over(wl) - col(weightCol))
+      .withColumn("__dp_local", sum(col(weightCol)).over(wl) - col(weightCol))
       .join(broadcast(offsets),
-        col("stratum") <=> col("o_stratum") && col("grp") <=> col("o_grp"))
-      .withColumn("prefix", col("grp_offset") + col("local_prefix"))
-      .drop("o_stratum", "o_grp", "grp", "grp_total", "grp_offset", "local_prefix")
+        col(stratumCol) <=> col("__dp_s") && col("__dp_grp") <=> col("__dp_g"))
+      .withColumn("__dp_prefix", col("__dp_offset") + col("__dp_local"))
+      .drop("__dp_s", "__dp_g", "__dp_grp", "__dp_offset", "__dp_local")
   }
 
   // ---- leakage-free splitting ---------------------------------------------
@@ -224,17 +231,15 @@ object Curation {
     require(defaultWeight > 0 && weights.values.forall(_ > 0),
       "interleave weights must be positive")
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
-      when(col("stratum") === k, lit(v)).otherwise(acc)
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
     }
-    val pos = distributedPrefix(
-        docs.select(col(idCol).as("id"), col(sourceCol).as("stratum"),
-          lit(1L).as("one")),
-        weightCol = "one", groupSize)
+    // the prefix sum preserves every payload column row-for-row, so no
+    // re-join (which would fan out duplicate ids / drop null ids)
+    distributedPrefix(docs.withColumn("__dp_one", lit(1L)),
+        idCol, sourceCol, "__dp_one", groupSize)
       // rank = prefix + 1 ⇒ (rank − 0.5) = prefix + 0.5
-      .withColumn("mix_pos", (col("prefix") + lit(0.5)) / w)
-      .select(col("id").as(idCol), col("mix_pos"))
-    // re-attach every payload column — callers keep the full row
-    docs.join(pos, Seq(idCol))
+      .withColumn("mix_pos", (col("__dp_prefix") + lit(0.5)) / w)
+      .drop("__dp_one", "__dp_prefix")
   }
 
   // ---- dataset statistics -----------------------------------------------

@@ -65,22 +65,33 @@ object Dedup {
   }
 
   /** Incremental (delta) LSH candidates: NEW-batch signatures joined
-    * against the EXISTING corpus's banded index only — the shape a
-    * continuously-ingesting pipeline needs, where re-running the
-    * corpus×corpus self-join per batch would be quadratic over time.
-    * The corpus side is the persisted band table (append the delta's
-    * bands to it afterwards); cost is |delta bands| ⋈ matching corpus
-    * buckets. Output (id_new, id_corpus) pairs for [[jaccardVerify]]
-    * (corpus-internal pairs were emitted when THEIR batch arrived). */
+    * against the EXISTING corpus's banded index, PLUS the delta's own
+    * self-join — the shape a continuously-ingesting pipeline needs,
+    * where re-running the corpus×corpus self-join per batch would be
+    * quadratic over time. The self-join is not optional: two near-dups
+    * arriving in the SAME batch match nothing in the corpus bands yet,
+    * and no later batch re-compares them — without it they both
+    * survive dedup forever. The corpus side is the persisted band
+    * table (append the delta's bands to it afterwards). Output
+    * (id_new, id_other) pairs for [[jaccardVerify]]; id_other may be a
+    * corpus id or a same-batch delta id (then id_new < id_other). */
   def lshCandidatesDelta(newSigs: DataFrame, corpusBands: DataFrame,
-                         bands: Int, rows: Int): DataFrame =
-    banded(newSigs, bands, rows).as("a")
+                         bands: Int, rows: Int): DataFrame = {
+    val nb = banded(newSigs, bands, rows).cache()
+    val vsCorpus = nb.as("a")
       .join(corpusBands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
-      .distinct()
+      .select(col("a.id").as("id_new"), col("b.id").as("id_other"))
+    val intraBatch = nb.as("a")
+      .join(nb.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_other"))
+    vsCorpus.unionByName(intraBatch).distinct()
+  }
 
   /** The corpus band table [[lshCandidatesDelta]] joins against —
     * persist this (partitioned by band) and append each batch's bands. */

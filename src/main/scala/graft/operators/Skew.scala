@@ -36,10 +36,20 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // recursive: hash() also rejects maps NESTED in structs/arrays
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+    }
     val hashable = left.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => hasMap(f.dataType))
       .map(f => col(f.name)).toIndexedSeq
-    require(hashable.nonEmpty, "saltedJoin needs at least one non-map column")
+    require(hashable.nonEmpty, "saltedJoin needs at least one map-free column")
     val l = left.withColumn("__salt", pmod(hash(hashable: _*), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

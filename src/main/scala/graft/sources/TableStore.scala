@@ -64,7 +64,13 @@ object TableStore {
     if (!fs.rename(dst, old))
       throw new java.io.IOException(s"compact: could not move $dst aside")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(old, dst) // roll back — the original table stays live
+      // roll back — the original table stays live; a failed rollback
+      // must say loudly where the data went, not pretend the table is
+      // merely un-compacted
+      if (!fs.rename(old, dst))
+        throw new java.io.IOException(
+          s"compact: install failed AND rollback failed — no table at $dst; " +
+            s"original data is at $old, compacted data at $tmp")
       throw new java.io.IOException(s"compact: could not install $tmp at $dst")
     }
     fs.delete(old, true)

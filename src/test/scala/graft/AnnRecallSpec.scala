@@ -67,7 +67,6 @@ class AnnRecallSpec extends SparkSpec {
     val multi = recall(qid =>
       AnnKnn.topKMultiProbe(loaded, qvec(qid), 10, extraProbes = 3)
         .collect().map(_.getLong(0)).toSet, 10)
-    assert(multi >= single, s"multi $multi < single $single")
     assert(multi > single + 0.05, s"expected a real lift: multi $multi single $single")
     loaded.unpersist()
   }

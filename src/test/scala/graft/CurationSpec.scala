@@ -140,10 +140,13 @@ class CurationSpec extends SparkSpec {
       (2L, "one two three four five six seven eight"),
       (3L, "red orange yellow green blue indigo violet purple")
     ).toDF("id", "text"))
-    // doc 10 is a near-copy of corpus doc 1; doc 11 is novel
+    // doc 10 is a near-copy of corpus doc 1; 11 is novel; 12 is a
+    // near-copy of 10 ARRIVING IN THE SAME BATCH (the intra-batch
+    // pair the corpus bands cannot surface)
     val delta = toks(Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta iota"),
-      (11L, "completely different words appear in this new document")
+      (11L, "completely different words appear in this new document"),
+      (12L, "alpha beta gamma delta epsilon zeta eta iota")
     ).toDF("id", "text"))
     val k = TextPack.MinhashK
     val corpusBands = Dedup.bandTable(
@@ -154,8 +157,12 @@ class CurationSpec extends SparkSpec {
         corpusBands, TextPack.Bands, TextPack.Rows)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((10L, 1L)), cands.toString)
-    // delta-side ids only on the left, corpus ids only on the right
-    assert(cands.forall { case (a, b) => a >= 10L && b < 10L }, cands.toString)
+    assert(cands.contains((12L, 1L)), cands.toString)
+    assert(cands.contains((10L, 12L)), s"intra-batch pair missed: $cands")
+    // every pair involves a delta doc on the left
+    assert(cands.forall { case (a, _) => a >= 10L }, cands.toString)
+    // novel doc 11 matches nothing
+    assert(cands.forall { case (a, b) => a != 11L && b != 11L }, cands.toString)
   }
 
   test("keepCanonical drops exactly the non-canonical cluster members") {
