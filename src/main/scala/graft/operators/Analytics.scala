@@ -58,6 +58,20 @@ object Analytics {
         sum(when(col("fallback_triggered"), 1L).otherwise(0L)).as("n_fallback"),
         countDistinct(col("query_hash")).as("distinct_queries"))
 
+  /** [[searchRollup]] with sketched distinct counts: exact
+    * count_distinct shuffles every distinct (group, hash) pair; the
+    * HyperLogLog++ sketch (rsd 1%) is a fixed-size mergeable state per
+    * group — the rollup you run over the full 100 TB log, keeping the
+    * exact form as the oracle baseline. */
+  def searchRollupApprox(log: DataFrame): DataFrame =
+    log.groupBy(col("organization_id"), col("query_type"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("total_results")).cast("long").as("sum_results"),
+        round(avg(col("processing_time_ms")), 4).as("avg_ms"),
+        sum(when(col("fallback_triggered"), 1L).otherwise(0L)).as("n_fallback"),
+        approx_count_distinct(col("query_hash"), 0.01).as("distinct_queries"))
+
   /** Append job-state events to the log. An event row is
     * (job_id, organization_id, document_id, job_type, status,
     * progress_percent, retry_count, event_seq, ...). */

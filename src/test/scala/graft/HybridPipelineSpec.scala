@@ -183,6 +183,13 @@ class HybridPipelineSpec extends SparkSpec {
     assert(roll.length == 1)
     assert(roll.head.getAs[Long]("n_queries") == 2)
     assert(roll.head.getAs[Long]("distinct_queries") == 1)
+
+    // the sketched (100 TB-path) rollup agrees with exact on every
+    // column at this cardinality (HLL++ is exact for tiny sets)
+    val approx = Analytics.searchRollupApprox(log).collect()
+    assert(approx.length == 1)
+    assert(approx.head.getAs[Long]("n_queries") == 2)
+    assert(approx.head.getAs[Long]("distinct_queries") == 1)
   }
 
   test("job events: latest-event view drives the stats rollup") {
