@@ -275,10 +275,16 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster").as("ncluster")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("ncluster")).as("ncluster"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(nbr, Seq("id"), "left")
+      val step = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
-        .cache()
+      // cache keeps each round's result hot, but lineage still CHAINS
+      // across rounds — an executor loss late in the loop would replay
+      // every previous round. Truncate it periodically: localCheckpoint
+      // materializes the labels and cuts the plan at executor storage
+      // cost only (no checkpoint dir needed).
+      val next =
+        if ((iter + 1) % 5 == 0) step.localCheckpoint(true) else step.cache()
       val newSum = next.agg(sum(col("cluster"))).head.getLong(0)
       converged = newSum == curSum
       curSum = newSum
