@@ -266,7 +266,7 @@ object Dedup {
     // convergence watches sum(cluster): labels only ever decrease, so
     // the sum strictly drops until fixpoint — one single-table agg per
     // round instead of a join against the previous labels
-    var curSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+    var curSum = labels.agg(sum(col("cluster"))).head().getLong(0)
     var converged = false
     var iter = 0
     val verbose = sys.env.contains("GRAFT_CLUSTERS_VERBOSE")
@@ -285,7 +285,7 @@ object Dedup {
       // cost only (no checkpoint dir needed).
       val next =
         if ((iter + 1) % 5 == 0) step.localCheckpoint(true) else step.cache()
-      val newSum = next.agg(sum(col("cluster"))).head.getLong(0)
+      val newSum = next.agg(sum(col("cluster"))).head().getLong(0)
       converged = newSum == curSum
       curSum = newSum
       labels.unpersist()
