@@ -270,6 +270,53 @@ object Curation {
         element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}")
       }: _*)
 
+  // ---- per-source caps ----------------------------------------------------
+
+  /** Cap each stratum (source/domain) at its n best rows — the
+    * "no single domain dominates the mixture" rule every web-scale
+    * pipeline applies, ordered by a quality proxy (`orderCol` desc,
+    * id tiebreak). Skew-safe two-phase top-n: a bare
+    * `row_number over (partition by source)` funnels an entire source
+    * — possibly most of the corpus — through one task. Phase 1 ranks
+    * within (stratum, hash-salt) slices and keeps each slice's local
+    * top-n (any global top-n row is top-n in its slice, so recall is
+    * exact); phase 2 re-ranks the ≤ salts·n survivors per stratum.
+    * Both windows are bounded: one by corpus/salts ≈ even slices, one
+    * by salts·n rows. Output: input columns + `rk` (1..n). */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                    orderCol: String, n: Int, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0 && salts > 0, "cap and salts must be positive")
+    val salt = pmod(TextFunctions.hash56(col(idCol).cast("string")), lit(salts.toLong))
+    val w1 = Window.partitionBy(col(stratumCol), col("__cap_salt"))
+      .orderBy(col(orderCol).desc, col(idCol))
+    val w2 = Window.partitionBy(col(stratumCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    df.withColumn("__cap_salt", salt)
+      .withColumn("__cap_r", row_number().over(w1))
+      .filter(col("__cap_r") <= n)
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= n)
+      .drop("__cap_salt", "__cap_r")
+  }
+
+  // ---- corpus n-gram statistics -------------------------------------------
+
+  /** Top-k most frequent word n-grams corpus-wide (count desc, ngram
+    * asc tie-break — a total order, so the k boundary is deterministic
+    * across engines). The classic corpus-analysis / Zipf-audit rollup:
+    * explode → hash-aggregate (map-side partial combine collapses the
+    * shuffle to one row per distinct ngram per task) → distributed
+    * top-k (TakeOrderedAndProject — no global sort). At 100 TB the
+    * distinct-ngram key space is huge but the shuffle is bounded by
+    * distinct ngrams per task, not corpus positions; for a cheaper
+    * sketch, pre-filter singleton ngrams with a frequency floor. */
+  def topNgrams(docs: DataFrame, toksCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(TextFunctions.shingles(col(toksCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+
   // ---- gate queries ------------------------------------------------------
 
   private def docs(spark: SparkSession, dir: String) = Tables(spark, dir, "documents")
@@ -348,6 +395,24 @@ object Curation {
       .limit(200)
   }
 
+  /** q64: cap every source at its 40 longest documents (n_chars desc,
+    * doc_id tiebreak) — the two-phase salted form; the oracle is the
+    * single window it must agree with exactly. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    capPerStratum(docs(spark, dir).select($"doc_id", $"source", $"n_chars"),
+        "doc_id", "source", "n_chars", n = 40)
+      .select($"doc_id", $"source", $"n_chars", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
+  /** q65: top-100 corpus trigrams over ws-lowered tokens. */
+  def topTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    topNgrams(toksDf(spark, dir), "toks", n = 3, k = 100)
+      .select($"ngram", $"cnt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_decontaminate" -> (decontaminate _),
     "q58_repetition" -> (repetition _),
@@ -355,6 +420,8 @@ object Curation {
     "q60_token_shards" -> (shards _),
     "q61_token_quantiles" -> (quantiles _),
     "q62_source_mix" -> (sourceMix _),
+    "q64_source_cap" -> (sourceCap _),
+    "q65_top_ngrams" -> (topTrigrams _),
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -422,5 +489,20 @@ object Curation {
         |    WHEN 'src2' THEN 1.0 ELSE 0.5 END), 6) AS mix_pos FROM r)
         |SELECT doc_id, source, mix_pos FROM p
         |ORDER BY mix_pos, doc_id LIMIT 200""".stripMargin,
+    // single window per source — the simple form the salted two-phase
+    // cap must agree with exactly
+    "q64_source_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        | SELECT doc_id, source, n_chars,
+        |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        | FROM documents) t
+        |WHERE rk <= 40 ORDER BY source, rk""".stripMargin,
+    "q65_top_ngrams" -> {
+      val tri = TextFunctions.shinglesSql("toks", 3)
+      s"""WITH base AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
+         |g AS (SELECT unnest($tri) AS ngram FROM base)
+         |SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
+         |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
+    },
   )
 }

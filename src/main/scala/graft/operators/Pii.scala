@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** PII detection and redaction — the scrubbing pass every large-scale
+  * training-data pipeline runs before anything else sees the text
+  * (cf. the C4/ROOTS-style regex scrub stage). Not a reference
+  * operator: the reference corpus is enterprise documents behind
+  * tenant ACLs; a 100 TB web/training corpus needs the scrub.
+  *
+  * Design: pure row-local column programs over Spark's codegen'd
+  * regexp kernels (`regexp_count` / `regexp_replace`) — zero shuffle,
+  * embarrassingly parallel, no UDFs. Patterns are restricted to the
+  * regex intersection both Java (Spark) and RE2 (DuckDB) execute
+  * identically — ASCII classes, bounded quantifiers, `\b` — so the
+  * exact per-type counts AND the redacted bytes are oracle-checkable.
+  */
+object Pii {
+
+  /** (type, pattern, placeholder), in redaction order (most-specific
+    * first: SSN's 3-2-4 shape before phone's 3-3-4 so neither can
+    * shadow the other; email before IPv4 so a dotted-digit mailbox
+    * host is consumed as part of the email match, exactly once). */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
+    ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"))
+
+  /** Per-type non-overlapping match counts, as (n_<type>, count). */
+  def scanColumns(text: Column): Seq[(String, Column)] =
+    patterns.map { case (name, pat, _) =>
+      (s"n_$name", regexp_count(text, lit(pat)).cast("long"))
+    }
+
+  /** All PII spans replaced by typed placeholders, in [[patterns]]
+    * order. Counts must be taken from the ORIGINAL column — each
+    * rewrite hides its spans from later patterns. */
+  def redact(text: Column): Column =
+    patterns.foldLeft(text) { case (c, (_, pat, ph)) =>
+      regexp_replace(c, pat, ph)
+    }
+
+  /** Scan a corpus: (id, n_email, n_ipv4, n_ssn, n_phone, redacted)
+    * for documents containing any PII — the hit set is the thing a
+    * pipeline quarantines or rewrites, and it is small relative to the
+    * corpus, so downstream "replace the dirty docs" is a broadcast-
+    * size join against these ids. */
+  def scan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = scanColumns(col(textCol))
+    val total = counts.map(_._2).reduce(_ + _)
+    docs.select(
+      col(idCol) +: counts.map { case (n, c) => c.as(n) } :+
+        redact(col(textCol)).as("redacted"): _*)
+      .filter(total > 0)
+  }
+
+  // ---- gate query ---------------------------------------------------------
+
+  /** q63: scrub documents with deterministically injected PII. The
+    * corpus text is synthetic and PII-free, so the gate plants one
+    * email / IPv4 / phone / SSN on interleaved doc_id residue classes
+    * (both engines build the identical string) and checks the per-type
+    * counts plus the md5 of the redacted text — pinning match counts,
+    * non-overlap, redaction order, and the exact rewritten bytes. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val injected = concat(
+      $"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" email user"), $"doc_id".cast("string"),
+          lit("@mail.example.com"))).otherwise(""),
+      when($"doc_id" % 4 === 0,
+        concat(lit(" ip 10."), ($"doc_id" % 200).cast("string"),
+          lit(".0."), ($"doc_id" % 250).cast("string"))).otherwise(""),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" phone 415-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" ssn 123-45-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""))
+    scan(Tables(spark, dir, "documents").select($"doc_id", injected.as("text")),
+        "doc_id", "text")
+      .withColumn("redacted", md5($"redacted"))
+      .withColumnRenamed("redacted", "redacted_md5")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_pii_scrub" -> (piiScrub _))
+
+  val oracle: Map[String, String] = {
+    val Seq(email, ipv4, ssn, phone) = patterns.map(_._2)
+    Map("q63_pii_scrub" ->
+      s"""WITH s AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' email user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' phone 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    AS t FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(t, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |    CAST(len(regexp_extract_all(t, '$ssn')) AS BIGINT) AS n_ssn,
+         |    CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+         |    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
+         |      '$ssn', '<SSN>', 'g'), '$phone', '<PHONE>', 'g')) AS redacted_md5
+         |  FROM s)
+         |SELECT * FROM c WHERE n_email + n_ipv4 + n_ssn + n_phone > 0
+         |ORDER BY doc_id""".stripMargin)
+  }
+}

@@ -63,6 +63,31 @@ object JsonlSource {
     split(parsed)
   }
 
+  /** Terminal training-data export: JSONL shards in a deterministic
+    * shuffled order. Training runs want (a) documents in a fixed
+    * pseudo-random order — no source/time clustering from the
+    * pipeline's natural output order — and (b) bounded shard files.
+    * Ordering by a salted hash of the id gives a reproducible shuffle
+    * (same salt ⇒ byte-identical shard assignment across reruns) via a
+    * range-partitioned sort — distributed, no single-task funnel; and
+    * `maxRecordsPerFile` caps shard size without an exact global
+    * row-number pass. Files compress with the given codec ("none" to
+    * disable; training corpora usually ship gzip'd). */
+  def writeShuffledShards(df: DataFrame, idCol: String, path: String,
+                          maxRecordsPerFile: Long, salt: String,
+                          codec: String = "gzip"): Unit = {
+    val key = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + salt))), 1, 14), 16, 10).cast("long")
+    df.withColumn("__shuffle_key", key)
+      .orderBy(col("__shuffle_key"), col(idCol))
+      .drop("__shuffle_key")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", codec)
+      .mode("overwrite")
+      .json(path)
+  }
+
   private def split(parsed: DataFrame): JsonlRead = {
     val good = parsed.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
