@@ -23,22 +23,35 @@ object Pii {
   /** (type, pattern, placeholder), in redaction order (most-specific
     * first: SSN's 3-2-4 shape before phone's 3-3-4 so neither can
     * shadow the other; email before IPv4 so a dotted-digit mailbox
-    * host is consumed as part of the email match, exactly once). */
+    * host is consumed as part of the email match, exactly once).
+    * The email host alternation admits IP-literal hosts
+    * (`root@10.0.0.1`) so the ordering contract holds for them too —
+    * both Java regex and RE2 resolve the alternation leftmost-first,
+    * so the two engines agree byte-for-byte. */
   val patterns: Seq[(String, String, String)] = Seq(
-    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("email",
+      """[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{1,3}(?:\.\d{1,3}){3})""",
+      "<EMAIL>"),
     ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
     ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
     ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"))
 
-  /** Per-type non-overlapping match counts, as (n_<type>, count). */
-  def scanColumns(text: Column): Seq[(String, Column)] =
-    patterns.map { case (name, pat, _) =>
-      (s"n_$name", regexp_count(text, lit(pat)).cast("long"))
+  /** Per-type non-overlapping match counts, as (n_<type>, count).
+    * Pattern i is counted on the text with patterns 0..i-1 already
+    * redacted, so a span consumed by an earlier, more-specific pattern
+    * (the host of `root@10.0.0.1`) is never double-counted by a later
+    * one. Placeholders are digit-free, so they can never re-match. */
+  def scanColumns(text: Column): Seq[(String, Column)] = {
+    val partials = patterns.scanLeft(text) { case (c, (_, pat, ph)) =>
+      regexp_replace(c, pat, ph)
     }
+    patterns.zip(partials).map { case ((name, pat, _), c) =>
+      (s"n_$name", regexp_count(c, lit(pat)).cast("long"))
+    }
+  }
 
   /** All PII spans replaced by typed placeholders, in [[patterns]]
-    * order. Counts must be taken from the ORIGINAL column — each
-    * rewrite hides its spans from later patterns. */
+    * order — each rewrite hides its spans from later patterns. */
   def redact(text: Column): Column =
     patterns.foldLeft(text) { case (c, (_, pat, ph)) =>
       regexp_replace(c, pat, ph)
@@ -62,7 +75,8 @@ object Pii {
 
   /** q63: scrub documents with deterministically injected PII. The
     * corpus text is synthetic and PII-free, so the gate plants one
-    * email / IPv4 / phone / SSN on interleaved doc_id residue classes
+    * email / IPv4 / phone / SSN / IP-host email on interleaved doc_id
+    * residue classes
     * (both engines build the identical string) and checks the per-type
     * counts plus the md5 of the redacted text — pinning match counts,
     * non-overlap, redaction order, and the exact rewritten bytes. */
@@ -81,7 +95,11 @@ object Pii {
           lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""),
       when($"doc_id" % 7 === 0,
         concat(lit(" ssn 123-45-"),
-          lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""))
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when($"doc_id" % 11 === 0,
+        concat(lit(" root"), $"doc_id".cast("string"), lit("@10."),
+          ($"doc_id" % 200).cast("string"), lit(".0."),
+          ($"doc_id" % 250).cast("string"))).otherwise(""))
     scan(Tables(spark, dir, "documents").select($"doc_id", injected.as("text")),
         "doc_id", "text")
       .withColumn("redacted", md5($"redacted"))
@@ -100,16 +118,26 @@ object Pii {
          |    || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
          |    || CASE WHEN doc_id % 5 = 0 THEN ' phone 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
          |    || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' root' || CAST(doc_id AS VARCHAR) || '@10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
          |    AS t FROM documents),
-         |c AS (SELECT doc_id,
-         |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
-         |    CAST(len(regexp_extract_all(t, '$ipv4')) AS BIGINT) AS n_ipv4,
-         |    CAST(len(regexp_extract_all(t, '$ssn')) AS BIGINT) AS n_ssn,
-         |    CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
-         |    md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |r AS (SELECT doc_id, t AS t0,
+         |    regexp_replace(t, '$email', '<EMAIL>', 'g') AS t1,
+         |    regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |      '$ipv4', '<IP>', 'g') AS t2,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
          |      '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
-         |      '$ssn', '<SSN>', 'g'), '$phone', '<PHONE>', 'g')) AS redacted_md5
-         |  FROM s)
+         |      '$ssn', '<SSN>', 'g') AS t3,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
+         |      '$ssn', '<SSN>', 'g'), '$phone', '<PHONE>', 'g') AS t4
+         |  FROM s),
+         |c AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t0, '$email')) AS BIGINT) AS n_email,
+         |    CAST(len(regexp_extract_all(t1, '$ipv4')) AS BIGINT) AS n_ipv4,
+         |    CAST(len(regexp_extract_all(t2, '$ssn')) AS BIGINT) AS n_ssn,
+         |    CAST(len(regexp_extract_all(t3, '$phone')) AS BIGINT) AS n_phone,
+         |    md5(t4) AS redacted_md5
+         |  FROM r)
          |SELECT * FROM c WHERE n_email + n_ipv4 + n_ssn + n_phone > 0
          |ORDER BY doc_id""".stripMargin)
   }
