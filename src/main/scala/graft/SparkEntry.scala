@@ -34,9 +34,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RetrievalPack.queries ++ TextPack.queries ++
-      Analytics.queries ++ Curation.queries ++ Pii.queries
+      Analytics.queries ++ Curation.queries ++ Pii.queries ++
+      IngestGates.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ RetrievalPack.oracle ++ TextPack.oracle ++
-      Analytics.oracle ++ Curation.oracle ++ Pii.oracle
+      Analytics.oracle ++ Curation.oracle ++ Pii.oracle ++
+      IngestGates.oracle
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ingest.{HierarchicalChunker, StructureDetector}
+
+/** DuckDB-oracle gates for the ingest/domain-intelligence operators
+  * (VERDICT r2 ask #2): the corpus text is flat word salad, so each
+  * gate deterministically injects the structure its operator consumes
+  * (headings, domain phrases, relation sentences, markdown tables) —
+  * both engines build the identical string from `documents.text` via
+  * SQL-expressible transforms, the Spark side runs the REAL Scala code
+  * path (flatMap generators over the injected docs), and the oracle
+  * derives the expected rows declaratively from the same construction.
+  * This pins the operators' observable semantics end-to-end, not just
+  * in ScalaTest.
+  *
+  * Gates here: q66 hierarchical chunking (I3+I5, reference
+  * `hierarchical_chunker.py:290-547`), q67 structure detection across
+  * all four pattern families (I3, `chunking_service.py:83-207`).
+  */
+object IngestGates {
+
+  private val E = "\n\n"
+
+  // ---- q66: hierarchical chunker over injected legal structure ----------
+
+  private val H0 = "Article I: Introduction" // 23 chars, no number → level 1
+  private val H1 = "Section 2.1: Scope" // 18 chars, number 2.1
+  private val H2 = "Section 2.1.1: Details" // 22 chars, number 2.1.1
+
+  /** Injected doc: three legal headings with word-salad bodies sliced
+    * from `repeat(text || ' ', 16)` (min doc is 48 chars → ≥784-char
+    * rope, enough for the 760 chars of slices). Layout (offsets are
+    * constants because slice lengths are fixed):
+    * {{{
+    *   0   H0 \n\n s1(140) \n\n        — section 0: [0, 167)
+    *   167 H1 \n\n s2(280) \n\n s3(200) \n\n — section 1: [167, 671)
+    *   671 H2 \n\n s4(140)             — section 2: [671, 835)
+    * }}}
+    * Section 1's three paragraphs (heading, s2, s3) exceed the 400-char
+    * paragraph budget, so the packer emits two chunks and runs the
+    * 50-word-overlap carry — the word count sits right at the 50
+    * boundary across docs, so BOTH overlap branches (take-all vs
+    * takeRight(50)) are exercised and oracle-checked. */
+  def hierChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rep = repeat(concat(col("text"), lit(" ")), 16)
+    val injected = concat(
+      lit(H0 + E), substring(rep, 1, 140),
+      lit(E + H1 + E), substring(rep, 141, 280),
+      lit(E), substring(rep, 421, 200),
+      lit(E + H2 + E), substring(rep, 621, 140))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), injected.as("t")).as[(Long, String)]
+    val chunker = new HierarchicalChunker()
+    docs.flatMap { case (id, t) =>
+      chunker.chunk(t, s"doc$id").map { c =>
+        (id, c.id, c.level, c.parent_id, c.chunk_index.toLong,
+          c.section_title, c.section_number,
+          c.char_start.map(_.toLong), c.char_end.map(_.toLong),
+          c.token_count.map(_.toLong).getOrElse(0L), c.text)
+      }
+    }.toDF("doc_id", "id", "level", "parent_id", "chunk_index",
+        "section_title", "section_number", "char_start", "char_end",
+        "token_count", "text")
+      .withColumn("text_md5", md5(col("text"))).drop("text")
+      .orderBy(col("doc_id"), col("id"))
+  }
+
+  /** DuckDB derivation of the exact 12 chunks/doc the chunker emits:
+    * 1 document + 3 sections + 4 paragraphs + 4 sentences (each
+    * paragraph is one sentence — the bodies have no sentence
+    * boundaries). Word-count/md5 formulas mirror the Scala
+    * split-trim-pack program byte for byte. */
+  private val hierOracle: String = {
+    // wc(x) = count of non-empty \s+ splits — the chunker's token_count
+    def wc(x: String) =
+      s"CAST(len(list_filter(regexp_split_to_array($x, '\\s+'), w -> w <> '')) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, repeat(text || ' ', 16) AS rep FROM documents),
+       |p AS (SELECT doc_id,
+       |  substr(rep, 1, 140) AS s1, substr(rep, 141, 280) AS s2,
+       |  substr(rep, 421, 200) AS s3, substr(rep, 621, 140) AS s4 FROM d),
+       |b AS (SELECT doc_id, s1, s2, s3, s4,
+       |  chr(10) || chr(10) AS e,
+       |  trim(s1) AS p1, trim(s2) AS q1, trim(s3) AS q2, trim(s4) AS r1 FROM p),
+       |t AS (SELECT *,
+       |  '$H0' || e || s1 || e || '$H1' || e || s2 || e || s3 || e || '$H2' || e || s4 AS full_text,
+       |  '$H0' || e || rtrim(s1) AS sec0,
+       |  '$H1' || e || s2 || e || rtrim(s3) AS sec1,
+       |  '$H2' || e || rtrim(s4) AS sec2,
+       |  '$H0' || e || p1 AS para00,
+       |  '$H1' || e || q1 AS para10,
+       |  '$H2' || e || r1 AS para20 FROM b),
+       |w AS (SELECT *,
+       |  list_filter(regexp_split_to_array(para10, '\\s+'), x -> x <> '') AS wtoks FROM t),
+       |f AS (SELECT *,
+       |  array_to_string(
+       |    CASE WHEN len(wtoks) > 50
+       |         THEN list_slice(wtoks, len(wtoks) - 49, len(wtoks))
+       |         ELSE wtoks END, ' ') || ' ' || q2 AS para11 FROM w),
+       |rows_ AS (
+       |  SELECT doc_id, 'doc' || doc_id || '_doc' AS id, 'document' AS level,
+       |    CAST(NULL AS VARCHAR) AS parent_id, CAST(0 AS BIGINT) AS chunk_index,
+       |    CAST(NULL AS VARCHAR) AS section_title, CAST(NULL AS VARCHAR) AS section_number,
+       |    CAST(NULL AS BIGINT) AS char_start, CAST(NULL AS BIGINT) AS char_end,
+       |    ${wc("full_text")} AS token_count, md5(full_text) AS text_md5 FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_0', 'section',
+       |    'doc' || doc_id || '_doc', 0, '$H0', NULL, 0, 167,
+       |    ${wc("sec0")}, md5(sec0) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_1', 'section',
+       |    'doc' || doc_id || '_doc', 1, '$H1', '2.1', 167, 671,
+       |    ${wc("sec1")}, md5(sec1) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_2', 'section',
+       |    'doc' || doc_id || '_doc', 2, '$H2', '2.1.1', 671, 835,
+       |    ${wc("sec2")}, md5(sec2) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_0_para_0', 'paragraph',
+       |    'doc' || doc_id || '_sec_0', 0, '$H0', NULL, NULL, NULL,
+       |    ${wc("para00")}, md5(para00) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_1_para_0', 'paragraph',
+       |    'doc' || doc_id || '_sec_1', 0, '$H1', NULL, NULL, NULL,
+       |    ${wc("para10")}, md5(para10) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_1_para_1', 'paragraph',
+       |    'doc' || doc_id || '_sec_1', 1, '$H1', NULL, NULL, NULL,
+       |    ${wc("para11")}, md5(para11) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_2_para_0', 'paragraph',
+       |    'doc' || doc_id || '_sec_2', 0, '$H2', NULL, NULL, NULL,
+       |    ${wc("para20")}, md5(para20) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_0_para_0_sent_0', 'sentence',
+       |    'doc' || doc_id || '_sec_0_para_0', 0, '$H0', NULL, NULL, NULL,
+       |    ${wc("para00")}, md5(para00) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_1_para_0_sent_0', 'sentence',
+       |    'doc' || doc_id || '_sec_1_para_0', 0, '$H1', NULL, NULL, NULL,
+       |    ${wc("para10")}, md5(para10) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_1_para_1_sent_0', 'sentence',
+       |    'doc' || doc_id || '_sec_1_para_1', 0, '$H1', NULL, NULL, NULL,
+       |    ${wc("para11")}, md5(para11) FROM f
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_2_para_0_sent_0', 'sentence',
+       |    'doc' || doc_id || '_sec_2_para_0', 0, '$H2', NULL, NULL, NULL,
+       |    ${wc("para20")}, md5(para20) FROM f)
+       |SELECT * FROM rows_ ORDER BY doc_id, id""".stripMargin
+  }
+
+  // ---- q67: structure detection across the four pattern families --------
+
+  /** Rotates doc_id % 4 through the legal / technical / building-code /
+    * financial pattern families with two family-specific headings per
+    * doc (one numbered, one not — pinning `nestingLevel` and the
+    * number-extraction regex), bodies sliced from the doc's own text.
+    * Layout: hA \n\n body1(150) \n\n hB \n\n body2(150). */
+  def sections(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = col("doc_id") % 4
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val hA = when(f === 0, concat(lit("Clause "), s((col("doc_id") % 9) + 1),
+        lit("."), s(col("doc_id") % 5), lit(": Obligations")))
+      .when(f === 1, concat(lit("Chapter "), s(col("doc_id") % 90), lit(": Design")))
+      .when(f === 2, concat(lit("§ "), s((col("doc_id") % 900) + 100),
+        lit("."), s(col("doc_id") % 10), lit(" fire egress")))
+      .otherwise(lit("Balance Sheet"))
+    val hB = when(f === 0, lit("(a) subsequent obligations"))
+      .when(f === 1, lit("Part B: Assembly"))
+      .when(f === 2, concat(lit("IBC "), s((col("doc_id") % 100) + 1000), lit(".1")))
+      .otherwise(concat(lit("Q"), s((col("doc_id") % 4) + 1), lit(" "),
+        s((col("doc_id") % 5) + 2020)))
+    val docType = when(f === 0, "contract").when(f === 1, "technical")
+      .when(f === 2, "building_code").otherwise("financial_report")
+    val rep = repeat(concat(col("text"), lit(" ")), 8)
+    val injected = concat(hA, lit(E), substring(rep, 1, 150),
+      lit(E), hB, lit(E), substring(rep, 151, 150))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), injected.as("t"), docType.as("dt"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, t, dt) =>
+        StructureDetector.detect(t, dt).zipWithIndex.map { case (s, i) =>
+          (id, i.toLong, s.title, s.number, s.level.toLong,
+            s.lineNumber.toLong, s.start.toLong, s.end.toLong)
+        }
+      }
+      .toDF("doc_id", "sec_idx", "title", "number", "level",
+        "line_number", "char_start", "char_end")
+      .orderBy(col("doc_id"), col("sec_idx"))
+  }
+
+  private val sectionsOracle: String =
+    s"""WITH h AS (SELECT doc_id, doc_id % 4 AS f,
+       |  CASE doc_id % 4
+       |    WHEN 0 THEN 'Clause ' || (doc_id % 9 + 1) || '.' || (doc_id % 5) || ': Obligations'
+       |    WHEN 1 THEN 'Chapter ' || (doc_id % 90) || ': Design'
+       |    WHEN 2 THEN chr(167) || ' ' || (doc_id % 900 + 100) || '.' || (doc_id % 10) || ' fire egress'
+       |    ELSE 'Balance Sheet' END AS ha,
+       |  CASE doc_id % 4
+       |    WHEN 0 THEN '(a) subsequent obligations'
+       |    WHEN 1 THEN 'Part B: Assembly'
+       |    WHEN 2 THEN 'IBC ' || (doc_id % 100 + 1000) || '.1'
+       |    ELSE 'Q' || (doc_id % 4 + 1) || ' ' || (doc_id % 5 + 2020) END AS hb,
+       |  CASE doc_id % 4
+       |    WHEN 0 THEN (doc_id % 9 + 1) || '.' || (doc_id % 5)
+       |    WHEN 1 THEN CAST(doc_id % 90 AS VARCHAR)
+       |    WHEN 2 THEN (doc_id % 900 + 100) || '.' || (doc_id % 10)
+       |    ELSE NULL END AS num_a,
+       |  CASE doc_id % 4
+       |    WHEN 0 THEN NULL
+       |    WHEN 1 THEN NULL
+       |    WHEN 2 THEN (doc_id % 100 + 1000) || '.1'
+       |    ELSE CAST(doc_id % 4 + 1 AS VARCHAR) END AS num_b
+       |  FROM documents),
+       |l AS (SELECT *,
+       |  CASE f WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END AS lvl_a,
+       |  CASE f WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END AS lvl_b,
+       |  CAST(length(ha) + 154 AS BIGINT) AS hb_start,
+       |  CAST(length(ha) + length(hb) + 306 AS BIGINT) AS text_len FROM h)
+       |SELECT doc_id, CAST(0 AS BIGINT) AS sec_idx, ha AS title, num_a AS number,
+       |  CAST(lvl_a AS BIGINT) AS level, CAST(0 AS BIGINT) AS line_number,
+       |  CAST(0 AS BIGINT) AS char_start, hb_start AS char_end FROM l
+       |UNION ALL
+       |SELECT doc_id, 1, hb, num_b, CAST(lvl_b AS BIGINT), 4, hb_start, text_len FROM l
+       |ORDER BY doc_id, sec_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_hier_chunks" -> (hierChunks _),
+    "q67_sections" -> (sections _))
+
+  val oracle: Map[String, String] = Map(
+    "q66_hier_chunks" -> hierOracle,
+    "q67_sections" -> sectionsOracle)
+}
