@@ -219,11 +219,226 @@ object IngestGates {
        |SELECT doc_id, 1, hb, num_b, CAST(lvl_b AS BIGINT), 4, hb_start, text_len FROM l
        |ORDER BY doc_id, sec_idx""".stripMargin
 
+  // ---- q68: domain metadata extraction (I7/A14) --------------------------
+
+  /** Rotates doc_id % 4 through the four domain extractors via the
+    * ROUTER (no type hint): injects a family blob with residue-keyed
+    * variations (subtype keyword counts → confidence tiers, optional
+    * parties/terms/categories), prepended to the doc body. Every
+    * contains()/regex consequence — including the faithful
+    * `"data" ⊃ "ada"` building-code substring quirk — is derived by the
+    * oracle from the same constructed text. */
+  def domainTags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val state = when(d % 3 === 0, "Delaware").when(d % 3 === 1, "New York")
+      .otherwise("California")
+    val contractBlob = concat(
+      lit("PRIMARY SERVICES AGREEMENT\nbetween Acme Corp and others.\n"),
+      when(d % 2 === 0, "Parties: Delta Industries.\n").otherwise(""),
+      lit("The parties agree to indemnification and termination terms.\n"),
+      when(d % 3 >= 1, "This service contract applies.\n").otherwise(""),
+      when(d % 3 === 2, "professional services rendered.\n").otherwise(""),
+      when(d % 2 === 1, "warranty and arbitration apply.\n").otherwise(""),
+      when(d % 5 === 0, "confidentiality obligations persist.\n").otherwise(""),
+      lit("governed by the laws of the State of "), state,
+      lit(". Fee of $"), s(d + 1000), lit(".00 per month."),
+      when(d % 2 === 0, " Deposit $500.").otherwise(""))
+    val taxBlob = concat(
+      lit("Internal Revenue tax code guidance under IRC Section "),
+      s(d % 800 + 100), lit("(a) and Treasury Regulation notes."),
+      lit(" See also Section "), s(d % 50 + 200), lit(" rules."),
+      lit(" File Form "), s(d % 100 + 1000), lit("-EZ today."),
+      lit(" Income tax and taxable income apply."),
+      when(d % 2 === 0, " Deduction and credit allowed.").otherwise(""),
+      when(d % 3 === 0, " Revenue ruling 55 applies.").otherwise(""))
+    val buildingBlob = concat(
+      lit("International Building Code IBC requires fire sprinkler systems " +
+        "and egress capacity per occupancy limits."),
+      when(d % 2 === 1, " Structural foundation and seismic design required.")
+        .otherwise(""),
+      when(d % 3 === 1, " HVAC ventilation ducts included.").otherwise(""))
+    val finBlob = concat(
+      when(d % 2 === 0, "Quarterly report and ").otherwise("Periodic filing with "),
+      lit("Form 10-Q earnings release for the fiscal year."),
+      lit(" Revenue and net income and cash flow improved."),
+      when(d % 3 === 2,
+        " Gross margin and operating income grew with earnings per share.")
+        .otherwise(""))
+    val injected = concat(
+      when(d % 4 === 0, contractBlob).when(d % 4 === 1, taxBlob)
+        .when(d % 4 === 2, buildingBlob).otherwise(finBlob),
+      lit("\n"), col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), injected.as("t")).as[(Long, String)]
+      .map { case (id, t) =>
+        val e = graft.ingest.DomainMetadata.extract(t)
+        (id, e.documentType, e.documentSubtype, e.confidence, e.title,
+          e.parties.mkString(","), e.keyTerms.mkString(","),
+          e.references.mkString(","),
+          e.filterTags.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(";"))
+      }
+      .toDF("doc_id", "document_type", "document_subtype", "confidence",
+        "title", "parties", "key_terms", "refs", "tags")
+      .orderBy(col("doc_id"))
+  }
+
+  private val domainOracle: String =
+    s"""WITH b AS (SELECT doc_id, text, doc_id % 4 AS f,
+       |  contains(text, 'ada') AS has_ada,
+       |  CASE doc_id % 3 WHEN 0 THEN 'Delaware' WHEN 1 THEN 'New York'
+       |    ELSE 'California' END AS state,
+       |  1 + CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END
+       |    + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS csubn,
+       |  (doc_id % 800 + 100) || '(a),' || (doc_id % 50 + 200) AS irc_secs,
+       |  (doc_id % 100 + 1000) || '-EZ' AS tax_form,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'deductions,income_tax'
+       |    ELSE 'income_tax' END AS tax_cats
+       |  FROM documents),
+       |c AS (SELECT *,
+       |  CASE WHEN has_ada THEN 'ada,ibc' ELSE 'ibc' END AS codes,
+       |  CASE WHEN has_ada THEN 'accessibility,' ELSE '' END || 'fire_safety'
+       |    || CASE WHEN doc_id % 3 = 1 THEN ',mechanical' ELSE '' END
+       |    || ',occupancy'
+       |    || CASE WHEN doc_id % 2 = 1 THEN ',structural' ELSE '' END AS bcats,
+       |  'revenue,net income'
+       |    || CASE WHEN doc_id % 3 = 2 THEN ',gross margin,operating income' ELSE '' END
+       |    || ',cash flow'
+       |    || CASE WHEN doc_id % 3 = 2 THEN ',earnings per share' ELSE '' END AS fmetrics
+       |  FROM b)
+       |SELECT doc_id,
+       |  CASE f WHEN 0 THEN 'contract' WHEN 1 THEN 'irc_code'
+       |    WHEN 2 THEN 'building_code' ELSE 'financial_report' END AS document_type,
+       |  CASE f WHEN 0 THEN 'service_agreement'
+       |    WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 'deductions' ELSE 'income_tax' END)
+       |    WHEN 2 THEN (CASE WHEN has_ada THEN 'ada' ELSE 'ibc' END)
+       |    ELSE '10-q' END AS document_subtype,
+       |  CASE f
+       |    WHEN 0 THEN least(CAST(1 AS DOUBLE), CAST(csubn AS DOUBLE) / CAST(3 AS DOUBLE))
+       |    WHEN 1 THEN CAST(0.8 AS DOUBLE)
+       |    WHEN 2 THEN CAST(0.8 AS DOUBLE)
+       |    ELSE (CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS DOUBLE)
+       |      ELSE CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE) END) END AS confidence,
+       |  CASE WHEN f = 0 THEN 'PRIMARY SERVICES AGREEMENT' ELSE NULL END AS title,
+       |  CASE WHEN f = 0 THEN 'Acme Corp'
+       |    || (CASE WHEN doc_id % 2 = 0 THEN ',Delta Industries' ELSE '' END)
+       |    ELSE '' END AS parties,
+       |  CASE f
+       |    WHEN 0 THEN 'indemnification,termination'
+       |      || (CASE WHEN doc_id % 2 = 1 THEN ',arbitration' ELSE '' END)
+       |      || (CASE WHEN doc_id % 5 = 0 THEN ',confidentiality' ELSE '' END)
+       |      || (CASE WHEN doc_id % 2 = 1 THEN ',warranty' ELSE '' END)
+       |    WHEN 1 THEN tax_cats
+       |    WHEN 2 THEN bcats
+       |    ELSE fmetrics END AS key_terms,
+       |  CASE f WHEN 0 THEN ''
+       |    WHEN 1 THEN irc_secs || ',' || tax_form
+       |    WHEN 2 THEN codes
+       |    ELSE '' END AS refs,
+       |  CASE f
+       |    WHEN 0 THEN 'contract_type=service_agreement;governing_law=' || state
+       |      || ';has_arbitration=' || (CASE WHEN doc_id % 2 = 1 THEN 'true' ELSE 'false' END)
+       |      || ';has_confidentiality=' || (CASE WHEN doc_id % 5 = 0 THEN 'true' ELSE 'false' END)
+       |      || ';has_indemnification=true;has_non_compete=false'
+       |      || ';has_termination_clause=true'
+       |      || ';monetary_values=' || (doc_id + 1000) || '.00'
+       |      || (CASE WHEN doc_id % 2 = 0 THEN ',500' ELSE '' END)
+       |    WHEN 1 THEN 'irc_sections=' || irc_secs
+       |      || ';is_guidance=' || (CASE WHEN doc_id % 3 = 0 THEN 'true' ELSE 'false' END)
+       |      || ';is_regulation=true;tax_categories=' || tax_cats
+       |      || ';tax_forms=' || tax_form
+       |    WHEN 2 THEN 'building_categories=' || bcats || ';code_types=' || codes
+       |    ELSE 'financial_metrics=' || fmetrics || ';report_type=10-q' END AS tags
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---- q69: relationship extraction + two-pass resolution (I8/A13/U2) ----
+
+  /** Injects one sentence per relation family on interleaved residue
+    * classes (amends / references / exhibits / supersedes / cites /
+    * long-match references / incorporates), runs the real extract +
+    * resolve passes, and pins refs, types, confidence arithmetic (base
+    * .7/.9, the −.2 long-match deduction in IEEE double), the
+    * first-writer dedup of the double-matching exhibit sentence (U2),
+    * and containment-based resolution with the longest-identifier
+    * tie-break. */
+  def relations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val rep = repeat(concat(col("text"), lit(" ")), 8)
+    val injected = concat(
+      when(d % 3 === 0, "This amendment to Master Agreement applies. ").otherwise(""),
+      when(d % 4 === 0, "Delivered pursuant to Section 12 of the Master Terms. ").otherwise(""),
+      when(d % 5 === 0, concat(lit("See Exhibit "),
+        lit("ABCDEF").substr(((d % 6) + 1).cast("int"), lit(1)),
+        lit(" to this filing. "))).otherwise(lit("")),
+      when(d % 6 === 0, "This supersedes all prior versions thereof. ").otherwise(""),
+      when(d % 7 === 0, concat(lit("Authorized under IRC § "), s(d % 400 + 100),
+        lit("(b) rules. "))).otherwise(lit("")),
+      when(d % 8 === 0, concat(lit("Provided in accordance with the "),
+        substring(rep, 1, 200), lit(" annex. "))).otherwise(lit("")),
+      when(d % 9 === 0, concat(lit("Terms incorporated herein by reference Schedule "),
+        s(d % 5 + 1), lit(" fully. "))).otherwise(lit("")),
+      col("text"))
+    val idents = Seq("Master Agreement" -> "doc_master", "Section 12" -> "doc_sec12")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), injected.as("t")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val rels = graft.ingest.RelationshipExtractor.extract(t, s"doc$id")
+        graft.ingest.RelationshipExtractor.resolve(rels, idents).map { r =>
+          (id, r.source_id, r.target_id, r.relation_type, r.confidence,
+            r.raw_reference)
+        }
+      }
+      .toDF("doc_id", "source_id", "target_id", "relation_type",
+        "confidence", "raw_reference")
+      .orderBy(col("doc_id"), col("relation_type"), col("raw_reference"))
+  }
+
+  private val relationsOracle: String =
+    s"""WITH d AS (SELECT doc_id, repeat(text || ' ', 8) AS rep FROM documents),
+       |rows_ AS (
+       |  SELECT doc_id, 'doc' || doc_id AS source_id, 'doc_master' AS target_id,
+       |    'amends' AS relation_type, CAST(0.7 AS DOUBLE) AS confidence,
+       |    'Master Agreement' AS raw_reference
+       |  FROM d WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id, 'doc_sec12', 'references',
+       |    CAST(0.7 AS DOUBLE), 'Section 12 of the Master Terms'
+       |  FROM d WHERE doc_id % 4 = 0
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id,
+       |    'unresolved:' || substr('ABCDEF', CAST(doc_id % 6 AS INT) + 1, 1),
+       |    'exhibits_to', CAST(0.9 AS DOUBLE),
+       |    substr('ABCDEF', CAST(doc_id % 6 AS INT) + 1, 1)
+       |  FROM d WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id, 'unresolved:versions thereof',
+       |    'supersedes', CAST(0.7 AS DOUBLE), 'versions thereof'
+       |  FROM d WHERE doc_id % 6 = 0
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id,
+       |    'unresolved:' || (doc_id % 400 + 100) || '(b)', 'cites',
+       |    CAST(0.9 AS DOUBLE), (doc_id % 400 + 100) || '(b)'
+       |  FROM d WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id,
+       |    'unresolved:the ' || substr(rep, 1, 200) || ' annex', 'references',
+       |    CAST(0.7 AS DOUBLE) - CAST(0.2 AS DOUBLE),
+       |    'the ' || substr(rep, 1, 200) || ' annex'
+       |  FROM d WHERE doc_id % 8 = 0
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id,
+       |    'unresolved:Schedule ' || (doc_id % 5 + 1) || ' fully', 'incorporates',
+       |    CAST(0.7 AS DOUBLE), 'Schedule ' || (doc_id % 5 + 1) || ' fully'
+       |  FROM d WHERE doc_id % 9 = 0)
+       |SELECT * FROM rows_ ORDER BY doc_id, relation_type, raw_reference""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_hier_chunks" -> (hierChunks _),
-    "q67_sections" -> (sections _))
+    "q67_sections" -> (sections _),
+    "q68_domain_tags" -> (domainTags _),
+    "q69_relations" -> (relations _))
 
   val oracle: Map[String, String] = Map(
     "q66_hier_chunks" -> hierOracle,
-    "q67_sections" -> sectionsOracle)
+    "q67_sections" -> sectionsOracle,
+    "q68_domain_tags" -> domainOracle,
+    "q69_relations" -> relationsOracle)
 }
