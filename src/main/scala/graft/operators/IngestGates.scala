@@ -430,15 +430,116 @@ object IngestGates {
        |  FROM d WHERE doc_id % 9 = 0)
        |SELECT * FROM rows_ ORDER BY doc_id, relation_type, raw_reference""".stripMargin
 
+  // ---- q70: table detection/parsing + dual chunks (I6/A9/A10) ------------
+
+  /** Appends a markdown table after the body — a 4-column money table
+    * on even docs (classified financial via the header-keyword
+    * fallback: its cell-type ratios sit under both the 0.5
+    * currency+number and 0.2 date thresholds, the faithful
+    * all-cells-include-header quirk) and a 3-column status table on odd
+    * docs (boolean ratio 0.25 > 0.2 → compliance). Pins detection
+    * offsets, the line-consistency confidence in IEEE double, cell
+    * typing, and both structured/semantic chunk texts. */
+  def tableExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val day = lpad(s(d % 28 + 1), 2, "0")
+    val tbl0 = concat(
+      lit("| item | amount | growth | when |\n"),
+      lit("| alpha | $1,200.00 | 12.5% | 01/"), day, lit("/2024 |\n"),
+      lit("| beta | $"), s(d + 1000), lit(".00 | 8.0% | 02/10/2024 |\n"),
+      lit("| gamma | $900.50 | 3.2% | 03/05/2024 |"))
+    val tbl1 = lit("| task | status | owner |\n| alpha | yes | bob |\n" +
+      "| beta | no | carl |\n| gamma | true | dana |")
+    val injected = concat(col("text"), lit("\n"),
+      when(d % 2 === 0, tbl0).otherwise(tbl1))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), injected.as("t")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.ingest.TableExtractor.extractTables(t, s"doc$id").flatMap { tab =>
+          Seq((id, s"${tab.id}_structured", "table_structured", 0L,
+              tab.tableType, tab.headers.mkString(","), tab.numRows.toLong,
+              tab.numCols.toLong, tab.charStart.toLong, tab.charEnd.toLong,
+              tab.confidence, tab.structuredText),
+            (id, s"${tab.id}_semantic", "table_semantic", 1L,
+              tab.tableType, tab.headers.mkString(","), tab.numRows.toLong,
+              tab.numCols.toLong, tab.charStart.toLong, tab.charEnd.toLong,
+              tab.confidence, tab.semanticDescription))
+        }
+      }
+      .toDF("doc_id", "chunk_id", "element_type", "chunk_index", "table_type",
+        "headers", "num_rows", "num_cols", "char_start", "char_end",
+        "confidence", "text")
+      .withColumn("text_md5", md5(col("text"))).drop("text")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val tablesOracle: String =
+    s"""WITH b AS (SELECT doc_id, text,
+       |  lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS day FROM documents),
+       |t AS (SELECT *,
+       |  CASE WHEN doc_id % 2 = 0 THEN
+       |    '| item | amount | growth | when |' || chr(10) ||
+       |    '| alpha | $$1,200.00 | 12.5% | 01/' || day || '/2024 |' || chr(10) ||
+       |    '| beta | $$' || (doc_id + 1000) || '.00 | 8.0% | 02/10/2024 |' || chr(10) ||
+       |    '| gamma | $$900.50 | 3.2% | 03/05/2024 |'
+       |  ELSE
+       |    '| task | status | owner |' || chr(10) || '| alpha | yes | bob |' || chr(10) ||
+       |    '| beta | no | carl |' || chr(10) || '| gamma | true | dana |'
+       |  END AS tbl,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'financial' ELSE 'compliance' END AS ttype,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'item,amount,growth,when'
+       |    ELSE 'task,status,owner' END AS hdrs,
+       |  CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS ncols,
+       |  CASE WHEN doc_id % 2 = 0 THEN
+       |    '"item","amount","growth","when"' || chr(10) ||
+       |    '"item","amount","growth","when"' || chr(10) ||
+       |    '"alpha","$$1,200.00","12.5%","01/' || day || '/2024"' || chr(10) ||
+       |    '"beta","$$' || (doc_id + 1000) || '.00","8.0%","02/10/2024"' || chr(10) ||
+       |    '"gamma","$$900.50","3.2%","03/05/2024"'
+       |  ELSE
+       |    '"task","status","owner"' || chr(10) || '"task","status","owner"' || chr(10) ||
+       |    '"alpha","yes","bob"' || chr(10) || '"beta","no","carl"' || chr(10) ||
+       |    '"gamma","true","dana"'
+       |  END AS structured,
+       |  CASE WHEN doc_id % 2 = 0 THEN
+       |    'This is a financial data table with monetary values. ' ||
+       |    'Columns: item, amount, growth, when. Contains 3 data rows. ' ||
+       |    'Sample row: item: alpha, amount: $$1,200.00, growth: 12.5%, when: 01/' ||
+       |    day || '/2024.'
+       |  ELSE
+       |    'This is a compliance or status tracking table. ' ||
+       |    'Columns: task, status, owner. Contains 3 data rows. ' ||
+       |    'Sample row: task: alpha, status: yes, owner: bob.'
+       |  END AS semantic
+       |  FROM b),
+       |u AS (SELECT doc_id, 'doc' || doc_id || '_table_0_structured' AS chunk_id,
+       |    'table_structured' AS element_type, CAST(0 AS BIGINT) AS chunk_index,
+       |    ttype AS table_type, hdrs AS headers, CAST(4 AS BIGINT) AS num_rows,
+       |    CAST(ncols AS BIGINT) AS num_cols,
+       |    CAST(length(text) + 1 AS BIGINT) AS char_start,
+       |    CAST(length(text) + 1 + length(tbl) AS BIGINT) AS char_end,
+       |    CAST(0.5 AS DOUBLE) + 4 * CAST(0.05 AS DOUBLE) AS confidence,
+       |    md5(structured) AS text_md5 FROM t
+       |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_table_0_semantic',
+       |    'table_semantic', 1, ttype, hdrs, 4, CAST(ncols AS BIGINT),
+       |    CAST(length(text) + 1 AS BIGINT),
+       |    CAST(length(text) + 1 + length(tbl) AS BIGINT),
+       |    CAST(0.5 AS DOUBLE) + 4 * CAST(0.05 AS DOUBLE), md5(semantic) FROM t)
+       |SELECT * FROM u ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_hier_chunks" -> (hierChunks _),
     "q67_sections" -> (sections _),
     "q68_domain_tags" -> (domainTags _),
-    "q69_relations" -> (relations _))
+    "q69_relations" -> (relations _),
+    "q70_table_extract" -> (tableExtract _))
 
   val oracle: Map[String, String] = Map(
     "q66_hier_chunks" -> hierOracle,
     "q67_sections" -> sectionsOracle,
     "q68_domain_tags" -> domainOracle,
-    "q69_relations" -> relationsOracle)
+    "q69_relations" -> relationsOracle,
+    "q70_table_extract" -> tablesOracle)
 }
