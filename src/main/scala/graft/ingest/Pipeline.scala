@@ -3,7 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{EmbedFunctions, TextFunctions}
+import graft.functions.{Embedder, FeatureHashEmbedder, TextFunctions}
 import graft.model.UnifiedChunk
 import graft.operators.BM25
 
@@ -40,8 +40,10 @@ object Pipeline {
   }
 
   /** Ingest documents (cols: doc_id, text + optional org/source) into
-    * the chunk fact table with quality routing and embeddings. */
-  def ingest(docs: DataFrame, embeddingDim: Int = 64,
+    * the chunk fact table with quality routing and embeddings. The
+    * embedder is the pluggable model seam (I9) — defaults to the
+    * deterministic feature-hash stand-in. */
+  def ingest(docs: DataFrame, embedder: Embedder = FeatureHashEmbedder(),
              orgCol: Option[String] = None): IndexBundle = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -86,9 +88,7 @@ object Pipeline {
     val embedded = chunks.withColumn("embedding",
       when(col("metadata").getItem("skip_embedding") === "true",
         lit(null).cast("array<double>"))
-        .otherwise(EmbedFunctions.featureHashEmbed(
-          transform(TextFunctions.tokenize(col("text")),
-            t => TextFunctions.hash56(t)), embeddingDim)))
+        .otherwise(embedder.embed(TextFunctions.tokenize(col("text")))))
       .cache()
 
     // BM25 index (A1): paragraph-level chunks are the retrieval unit (F7)

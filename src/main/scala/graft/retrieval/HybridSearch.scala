@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{EmbedFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{EmbedFunctions, Embedder, FeatureHashEmbedder, TextFunctions, VectorFunctions}
 import graft.model.{Filters, TenantContext}
 import graft.operators.{BM25, DenseKnn, Fusion}
 
@@ -29,7 +29,9 @@ object HybridSearch {
       limit: Int = 10,
       fetchMultiplier: Int = 3, // `hybrid_search.py:256`
       rrfK: Int = Fusion.RrfK,
-      embeddingDim: Int = 64,
+      // pluggable dense-model seam (I9); must match the ingest-time
+      // embedder or dense scores are meaningless
+      embedder: Embedder = FeatureHashEmbedder(),
       weights: Option[Map[String, Double]] = None,
       // F7 (`master_pipeline.py:572,706`): paragraph chunks are the
       // primary retrieval unit; None searches all levels
@@ -79,7 +81,7 @@ object HybridSearch {
     if (weights.getOrElse("dense", 0.0) > 0) {
       val spark = chunks.sparkSession
       import spark.implicits._
-      val qvec = EmbedFunctions.embedQuery(qTokens, cfg.embeddingDim)
+      val qvec = cfg.embedder.embedQuery(qTokens)
       val qdf = Seq(Tuple1(qvec)).toDF("qvec")
       val dn = DenseKnn.topK(scoped, "id", "embedding", qdf, "qvec", fetch)
       methods += ((Fusion.rank(dn).join(dn, "id"), weights("dense"), "dense"))
