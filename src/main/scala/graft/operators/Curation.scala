@@ -60,6 +60,61 @@ object Curation {
         round(col("n_hits") / col("n_shingles"), 6).as("hit_frac"))
   }
 
+  /** Bloom-probe decontamination — same contract and output as
+    * [[contamination]], the true 100 TB shape (VERDICT r2 #7): the
+    * broadcast side is a bloom filter over the eval shingle hashes
+    * (~1.7 bytes/element at fpp 1e-6 vs 8-byte hashes in a hash
+    * relation) and the corpus pass probes it row-locally instead of
+    * running the join machinery per shingle. Probe positives are then
+    * EXACTLY confirmed: only candidate docs' shingles (candidate set ≈
+    * contaminated docs + fpp·shingles false positives) re-join the
+    * exact eval set, so the result is byte-identical to the exact
+    * variant — the bloom can only admit extra work, never wrong rows.
+    * Returns the same (id, n_hits, n_shingles, hit_frac) rows. */
+  def contaminationBloom(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                         toksCol: String, n: Int,
+                         fpp: Double = 1e-6): DataFrame = {
+    val spark = train.sparkSession
+    val evalSh = evalDocs
+      .select(explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
+      .select(TextFunctions.hash56(col("sh")).as("sh_h"))
+      .distinct()
+    // eval sets are small (≤ millions): one pass builds the bloom
+    val nEval = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("sh_h", nEval, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val might = udf((h: Long) => bloomBc.value.mightContainLong(h))
+
+    // pass 1 (the only corpus-sized pass): per-doc shingle totals +
+    // bloom-candidate counts, all row-local before the per-doc agg
+    val trainSh = train
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
+      .select(col("id"), TextFunctions.hash56(col("sh")).as("sh_h"))
+    val perDoc = trainSh
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(might(col("sh_h")), 1)).as("n_cand"))
+      .filter(col("n_cand") > 0)
+
+    // pass 2 (candidate-sized): exact confirm — semi-join train down to
+    // candidate docs BEFORE re-exploding (the shingle generator only
+    // runs over candidates), then join the exact eval set
+    val candIds = perDoc.select(col("id"))
+    val confirmed = train
+      .select(col(idCol).as("id"), col(toksCol).as("__toks"))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shingles(col("__toks"), n))).as("sh"))
+      .select(col("id"), TextFunctions.hash56(col("sh")).as("sh_h"))
+      .join(broadcast(evalSh), Seq("sh_h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    perDoc
+      .join(confirmed, Seq("id"), "inner")
+      .select(col("id"), col("n_hits"), col("n_shingles"),
+        round(col("n_hits") / col("n_shingles"), 6).as("hit_frac"))
+  }
+
   // ---- repetition signals (Gopher-style quality filters) ----------------
 
   /** Per-document bigram repetition: (id, n_bigrams, dup_bigram_frac,
@@ -343,6 +398,22 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** q72: the bloom-probe variant over the exact same q57 inputs — the
+    * oracle is the same exact-join SQL, pinning that the bloom path's
+    * confirm pass makes it byte-identical to the exact check. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = toksDf(spark, dir)
+    val evalDocs = base.filter($"doc_id" % 25 === 0)
+    val pert = base.filter($"doc_id" % 5 === 0 && size($"toks") >= 10)
+      .select(($"doc_id" + TextPack.PerturbOffset).as("doc_id"),
+        slice($"toks", lit(1), greatest(size($"toks") - 2, lit(0))).as("toks"))
+    val train = base.filter($"doc_id" % 25 =!= 0).unionByName(pert)
+    contaminationBloom(train, evalDocs, "doc_id", "toks", 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** q58: repetition signals over every document. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -415,6 +486,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_decontaminate" -> (decontaminate _),
+    "q72_decontaminate_bloom" -> (decontaminateBloom _),
     "q58_repetition" -> (repetition _),
     "q59_stratified_sample" -> (sample _),
     "q60_token_shards" -> (shards _),
@@ -429,25 +501,30 @@ object Curation {
   private val wsLowerSql = TextFunctions.wsTokensSql("lower(text)")
   private val wsSql = TextFunctions.wsTokensSql("text")
 
+  /** Shared by q57 (exact) and q72 (bloom + exact confirm) — the bloom
+    * path must be byte-identical to the exact-join semantics. */
+  private val decontOracle: String = {
+    val sh8 = TextFunctions.shinglesSql("toks", 8)
+    s"""WITH base AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
+       |train AS (
+       |  SELECT doc_id, toks FROM base WHERE doc_id % 25 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + ${TextPack.PerturbOffset}, list_slice(toks, 1, greatest(len(toks) - 2, 0))
+       |  FROM base WHERE doc_id % 5 = 0 AND len(toks) >= 10),
+       |ev AS (SELECT DISTINCT ${TextFunctions.hash56Sql("sh")} AS sh_h
+       |  FROM (SELECT unnest(list_distinct($sh8)) AS sh FROM base WHERE doc_id % 25 = 0)),
+       |tr AS (SELECT doc_id, ${TextFunctions.hash56Sql("sh")} AS sh_h
+       |  FROM (SELECT doc_id, unnest(list_distinct($sh8)) AS sh FROM train)),
+       |sz AS (SELECT doc_id, CAST(len(list_distinct($sh8)) AS BIGINT) AS n_shingles FROM train),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (sh_h) GROUP BY doc_id)
+       |SELECT h.doc_id, h.n_hits, s.n_shingles,
+       |  round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 6) AS hit_frac
+       |FROM hits h JOIN sz s USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "q57_decontaminate" -> {
-      val sh8 = TextFunctions.shinglesSql("toks", 8)
-      s"""WITH base AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
-         |train AS (
-         |  SELECT doc_id, toks FROM base WHERE doc_id % 25 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + ${TextPack.PerturbOffset}, list_slice(toks, 1, greatest(len(toks) - 2, 0))
-         |  FROM base WHERE doc_id % 5 = 0 AND len(toks) >= 10),
-         |ev AS (SELECT DISTINCT ${TextFunctions.hash56Sql("sh")} AS sh_h
-         |  FROM (SELECT unnest(list_distinct($sh8)) AS sh FROM base WHERE doc_id % 25 = 0)),
-         |tr AS (SELECT doc_id, ${TextFunctions.hash56Sql("sh")} AS sh_h
-         |  FROM (SELECT doc_id, unnest(list_distinct($sh8)) AS sh FROM train)),
-         |sz AS (SELECT doc_id, CAST(len(list_distinct($sh8)) AS BIGINT) AS n_shingles FROM train),
-         |hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM tr JOIN ev USING (sh_h) GROUP BY doc_id)
-         |SELECT h.doc_id, h.n_hits, s.n_shingles,
-         |  round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 6) AS hit_frac
-         |FROM hits h JOIN sz s USING (doc_id) ORDER BY doc_id""".stripMargin
-    },
+    "q72_decontaminate_bloom" -> decontOracle,
+    "q57_decontaminate" -> decontOracle,
     "q58_repetition" -> {
       val bg = TextFunctions.shinglesSql("toks", 2)
       s"""WITH base AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
