@@ -77,6 +77,48 @@ class ChunkerFusionSpec extends SparkSpec {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("semantic strategy breaks at topic shifts; sentence strategy is budget-only (I4)") {
+    import graft.ingest.SemanticChunker
+    val a1 = "Spark shuffle moves data between partitions across the cluster."
+    val a2 = "Shuffle partitions determine how data spreads across the cluster."
+    val b1 = "Pasta sauce needs garlic tomatoes basil and fresh olive oil."
+    val b2 = "Simmer the tomatoes garlic and basil gently in olive oil."
+    val text = Seq(a1, a2, b1, b2).mkString(" ")
+    val semantic = SemanticChunker.chunk(text, "semantic")
+    val sentence = SemanticChunker.chunk(text, "sentence")
+    // semantic: boundary at the topic switch; sentence: one budget group
+    assert(semantic == Seq(s"$a1 $a2", s"$b1 $b2"))
+    assert(sentence == Seq(text))
+    assert(semantic != sentence)
+  }
+
+  test("SDPM skip-window merge re-joins a topic split by a digression (I4)") {
+    import graft.ingest.SemanticChunker
+    val a1 = "Spark shuffle moves data between partitions across the cluster."
+    val a2 = "Shuffle partitions determine how data spreads across the cluster."
+    val b = "Pasta sauce needs garlic tomatoes basil and fresh olive oil."
+    val a3 = "Partition counts tune how shuffle data moves across the cluster."
+    val text = Seq(a1, a2, b, a3).mkString(" ")
+    val semantic = SemanticChunker.chunk(text, "semantic")
+    val sdpm = SemanticChunker.chunk(text, "sdpm")
+    assert(semantic.size == 3) // [a1 a2], [b], [a3]
+    assert(sdpm == Seq(text)) // skip-window merge absorbs the digression
+    assert(sdpm != semantic)
+  }
+
+  test("strategy router covers every quality tier label (I4)") {
+    import graft.ingest.{QualityAnalyzer, SemanticChunker}
+    val text = "Spark shuffle moves data between partitions across the cluster. " +
+      "Shuffle partitions determine how data spreads across the cluster."
+    for (strategy <- QualityAnalyzer.strategyMap.values.toSeq.distinct) {
+      val chunks = SemanticChunker.chunk(text, strategy)
+      assert(chunks.nonEmpty, s"strategy $strategy")
+      // every strategy preserves all content words in order
+      assert(chunks.mkString(" ").split("\\s+").toSeq ==
+        text.split("\\s+").toSeq, s"strategy $strategy")
+    }
+  }
+
   test("token windows cover all tokens with the configured overlap") {
     val toks = (1 to 100).map(i => s"t$i")
     val df = Seq(("d", toks)).toDF("doc_id", "toks")
