@@ -1,0 +1,354 @@
+package graft.serve
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods.{compact, parse, render}
+
+import graft.ingest.Pipeline
+import graft.ingest.Pipeline.IndexBundle
+import graft.functions.{Embedder, FeatureHashEmbedder}
+import graft.model.{Filters, TenantContext}
+import graft.operators.BM25
+import graft.retrieval.HybridSearch
+import graft.sources.TableStore
+
+/** Long-lived query service (S10): one driver JVM hosting the
+  * SparkSession — ingest-once into a parquet store, query-many over a
+  * JSON-line protocol. Mirrors the reference's REST surface
+  * (`api/main.py:307-701`): `/search` (POST body semantics: query,
+  * limit, weights, filters, tenant headers), `/documents` list / get /
+  * delete (tenant-checked cascade), `/stats`, `/health`.
+  *
+  * Transport is newline-delimited JSON on stdin/stdout (the `main`
+  * below) or direct [[handle]] calls from tests — the protocol layer is
+  * deliberately thin so an HTTP front could wrap [[handle]] unchanged.
+  *
+  * Scale stance: the store is the partition-pruned parquet layout of
+  * [[TableStore.save]] (chunks by organization_id, postings/idf by
+  * term_blk), so each search touches only the tenant's partitions and
+  * its query terms' posting blocks; the in-memory cache is cleared
+  * after every request (same hygiene as Bench) so nothing depends on
+  * cached state surviving between requests.
+  */
+class QueryService(
+    val spark: SparkSession,
+    storeRoot: String,
+    embedder: Embedder = FeatureHashEmbedder()) {
+
+  implicit private val formats: Formats = DefaultFormats
+
+  // Snapshot generations: each update WRITES gen N+1 while READING gen
+  // N (never overwrite-what-you-read — lazy plans over the old files
+  // would hit FILE_NOT_EXIST mid-write), then atomically flips the
+  // CURRENT pointer and drops the old generation. Readers in flight on
+  // gen N finish against intact files; new requests load gen N+1.
+  private def genDir(n: Int) = s"$storeRoot/gen$n"
+  private def currentFile = java.nio.file.Paths.get(storeRoot, "CURRENT")
+
+  private def currentGen: Option[Int] =
+    if (java.nio.file.Files.exists(currentFile))
+      Some(new String(java.nio.file.Files.readAllBytes(currentFile), "UTF-8").trim.toInt)
+    else None
+
+  private def persist(b: IndexBundle): Unit = {
+    val prev = currentGen
+    val next = prev.map(_ + 1).getOrElse(0)
+    TableStore.save(b, genDir(next))
+    val tmp = java.nio.file.Paths.get(storeRoot, "CURRENT.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, currentFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    bundle = Some(TableStore.load(spark, genDir(next)))
+    prev.foreach { p =>
+      val fs = new org.apache.hadoop.fs.Path(genDir(p))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(genDir(p)), true)
+    }
+  }
+
+  // the read-path handle; None until first ingest (or store preload)
+  private var bundle: Option[IndexBundle] =
+    currentGen.map(n => TableStore.load(spark, genDir(n)))
+
+  /** Handle one JSON request line, return one JSON response line. */
+  def handle(line: String): String =
+    try {
+      val req = parse(line)
+      val op = (req \ "op").extractOpt[String].getOrElse("")
+      val res = op match {
+        case "health"       => health()
+        case "stats"        => stats()
+        case "ingest"       => ingest(req)
+        case "search"       => search(req)
+        case "documents"    => listDocuments(req)
+        case "get_document" => getDocument(req)
+        case "delete"       => delete(req)
+        case other => err(400, s"unknown op: '$other'")
+      }
+      compact(render(res))
+    } catch {
+      case e: ServiceError => compact(render(err(e.status, e.getMessage)))
+      case NonFatal(e) => compact(render(err(500, String.valueOf(e.getMessage))))
+    } finally {
+      // cache hygiene between requests (VERDICT r2 #4): the store is
+      // parquet on disk — no request may depend on cached lineage
+      spark.catalog.clearCache()
+    }
+
+  private case class ServiceError(status: Int, msg: String)
+      extends RuntimeException(msg)
+
+  private def err(status: Int, detail: String): JValue =
+    JObject("status" -> JInt(status), "detail" -> JString(detail))
+
+  /** Tenant context from the request's header-equivalent fields
+    * (`api/main.py:44-75`: X-Organization-ID required, workspace /
+    * collection optional). */
+  private def tenant(req: JValue): TenantContext = {
+    val org = (req \ "organization_id").extractOpt[String]
+      .getOrElse(throw ServiceError(401, "organization_id required"))
+    TenantContext(org,
+      workspaceId = (req \ "workspace_id").extractOpt[String],
+      collectionId = (req \ "collection_id").extractOpt[String])
+  }
+
+  private def requireBundle: IndexBundle =
+    bundle.getOrElse(throw ServiceError(503, "no documents ingested yet"))
+
+  private def health(): JValue = JObject(
+    "status" -> JString("healthy"),
+    "services" -> JObject(
+      "spark" -> JString("up"),
+      "store" -> JString(if (bundle.isDefined) "loaded" else "empty")))
+
+  /** `/stats` (`api/main.py:346-375`): database / vector / bm25 blocks. */
+  private def stats(): JValue = bundle match {
+    case None => JObject(
+      "database" -> JObject(), "vector_store" -> JObject(),
+      "bm25" -> JObject())
+    case Some(b) =>
+      val db = b.chunks.agg(
+        countDistinct(col("document_id")).as("documents"),
+        count(lit(1)).as("chunks"),
+        countDistinct(col("organization_id")).as("organizations")).head()
+      val vec = b.chunks.filter(col("embedding").isNotNull).agg(
+        count(lit(1)).as("vectors"),
+        max(size(col("embedding"))).as("dim")).head()
+      val bm = b.stats.head()
+      JObject(
+        "database" -> JObject(
+          "documents" -> JLong(db.getLong(0)),
+          "chunks" -> JLong(db.getLong(1)),
+          "organizations" -> JLong(db.getLong(2))),
+        "vector_store" -> JObject(
+          "vectors" -> JLong(vec.getLong(0)),
+          "dim" -> JInt(if (vec.isNullAt(1)) 0 else vec.getInt(1))),
+        "bm25" -> JObject(
+          "n_docs" -> JLong(bm.getLong(bm.fieldIndex("n_docs"))),
+          "avgdl" -> JDouble(bm.getDouble(bm.fieldIndex("avgdl")))))
+  }
+
+  /** `/documents/ingest-path` semantics (`api/main.py:543-589`): docs =
+    * [{filename, text}]; doc ids via I14; re-uploads upsert
+    * (delete-then-insert by document, `metadata_store.py:808-847`). */
+  private def ingest(req: JValue): JValue = {
+    val ctx = tenant(req)
+    val docs = (req \ "docs") match {
+      case JArray(ds) => ds.map { d =>
+        val fn = (d \ "filename").extractOpt[String]
+          .getOrElse(throw ServiceError(400, "docs[].filename required"))
+        val text = (d \ "text").extractOpt[String]
+          .getOrElse(throw ServiceError(400, "docs[].text required"))
+        (Pipeline.documentId(fn, text), text, ctx.organizationId)
+      }
+      case _ => throw ServiceError(400, "docs array required")
+    }
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text", "org")
+    val delta = Pipeline.ingest(df, embedder, orgCol = Some("org"))
+    val merged = bundle match {
+      case None => delta
+      case Some(old) => mergeBundles(old, delta)
+    }
+    persist(merged)
+    JObject(
+      "status" -> JString("completed"),
+      "organization_id" -> JString(ctx.organizationId),
+      "document_ids" -> JArray(docs.map(d => JString(d._1))),
+      "total_chunks" -> JLong(delta.chunks.count()))
+  }
+
+  /** Upsert merge: new docs replace same-id old rows (anti-join), BM25
+    * aggregates recomputed from the merged postings — partition-scoped
+    * recompute, never a raw-corpus re-index. */
+  private def mergeBundles(old: IndexBundle, delta: IndexBundle): IndexBundle = {
+    val newDocs = delta.chunks.select(col("document_id")).distinct()
+    val keptChunks = old.chunks.join(newDocs, Seq("document_id"), "left_anti")
+    val chunks = keptChunks.drop("term_blk")
+      .unionByName(delta.chunks, allowMissingColumns = true)
+    val keptPost = old.postings.drop("term_blk")
+      .join(keptChunks.select(col("id")), Seq("id"), "left_semi")
+    val postings = keptPost.unionByName(delta.postings, allowMissingColumns = true)
+    val docFreq = BM25.docFreq(postings)
+    val stats = postings.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    IndexBundle(chunks, postings, docFreq, BM25.idfTable(docFreq, stats), stats)
+  }
+
+  /** `/search` (`api/main.py:376-453`): hybrid search with tenant
+    * isolation; optional weights / filters / limit / enhanced flag. */
+  private def search(req: JValue): JValue = {
+    val ctx = tenant(req)
+    val b = requireBundle
+    val query = (req \ "query").extractOpt[String]
+      .getOrElse(throw ServiceError(400, "query required"))
+    val limit = (req \ "limit").extractOpt[Int].getOrElse(10)
+    if (limit < 1 || limit > 100) throw ServiceError(400, "limit must be 1..100")
+    val weights = (req \ "weights") match {
+      case JObject(fs) => Some(fs.map { case (k, v) =>
+        k -> v.extract[Double] }.toMap)
+      case _ => None
+    }
+    val filters: Map[String, Filters.Pred] = (req \ "filters") match {
+      case JObject(fs) => fs.map {
+        case (k, JArray(vs)) => k -> Filters.In(vs.map(_.extract[String]))
+        case (k, v) => k -> Filters.Eq(v.extract[String])
+      }.toMap
+      case _ => Map.empty
+    }
+    val cfg = HybridSearch.Config(limit = limit, embedder = embedder,
+      weights = weights)
+    val enhanced = (req \ "enhanced").extractOpt[Boolean].getOrElse(false)
+    val out =
+      if (enhanced)
+        HybridSearch.enhancedSearch(b.chunks, query, ctx, filters, cfg,
+          index = Some(b.bm25Index))
+      else
+        HybridSearch.search(b.chunks, query, ctx, filters, cfg,
+          index = Some(b.bm25Index))
+    val cols = out.columns.toSet
+    val rows = out.collect().toSeq.map { r =>
+      def optD(c: String): JValue =
+        if (cols.contains(c) && !r.isNullAt(r.fieldIndex(c)))
+          JDouble(r.getAs[Number](c).doubleValue())
+        else JNull
+      JObject(
+        "id" -> JString(r.getAs[String]("id")),
+        "score" -> optD(if (cols.contains("rrf_score")) "rrf_score" else "final_score"),
+        "text" -> (if (cols.contains("text")) JString(r.getAs[String]("text")) else JNull),
+        "bm25_score" -> optD("bm25_score"),
+        "bm25_rank" -> optD("bm25_rank"),
+        "dense_score" -> optD("dense_score"),
+        "dense_rank" -> optD("dense_rank"))
+    }
+    JObject(
+      "query" -> JString(query),
+      "organization_id" -> JString(ctx.organizationId),
+      "total_results" -> JInt(rows.size),
+      "results" -> JArray(rows.toList))
+  }
+
+  /** Document roll-up for the list/get endpoints: one row per document
+    * from the tenant's chunk partition. */
+  private def docInfo(ctx: TenantContext): DataFrame =
+    Filters.tenantScope(requireBundle.chunks, ctx)
+      .groupBy(col("document_id"))
+      .agg(
+        // I14 ids are `{filename}_{md5[:12]}` — invert when the chunk
+        // rows don't carry an explicit filename column value
+        coalesce(
+          first(col("filename"), ignoreNulls = true),
+          regexp_extract(first(col("document_id")),
+            "^(.*)_[0-9a-f]{12}$", 1)).as("filename"),
+        first(col("document_type"), ignoreNulls = true).as("document_type"),
+        count(lit(1)).as("total_chunks"),
+        max(col("page_number")).as("total_pages"))
+
+  /** `/documents` list (`api/main.py:591-639`): optional document_type
+    * filter, limit/offset pagination, tenant-scoped. */
+  private def listDocuments(req: JValue): JValue = {
+    val ctx = tenant(req)
+    val limit = (req \ "limit").extractOpt[Int].getOrElse(100)
+    val offset = (req \ "offset").extractOpt[Int].getOrElse(0)
+    val typed = (req \ "document_type").extractOpt[String] match {
+      case Some(t) => docInfo(ctx).filter(col("document_type") === t)
+      case None => docInfo(ctx)
+    }
+    val page = typed.orderBy(col("document_id"))
+      .limit(offset + limit).collect().drop(offset)
+    JArray(page.toList.map(docJson(_, ctx)))
+  }
+
+  /** `/documents/{id}` (`api/main.py:641-671`): cross-tenant ids 404. */
+  private def getDocument(req: JValue): JValue = {
+    val ctx = tenant(req)
+    val id = (req \ "document_id").extractOpt[String]
+      .getOrElse(throw ServiceError(400, "document_id required"))
+    docInfo(ctx).filter(col("document_id") === id).collect().headOption
+      .map(docJson(_, ctx))
+      .getOrElse(throw ServiceError(404, "Document not found"))
+  }
+
+  private def docJson(r: org.apache.spark.sql.Row, ctx: TenantContext): JValue =
+    JObject(
+      "id" -> JString(r.getAs[String]("document_id")),
+      "filename" -> Option(r.getAs[String]("filename")).map(JString)
+        .getOrElse(JNull),
+      "organization_id" -> JString(ctx.organizationId),
+      "document_type" -> Option(r.getAs[String]("document_type"))
+        .map(JString).getOrElse(JNull),
+      "total_chunks" -> JLong(r.getAs[Long]("total_chunks")),
+      "total_pages" -> Option(r.get(r.fieldIndex("total_pages")))
+        .map(v => JInt(v.asInstanceOf[Number].intValue())).getOrElse(JNull))
+
+  /** DELETE `/documents/{id}` (`api/main.py:673-701`): tenant ownership
+    * checked before the cascade; the store is rewritten and reloaded so
+    * the deletion is durable. */
+  private def delete(req: JValue): JValue = {
+    val ctx = tenant(req)
+    val id = (req \ "document_id").extractOpt[String]
+      .getOrElse(throw ServiceError(400, "document_id required"))
+    val b = requireBundle
+    val owned = Filters.tenantScope(b.chunks, ctx)
+      .filter(col("document_id") === id).limit(1).count() > 0
+    if (!owned) throw ServiceError(404, "Document not found")
+    persist(Pipeline.cascadeDelete(b, Seq(id)))
+    JObject(
+      "status" -> JString("deleted"),
+      "document_id" -> JString(id),
+      "organization_id" -> JString(ctx.organizationId))
+  }
+}
+
+/** stdin/stdout JSON-line loop: one request per line, one response per
+  * line; `{"op":"shutdown"}` exits. */
+object QueryService {
+  def main(args: Array[String]): Unit = {
+    val storeRoot = args.headOption.getOrElse(
+      sys.env.getOrElse("GRAFT_STORE", "/tmp/graft_store"))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val svc = new QueryService(spark, storeRoot)
+    val in = scala.io.Source.stdin.getLines()
+    var running = true
+    while (running && in.hasNext) {
+      val line = in.next().trim
+      if (line.nonEmpty) {
+        if (line.contains("\"shutdown\"")) {
+          println("""{"status":"bye"}""")
+          running = false
+        } else println(svc.handle(line))
+      }
+    }
+    spark.stop()
+  }
+}

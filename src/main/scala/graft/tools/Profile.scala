@@ -1,59 +1,68 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-import graft.functions.{HashFunctions, TextFunctions}
+import graft.SparkEntry
 
-/** Ad-hoc stage profiler for the dedup pipeline (diagnostics only). */
+/** Parameterized query profiler (diagnostics only — not part of the
+  * library surface).
+  *
+  * Usage: `runMain graft.tools.Profile [query ...] [--sf DIR] [--runs N]
+  * [--explain]`
+  *
+  * Times each named `SparkEntry.queries` entry over N runs (first run
+  * reported separately as "cold"), prints the warm median, and with
+  * `--explain` dumps the formatted physical plan. With no query names it
+  * profiles the full suite. Replaces the six ad-hoc Profile*.scala mains
+  * from earlier rounds.
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    var sfDir = "/root/testdata/sf0.1"
+    var runs = 3
+    var explain = false
+    val names = Seq.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--sf"      => sfDir = args(i + 1); i += 2
+        case "--runs"    => runs = args(i + 1).toInt; i += 2
+        case "--explain" => explain = true; i += 1
+        case q           => names += q; i += 1
+      }
+    }
+    val wanted = {
+      val ns = names.result()
+      if (ns.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else ns
+    }
+
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+    // JIT/classload warmup so the first query's cold time is the query's
+    spark.range(1000).selectExpr("sum(id)").collect()
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
-    }
-
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    time("tokenize") {
-      docs.select(TextFunctions.tokenize($"text").as("toks"))
-        .selectExpr("sum(size(toks))").collect(); docs.count()
-    }
-    val toks = docs.select($"doc_id", TextFunctions.tokenize($"text").as("toks"))
-    time("shingles") {
-      toks.select(TextFunctions.shingles($"toks", 3).as("sh"))
-        .selectExpr("sum(size(sh))").collect(); 0L
-    }
-    time("shingle hashes") {
-      toks.select(transform(TextFunctions.shingles($"toks", 3),
-          s => TextFunctions.hash56(s) % TextFunctions.P31).as("hs"))
-        .selectExpr("sum(size(hs))").collect(); 0L
-    }
-    time("minhash k=16") {
-      toks.select(HashFunctions.minhashSig(
-          transform(TextFunctions.shingles($"toks", 3),
-            s => TextFunctions.hash56(s) % TextFunctions.P31), 16).as("sig"))
-        .selectExpr("sum(size(sig))").collect(); 0L
-    }
-    time("minhash via precomputed hs") {
-      toks.select(transform(TextFunctions.shingles($"toks", 3),
-          s => TextFunctions.hash56(s) % TextFunctions.P31).as("hs"))
-        .select(HashFunctions.minhashSig($"hs", 16).as("sig"))
-        .selectExpr("sum(size(sig))").collect(); 0L
-    }
-    time("q29 full") {
-      graft.operators.TextPack.minhashSig(spark, sfDir).count()
-    }
-    time("q30 full") {
-      graft.operators.TextPack.lshPairs(spark, sfDir).count()
+    for (name <- wanted) {
+      SparkEntry.queries.get(name) match {
+        case None => println(s"$name: no such query")
+        case Some(q) =>
+          if (explain) q(spark, sfDir).explain("formatted")
+          val times = (0 until runs).map { _ =>
+            val t0 = System.nanoTime()
+            q(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val warm = times.drop(1).sorted
+          val med =
+            if (warm.isEmpty) times.head
+            else warm(warm.length / 2)
+          println(f"$name%-28s cold ${times.head}%7.2f s   warm-median $med%7.2f s   (n=$runs)")
+          spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

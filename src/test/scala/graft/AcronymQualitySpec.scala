@@ -82,4 +82,27 @@ class AcronymQualitySpec extends AnyFunSuite {
       "high" -> "sdpm", "medium" -> "semantic",
       "low" -> "sentence", "garbage" -> "token"))
   }
+
+  test("seed dim parity with init.sql:468-494 (count + spot rows)") {
+    // 19 seeded rows: 4 tax + 5 building + 5 legal + 5 financial
+    assert(Acronyms.seedTerms.size == 19)
+    assert(Acronyms.seedTerms.map(_.domain).groupBy(identity).view
+      .mapValues(_.size).toMap ==
+      Map("tax" -> 4, "building" -> 5, "legal" -> 5, "financial" -> 5))
+    // exactly one ambiguous acronym (IRC), two expansions
+    assert(Acronyms.seedTerms.groupBy(_.term).filter(_._2.size > 1).keySet
+      == Set("IRC"))
+    // spot rows pin (acronym, expansion, domain, priority) tuples
+    val rows = Acronyms.seedTerms
+      .map(t => (t.term, t.expansion, t.domain, t.priority)).toSet
+    assert(rows.contains(("IRC", "Internal Revenue Code", "tax", 90)))
+    assert(rows.contains(("IRC", "International Residential Code", "building", 90)))
+    assert(rows.contains(("FUTA", "Federal Unemployment Tax Act", "tax", 70)))
+    assert(rows.contains(("EBITDA",
+      "Earnings Before Interest, Taxes, Depreciation, and Amortization",
+      "financial", 85)))
+    assert(rows.contains(("QOQ", "Quarter over Quarter", "financial", 70)))
+    // every row carries non-empty disambiguation context
+    assert(Acronyms.seedTerms.forall(_.contextKeywords.nonEmpty))
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+
+import graft.operators.TmpDirs
+import graft.serve.QueryService
+
+/** Drives the S10 query service end-to-end through its JSON-line
+  * protocol: two tenants ingest, search with isolation, list / get /
+  * delete with cross-tenant 404s, stats — mirroring
+  * `api/main.py:307-701`. */
+class QueryServiceSpec extends SparkSpec {
+
+  implicit private val formats: Formats = DefaultFormats
+
+  private lazy val svc = new QueryService(spark, TmpDirs.create("graft_svc"))
+
+  private def call(json: String): JValue = parse(svc.handle(json))
+
+  test("health before any ingest reports empty store") {
+    val r = call("""{"op":"health"}""")
+    assert((r \ "status").extract[String] == "healthy")
+    assert((r \ "services" \ "store").extract[String] == "empty")
+  }
+
+  test("search before ingest is a 503, not a crash") {
+    val r = call("""{"op":"search","organization_id":"org_a","query":"x"}""")
+    assert((r \ "status").extract[Int] == 503)
+  }
+
+  test("two tenants ingest and searches are isolated") {
+    val a = call("""{"op":"ingest","organization_id":"org_a","docs":[
+      {"filename":"lease.md","text":"# Lease Agreement\n\nThe tenant shall pay monthly rent of $2,000 to the landlord. The security deposit equals one month of rent.\n\n## Termination\n\nEither party may terminate with sixty days written notice."},
+      {"filename":"notes.md","text":"# Meeting Notes\n\nThe quarterly revenue grew nine percent year over year. Earnings guidance was raised for the fiscal year."}]}""")
+    assert((a \ "status").extract[String] == "completed")
+    assert((a \ "document_ids").extract[List[String]].size == 2)
+
+    val b = call("""{"op":"ingest","organization_id":"org_b","docs":[
+      {"filename":"recipe.md","text":"# Bread Recipe\n\nMix flour, water, salt, and yeast. Let the dough rise for two hours, then bake at high heat until golden."}]}""")
+    assert((b \ "status").extract[String] == "completed")
+
+    // tenant A finds its lease; rent terms only exist in org_a
+    val sa = call("""{"op":"search","organization_id":"org_a","query":"monthly rent deposit","limit":5}""")
+    assert((sa \ "total_results").extract[Int] > 0)
+    val aTexts = (sa \ "results" \\ classOf[JString])
+    assert(aTexts.exists(_.contains("rent")))
+
+    // tenant B must NOT see org_a's lease for the same query
+    val sb = call("""{"op":"search","organization_id":"org_b","query":"monthly rent deposit","limit":5}""")
+    val bResults = (sb \ "results").extract[List[JValue]]
+    assert(bResults.forall(r => !(r \ "text").extract[String].contains("rent")))
+
+    // and B finds its own corpus
+    val sb2 = call("""{"op":"search","organization_id":"org_b","query":"flour dough bake","limit":5}""")
+    assert((sb2 \ "total_results").extract[Int] > 0)
+  }
+
+  test("document list / get are tenant-scoped; delete cascades") {
+    val listA = call("""{"op":"documents","organization_id":"org_a"}""").extract[List[JValue]]
+    assert(listA.size == 2)
+    val listB = call("""{"op":"documents","organization_id":"org_b"}""").extract[List[JValue]]
+    assert(listB.size == 1)
+
+    val leaseId = listA.map(d => (d \ "id").extract[String])
+      .find(_.startsWith("lease.md_")).get
+
+    // cross-tenant get → 404 (api/main.py:659-662)
+    val xGet = call(s"""{"op":"get_document","organization_id":"org_b","document_id":"$leaseId"}""")
+    assert((xGet \ "status").extract[Int] == 404)
+
+    // owner get works and reports chunk counts
+    val g = call(s"""{"op":"get_document","organization_id":"org_a","document_id":"$leaseId"}""")
+    assert((g \ "filename").extract[String] == "lease.md")
+    assert((g \ "total_chunks").extract[Int] > 0)
+
+    // cross-tenant delete → 404, document untouched
+    val xDel = call(s"""{"op":"delete","organization_id":"org_b","document_id":"$leaseId"}""")
+    assert((xDel \ "status").extract[Int] == 404)
+
+    // owner delete succeeds; doc vanishes from list AND search
+    val d = call(s"""{"op":"delete","organization_id":"org_a","document_id":"$leaseId"}""")
+    assert((d \ "status").extract[String] == "deleted")
+    val after = call("""{"op":"documents","organization_id":"org_a"}""").extract[List[JValue]]
+    assert(after.size == 1)
+    val sa = call("""{"op":"search","organization_id":"org_a","query":"monthly rent deposit","limit":5}""")
+    val texts = (sa \ "results").extract[List[JValue]]
+      .map(r => (r \ "text").extract[String])
+    assert(texts.forall(!_.contains("landlord")))
+  }
+
+  test("re-ingest same filename upserts instead of duplicating") {
+    val before = call("""{"op":"documents","organization_id":"org_b"}""").extract[List[JValue]]
+    assert(before.size == 1)
+    call("""{"op":"ingest","organization_id":"org_b","docs":[
+      {"filename":"recipe.md","text":"# Bread Recipe\n\nMix flour, water, salt, and yeast. Let the dough rise for two hours, then bake at high heat until golden."}]}""")
+    val after = call("""{"op":"documents","organization_id":"org_b"}""").extract[List[JValue]]
+    // same content → same I14 doc id → delete-then-insert, count stable
+    assert(after.size == 1)
+  }
+
+  test("stats reports database / vector / bm25 blocks") {
+    val s = call("""{"op":"stats"}""")
+    assert((s \ "database" \ "documents").extract[Long] >= 2L)
+    assert((s \ "database" \ "organizations").extract[Long] == 2L)
+    assert((s \ "vector_store" \ "vectors").extract[Long] > 0L)
+    assert((s \ "bm25" \ "avgdl").extract[Double] > 0.0)
+  }
+
+  test("bad requests surface status codes, not exceptions") {
+    assert((call("""{"op":"nope"}""") \ "status").extract[Int] == 400)
+    assert((call("""{"op":"search","query":"x"}""") \ "status").extract[Int] == 401)
+    assert((call("""{"op":"search","organization_id":"org_a","query":"x","limit":5000}""") \ "status").extract[Int] == 400)
+  }
+}
