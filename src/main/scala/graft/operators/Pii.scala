@@ -61,14 +61,26 @@ object Pii {
     * for documents containing any PII — the hit set is the thing a
     * pipeline quarantines or rewrites, and it is small relative to the
     * corpus, so downstream "replace the dirty docs" is a broadcast-
-    * size join against these ids. */
+    * size join against these ids.
+    *
+    * Each partial redaction is materialized as a column of its own
+    * projection step, so pattern i's replace feeds both its count and
+    * the next partial explicitly — k counts + k replaces per row by
+    * construction, without relying on codegen subexpression
+    * elimination to dedup nested scanLeft trees. */
   def scan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = scanColumns(col(textCol))
-    val total = counts.map(_._2).reduce(_ + _)
-    docs.select(
-      col(idCol) +: counts.map { case (n, c) => c.as(n) } :+
-        redact(col(textCol)).as("redacted"): _*)
+    var df = docs.select(col(idCol), col(textCol).as("__partial"))
+    for ((name, pat, ph) <- patterns) {
+      df = df
+        .withColumn(s"n_$name",
+          regexp_count(col("__partial"), lit(pat)).cast("long"))
+        .withColumn("__partial", regexp_replace(col("__partial"), pat, ph))
+    }
+    val total = patterns.map(p => col(s"n_${p._1}")).reduce(_ + _)
+    df.withColumnRenamed("__partial", "redacted")
       .filter(total > 0)
+      .select(col(idCol) +: patterns.map(p => col(s"n_${p._1}")) :+
+        col("redacted"): _*)
   }
 
   // ---- gate query ---------------------------------------------------------

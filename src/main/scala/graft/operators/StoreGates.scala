@@ -283,11 +283,15 @@ object StoreGates {
             |aaaabbbbcccc ||||||||||| ________
             |xyzqwrtp mjnbvcx asdfghjkl""".stripMargin,
     4L -> "|||| #### @@@@ %%%% &&&& **** (((( )))) ==== ++++ ~~~~ ^^^^ ```` {{{{ }}}} [[[[ ]]]]",
-    5L -> "too short")
+    5L -> "too short",
+    // A8 probe: one 400-char line among tiny ones (length variance
+    // ≫ 10000) plus >50% blank lines — both formatting penalties fire
+    6L -> ("x" * 400 + "\n\nshort line here\n\n\n\nalpha\n\n\n\nbeta\n\n\n\ngamma\n\n\n\n"))
 
   /** Runs the REAL QualityAnalyzer over the fixtures; scores are exact
     * decimal-bounded doubles (weighted sums of small rationals) pinned
-    * by the literal oracle. */
+    * by the literal oracle. The format column additionally gates A8
+    * (formatting variance: line-length spread / blank ratio / indents). */
   def qualityRouting(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     qualityFixtures.map { case (fid, text) =>
@@ -295,9 +299,11 @@ object StoreGates {
         (fid, r.tier, r.chunkStrategy, r.recommendedPipeline,
           math.round(r.overallScore * 1e6) / 1e6,
           math.round(r.ocrScore * 1e6) / 1e6,
-          math.round(r.structureScore * 1e6) / 1e6)
+          math.round(r.structureScore * 1e6) / 1e6,
+          math.round(r.formatScore * 1e6) / 1e6)
       }
-      .toDF("fid", "tier", "strategy", "pipeline", "overall", "ocr", "structure")
+      .toDF("fid", "tier", "strategy", "pipeline", "overall", "ocr",
+        "structure", "format")
       .orderBy($"fid")
   }
 
@@ -307,16 +313,24 @@ object StoreGates {
   private val qualityOracle: String =
     """SELECT * FROM (VALUES
       |  (CAST(1 AS BIGINT), 'high', 'sdpm', 'hierarchical',
-      |    CAST(0.85 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(0.6 AS DOUBLE)),
+      |    CAST(0.85 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(0.6 AS DOUBLE),
+      |    CAST(1.0 AS DOUBLE)),
       |  (CAST(2 AS BIGINT), 'high', 'sdpm', 'hierarchical',
-      |    CAST(0.85 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+      |    CAST(0.85 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |    CAST(1.0 AS DOUBLE)),
       |  (CAST(3 AS BIGINT), 'medium', 'semantic', 'standard',
-      |    CAST(0.61 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+      |    CAST(0.61 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |    CAST(1.0 AS DOUBLE)),
       |  (CAST(4 AS BIGINT), 'medium', 'semantic', 'standard',
-      |    CAST(0.55 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+      |    CAST(0.55 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |    CAST(1.0 AS DOUBLE)),
       |  (CAST(5 AS BIGINT), 'garbage', 'token', 'manual',
-      |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
-      |t(fid, tier, strategy, pipeline, overall, ocr, structure)
+      |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+      |    CAST(0.0 AS DOUBLE)),
+      |  (CAST(6 AS BIGINT), 'low', 'sentence', 'simple',
+      |    CAST(0.49 AS DOUBLE), CAST(0.75 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |    CAST(0.6 AS DOUBLE)))
+      |t(fid, tier, strategy, pipeline, overall, ocr, structure, format)
       |ORDER BY fid""".stripMargin
 
   // ---- q79: filter compiler + containment + projection + F8 -------------
