@@ -35,10 +35,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RetrievalPack.queries ++ TextPack.queries ++
       Analytics.queries ++ Curation.queries ++ Pii.queries ++
-      IngestGates.queries ++ QueryGates.queries ++ StoreGates.queries
+      IngestGates.queries ++ QueryGates.queries ++ StoreGates.queries ++
+      Clean.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ RetrievalPack.oracle ++ TextPack.oracle ++
       Analytics.oracle ++ Curation.oracle ++ Pii.oracle ++
-      IngestGates.oracle ++ QueryGates.oracle ++ StoreGates.oracle
+      IngestGates.oracle ++ QueryGates.oracle ++ StoreGates.oracle ++
+      Clean.oracle
 }

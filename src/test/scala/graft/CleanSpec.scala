@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clean
+
+/** Hand-value checks for the C4-style line cleaner and the
+  * cross-document keep-first line dedup. */
+class CleanSpec extends SparkSpec {
+
+  test("lineClean applies the C4 keep rules row-locally") {
+    import spark.implicits._
+    val doc = Seq((1L, Seq(
+      "This line has enough words and ends properly.",
+      "lorem ipsum filler that would otherwise pass the other rules.",
+      "no terminal punctuation on this line",
+      "Too short.",
+      "function() { return 1; } // code-looking line.",
+      "Quoted endings are accepted as terminal punctuation?\"").mkString("\n")))
+      .toDF("id", "text")
+    val r = Clean.lineClean(doc, "id", "text").head()
+    assert(r.getAs[Long]("n_lines") == 6)
+    assert(r.getAs[Long]("n_kept") == 2)
+    val cleaned = r.getAs[String]("cleaned")
+    assert(cleaned.startsWith("This line has enough words"))
+    assert(cleaned.endsWith("punctuation?\""))
+  }
+
+  test("dedupRepeatedLines keeps only the first occurrence, empty docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha unique one.\nShared footer line."),
+      (2L, "beta unique two.\nShared footer line."),
+      (3L, "Shared footer line.")).toDF("id", "text")
+    val out = Clean.dedupRepeatedLines(docs, "id", "text")
+      .orderBy($"id").collect()
+    // doc 1 wins the shared line (min (id, pos)); docs 2 and 3 lose it
+    assert(out(0).getAs[Long]("n_kept") == 2)
+    assert(out(1).getAs[Long]("n_kept") == 1)
+    assert(out(1).getAs[String]("cleaned") == "beta unique two.")
+    // doc 3 had ONLY the shared line: still present, empty
+    assert(out(2).getAs[Long]("n_kept") == 0)
+    assert(out(2).getAs[String]("cleaned") == "")
+  }
+
+  test("dedup preserves original line order within a doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "z last word line.\na first word line.\nm middle line."),
+      (2L, "completely different content.")).toDF("id", "text")
+    val r = Clean.dedupRepeatedLines(docs, "id", "text")
+      .filter($"id" === 1L).head()
+    assert(r.getAs[String]("cleaned") ==
+      "z last word line.\na first word line.\nm middle line.")
+  }
+
+  test("gate queries are nonempty and self-consistent at sf0.001") {
+    val lc = Clean.lineCleanGate(spark, sf0001)
+    assert(lc.count() > 0)
+    assert(lc.filter(col("n_kept") > col("n_lines")).isEmpty)
+    val dd = Clean.dedupLinesGate(spark, sf0001)
+    assert(dd.count() > 0)
+    // exactly one doc keeps the global boilerplate footer
+    assert(dd.filter(col("n_kept") === 3).count() == 1)
+  }
+}
