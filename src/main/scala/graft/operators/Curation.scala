@@ -206,6 +206,37 @@ object Curation {
         // misbucket near boundaries once prefixes pass 2^53
         expr(s"__dp_prefix div ${budget}L").as("shard_id"))
 
+  /** Pack the corpus into fixed-length training sequences — the
+    * concat-and-chunk step before pretraining: documents are laid
+    * end-to-end in id order at TOKEN granularity (same two-phase
+    * distributed prefix sum as [[packShards]], constant stratum), then
+    * each doc's token interval [off, off+n) is split at every `seqLen`
+    * boundary it crosses. One output row per (doc, sequence) span:
+    * (seq_id, id, doc_from, len, seq_from) — so a long doc spans many
+    * sequences and a sequence packs many short docs, and the
+    * span-generation step after the prefix is a shuffle-free
+    * sequence+explode projection. Zero-token docs are dropped (they
+    * occupy no span). */
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+                    seqLen: Long, groupSize: Long = 1000000L): DataFrame = {
+    val pre = distributedPrefix(
+      docs.select(col(idCol).as("id"), lit(0).as("__all"),
+          col(nTokensCol).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0),
+      "id", "__all", "n_tokens", groupSize)
+    val off = col("__dp_prefix")
+    val spanStart = greatest(off, col("seq_id") * seqLen)
+    val spanEnd = least(off + col("n_tokens"), (col("seq_id") + 1) * seqLen)
+    pre
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__dp_prefix div ${seqLen}L"),
+        expr(s"(__dp_prefix + n_tokens - 1) div ${seqLen}L"))))
+      .select(col("seq_id"), col("id"),
+        (spanStart - off).as("doc_from"),
+        (spanEnd - spanStart).as("len"),
+        (spanStart - col("seq_id") * seqLen).as("seq_from"))
+  }
+
   /** Exclusive running total of `weightCol` per stratum in id order,
     * appended as `__dp_prefix` — every payload column of `df` is
     * preserved (one output row per input row), which is why callers
@@ -445,6 +476,18 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** q82: fixed-512-token sequence packing over the whole corpus
+    * (groups of 100 ids → multi-group offsets exercised at sf0.001).
+    * The oracle computes the same layout with ONE cumulative window. */
+  def sequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id",
+      size(TextFunctions.wsTokens($"text")).as("n_tokens"))
+    packSequences(d, "doc_id", "n_tokens", seqLen = 512L, groupSize = 100L)
+      .select($"seq_id", $"id".as("doc_id"), $"doc_from", $"len", $"seq_from")
+      .orderBy($"seq_id", $"doc_id")
+  }
+
   /** q61: exact per-lang p50/p90 of whitespace token counts. */
   def quantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -494,6 +537,7 @@ object Curation {
     "q62_source_mix" -> (sourceMix _),
     "q64_source_cap" -> (sourceCap _),
     "q65_top_ngrams" -> (topTrigrams _),
+    "q82_pack_sequences" -> (sequences _),
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -553,6 +597,20 @@ object Curation {
          |  FROM t)
          |SELECT doc_id, lang, n_tokens, CAST(prefix // 2000 AS BIGINT) AS shard_id
          |FROM p ORDER BY doc_id""".stripMargin,
+    "q82_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($wsSql) AS BIGINT) AS n FROM documents),
+         |nz AS (SELECT * FROM t WHERE n > 0),
+         |p AS (SELECT doc_id, n,
+         |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM nz),
+         |spans AS (SELECT doc_id, n, off, u.s AS seq_id
+         |  FROM p, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS u(s))
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(greatest(off, seq_id * 512) - off AS BIGINT) AS doc_from,
+         |  CAST(least(off + n, (seq_id + 1) * 512)
+         |    - greatest(off, seq_id * 512) AS BIGINT) AS len,
+         |  CAST(greatest(off, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_from
+         |FROM spans ORDER BY seq_id, doc_id""".stripMargin,
     "q61_token_quantiles" ->
       s"""WITH t AS (SELECT lang, CAST(len($wsSql) AS BIGINT) AS n_tokens FROM documents)
          |SELECT lang, round(quantile_cont(n_tokens, 0.5), 6) AS p50,

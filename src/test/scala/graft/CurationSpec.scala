@@ -212,4 +212,35 @@ class CurationSpec extends SparkSpec {
     val jc = capped.head.getDouble(2)
     assert(jc <= je)
   }
+
+  test("packSequences: spans tile every sequence and partition every doc") {
+    // doc lengths straddle the 10-token seqLen: 3+4 pack into seq 0,
+    // the 17-token doc spans seqs 0..2, a zero-token doc vanishes
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 17L), (4L, 0L), (5L, 6L))
+      .toDF("id", "n")
+    val out = Curation.packSequences(docs, "id", "n", seqLen = 10L,
+      groupSize = 2L).collect()
+    assert(!out.map(_.getAs[Long]("id")).contains(4L))
+    // per-doc spans sum to the doc's length and chain doc_from
+    val byDoc = out.groupBy(_.getAs[Long]("id"))
+    assert(byDoc(3L).map(_.getAs[Long]("len")).sum == 17L)
+    assert(byDoc(3L).map(_.getAs[Long]("seq_id")).sorted.toSeq == Seq(0L, 1L, 2L))
+    // every sequence except the last is exactly full
+    val bySeq = out.groupBy(_.getAs[Long]("seq_id")).view
+      .mapValues(_.map(_.getAs[Long]("len")).sum).toMap
+    val last = bySeq.keys.max
+    bySeq.foreach { case (s, tot) =>
+      if (s != last) assert(tot == 10L, s"seq $s holds $tot tokens")
+    }
+    // total tokens conserved: 3+4+17+6 = 30
+    assert(out.map(_.getAs[Long]("len")).sum == 30L)
+    // within a sequence, spans tile [0, len) without gaps
+    out.groupBy(_.getAs[Long]("seq_id")).foreach { case (_, rows) =>
+      val spans = rows.map(r => (r.getAs[Long]("seq_from"), r.getAs[Long]("len")))
+        .sortBy(_._1)
+      spans.foldLeft(0L) { case (cursor, (from, len)) =>
+        assert(from == cursor); from + len
+      }
+    }
+  }
 }
