@@ -251,6 +251,41 @@ class PlanSpec extends SparkSpec {
     assert(!p3.contains("Exchange"), p3.take(1500))
   }
 
+  test("line cleaning is one row-local projection; line dedup keys on the hash") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Clean
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // C4-style line rules: split→filter→rejoin with zero exchanges
+    val p = plan(Clean.lineClean(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), p.take(1500))
+
+    // repeated-line dedup: every shuffle keys on the 56-bit line hash
+    // (lh) or the doc id — never on the raw line bytes
+    val p2 = plan(Clean.dedupRepeatedLines(docs, "doc_id", "text"))
+    val shuffleKeys = p2.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(shuffleKeys.contains("lh"), p2.take(2000))
+    assert(!shuffleKeys.contains("line#"),
+      s"raw line bytes used as a shuffle key:\n$shuffleKeys")
+  }
+
+  test("sequence packing windows are bounded: grouped prefix, no corpus window") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Curation
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("n_chars").as("n"))
+    val p = plan(Curation.packSequences(docs, "doc_id", "n", 512L, 100L))
+    // the within-group window partitions by the bounded group id —
+    // never an empty partition spec over the whole corpus
+    val windowLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(windowLines.contains("__dp_grp"), p.take(2500))
+    // group offsets join back as a broadcast (tiny per-group table)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("IVF kNN: query path equi-joins probed lists; top-1 is the query itself") {
     import org.apache.spark.sql.functions.col
     import graft.operators.AnnKnn
