@@ -185,7 +185,15 @@ class QueryService(
 
   /** Upsert merge: new docs replace same-id old rows (anti-join), BM25
     * aggregates recomputed from the merged postings — partition-scoped
-    * recompute, never a raw-corpus re-index. */
+    * recompute, never a raw-corpus re-index.
+    *
+    * The PERSIST step below still rewrites the full snapshot (simple,
+    * crash-safe via the generation flip). At corpus scale the write
+    * path would switch to the incremental primitives that already
+    * exist in the library — `BM25.upsertIndex` + partition-local
+    * appends (`TableStore.appendAnn` shape) + `TableStore.compact` —
+    * so an ingest touches only the delta's org/term-block partitions;
+    * the READ path is identical either way. */
   private def mergeBundles(old: IndexBundle, delta: IndexBundle): IndexBundle = {
     val newDocs = delta.chunks.select(col("document_id")).distinct()
     val keptChunks = old.chunks.join(newDocs, Seq("document_id"), "left_anti")
