@@ -18,8 +18,7 @@ class HierarchicalChunker(
     minSectionSize: Int = 100) extends Serializable {
 
   /** `hierarchical_chunker.py:314-316`. */
-  private val sentencePattern =
-    """(?<=[.!?])\s+(?=[A-Z])|(?<=\n)\s*(?=[A-Z0-9])"""
+  private val sentencePattern = HierarchicalChunker.SentencePattern
 
   def chunk(text: String, documentId: String,
             organizationId: String = "default",
@@ -103,4 +102,12 @@ class HierarchicalChunker(
     }
     out.result()
   }
+}
+
+object HierarchicalChunker {
+  /** The ONE sentence-boundary rule (`hierarchical_chunker.py:314-316`)
+    * — shared with [[SemanticChunker]] so the two strategies can never
+    * silently diverge on what a sentence is. */
+  val SentencePattern: String =
+    """(?<=[.!?])\s+(?=[A-Z])|(?<=\n)\s*(?=[A-Z0-9])"""
 }

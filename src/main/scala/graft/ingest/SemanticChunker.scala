@@ -35,9 +35,8 @@ object SemanticChunker {
       dim: Int = 64)
 
   /** Same sentence rule as the hierarchical chunker
-    * (`hierarchical_chunker.py:314-316`). */
-  private val sentenceRe =
-    """(?<=[.!?])\s+(?=[A-Z])|(?<=\n)\s*(?=[A-Z0-9])"""
+    * (`hierarchical_chunker.py:314-316`) — one shared constant. */
+  private val sentenceRe = HierarchicalChunker.SentencePattern
 
   def sentences(text: String): Seq[String] =
     text.split(sentenceRe).map(_.trim).filter(_.nonEmpty).toSeq
@@ -65,11 +64,13 @@ object SemanticChunker {
 
   /** First pass: greedy semantic grouping — a sentence joins the open
     * group while its cosine to the group centroid stays ≥ the boundary
-    * threshold and the token budget holds. */
-  def semanticGroups(sents: Seq[String], cfg: Cfg): Seq[Seq[String]] = {
+    * threshold and the token budget holds. Returns each group with its
+    * sentence vectors so the SDPM pass never re-embeds. */
+  private[ingest] def semanticGroupsVec(sents: Seq[String], cfg: Cfg)
+      : Seq[(Seq[String], Seq[Array[Double]])] = {
     if (sents.isEmpty) return Nil
     val vecs = sents.map(embed(_, cfg.dim))
-    val groups = Seq.newBuilder[Seq[String]]
+    val groups = Seq.newBuilder[(Seq[String], Seq[Array[Double]])]
     var cur = Seq(0)
     var curToks = tokenCount(sents(0))
     for (i <- 1 until sents.length) {
@@ -78,33 +79,41 @@ object SemanticChunker {
       if (sim >= cfg.boundaryThreshold && curToks + t <= cfg.maxTokens) {
         cur :+= i; curToks += t
       } else {
-        groups += cur.map(sents); cur = Seq(i); curToks = t
+        groups += ((cur.map(sents), cur.map(vecs))); cur = Seq(i); curToks = t
       }
     }
-    groups += cur.map(sents)
+    groups += ((cur.map(sents), cur.map(vecs)))
     groups.result()
   }
+
+  def semanticGroups(sents: Seq[String], cfg: Cfg): Seq[Seq[String]] =
+    semanticGroupsVec(sents, cfg).map(_._1)
 
   /** SDPM second pass (Chonkie's skip-window=1 merge): when groups i
     * and i+2 still agree (centroid cosine ≥ mergeThreshold) and the
     * combined budget holds, the interjected group i+1 is absorbed into
     * one chunk — the "double-pass merging" that re-joins a topic split
     * by a digression. */
-  def sdpmMerge(groups: Seq[Seq[String]], cfg: Cfg): Seq[Seq[String]] = {
-    if (groups.size < 3) return groups
+  def sdpmMerge(groups: Seq[Seq[String]], cfg: Cfg): Seq[Seq[String]] =
+    sdpmMergeVec(groups.map(g => (g, g.map(embed(_, cfg.dim)))), cfg)
+
+  private[ingest] def sdpmMergeVec(
+      groups: Seq[(Seq[String], Seq[Array[Double]])],
+      cfg: Cfg): Seq[Seq[String]] = {
+    if (groups.size < 3) return groups.map(_._1)
     val out = Seq.newBuilder[Seq[String]]
     var i = 0
     while (i < groups.size) {
       if (i + 2 < groups.size) {
-        val a = groups(i); val c = groups(i + 2)
-        val va = centroid(a.map(embed(_, cfg.dim)))
-        val vc = centroid(c.map(embed(_, cfg.dim)))
-        val toks = (a ++ groups(i + 1) ++ c).map(tokenCount).sum
+        val (a, aVecs) = groups(i); val (c, cVecs) = groups(i + 2)
+        val va = centroid(aVecs)
+        val vc = centroid(cVecs)
+        val toks = (a ++ groups(i + 1)._1 ++ c).map(tokenCount).sum
         if (dot(va, vc) >= cfg.mergeThreshold && toks <= cfg.maxTokens) {
-          out += (a ++ groups(i + 1) ++ c)
+          out += (a ++ groups(i + 1)._1 ++ c)
           i += 3
         } else { out += a; i += 1 }
-      } else { out += groups(i); i += 1 }
+      } else { out += groups(i)._1; i += 1 }
     }
     out.result()
   }
@@ -130,7 +139,9 @@ object SemanticChunker {
   def chunk(text: String, strategy: String, cfg: Cfg = Cfg()): Seq[String] = {
     val sents = sentences(text)
     strategy match {
-      case "sdpm" => sdpmMerge(semanticGroups(sents, cfg), cfg).map(_.mkString(" "))
+      case "sdpm" =>
+        // vec-threaded pipeline: each sentence embedded exactly once
+        sdpmMergeVec(semanticGroupsVec(sents, cfg), cfg).map(_.mkString(" "))
       case "semantic" => semanticGroups(sents, cfg).map(_.mkString(" "))
       case "sentence" => sentenceGroups(sents, cfg).map(_.mkString(" "))
       case _ => // "token": fixed windows over whitespace tokens

@@ -75,10 +75,14 @@ object Curation {
                          toksCol: String, n: Int,
                          fpp: Double = 1e-6): DataFrame = {
     val spark = train.sparkSession
+    // cached: the eval hash set feeds THREE consumers (the count, the
+    // bloom build, and the exact-confirm semi-join) — without it each
+    // re-runs the explode→distinct lineage over the eval corpus
     val evalSh = evalDocs
       .select(explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
       .select(TextFunctions.hash56(col("sh")).as("sh_h"))
       .distinct()
+      .cache()
     // eval sets are small (≤ millions): one pass builds the bloom
     val nEval = math.max(evalSh.count(), 1L)
     val bloom = evalSh.stat.bloomFilter("sh_h", nEval, fpp)

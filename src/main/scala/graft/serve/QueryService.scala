@@ -149,13 +149,29 @@ class QueryService(
           "vectors" -> JLong(vec.getLong(0)),
           "dim" -> JInt(if (vec.isNullAt(1)) 0 else vec.getInt(1))),
         "bm25" -> JObject(
-          "n_docs" -> JLong(bm.getLong(bm.fieldIndex("n_docs"))),
-          "avgdl" -> JDouble(bm.getDouble(bm.fieldIndex("avgdl")))))
+          // both cells are NULL once the last document is deleted
+          // (aggregates over zero postings rows)
+          "n_docs" -> JLong(if (bm.isNullAt(bm.fieldIndex("n_docs"))) 0L
+            else bm.getLong(bm.fieldIndex("n_docs"))),
+          "avgdl" -> JDouble(if (bm.isNullAt(bm.fieldIndex("avgdl"))) 0.0
+            else bm.getDouble(bm.fieldIndex("avgdl")))))
   }
 
   /** `/documents/ingest-path` semantics (`api/main.py:543-589`): docs =
     * [{filename, text}]; doc ids via I14; re-uploads upsert
-    * (delete-then-insert by document, `metadata_store.py:808-847`). */
+    * (delete-then-insert by document, `metadata_store.py:808-847`).
+    *
+    * Document ids are PREFIXED with the tenant (`org::filename_md5`):
+    * the I14 id is content-derived, so two tenants uploading the same
+    * file would otherwise collide on document AND chunk ids — upsert
+    * would silently drop the other tenant's copy, delete would
+    * cross-tenant cascade, and duplicate chunk ids would double BM25
+    * term frequencies in the shared postings table. The prefix makes
+    * every id unique per (tenant, content) while the library-level I14
+    * format stays as the reference defines it (gate q73). */
+  private def docId(ctx: TenantContext, fn: String, text: String): String =
+    s"${ctx.organizationId}::${Pipeline.documentId(fn, text)}"
+
   private def ingest(req: JValue): JValue = {
     val ctx = tenant(req)
     val docs = (req \ "docs") match {
@@ -164,7 +180,7 @@ class QueryService(
           .getOrElse(throw ServiceError(400, "docs[].filename required"))
         val text = (d \ "text").extractOpt[String]
           .getOrElse(throw ServiceError(400, "docs[].text required"))
-        (Pipeline.documentId(fn, text), text, ctx.organizationId)
+        (docId(ctx, fn, text), text, ctx.organizationId)
       }
       case _ => throw ServiceError(400, "docs array required")
     }
@@ -268,12 +284,12 @@ class QueryService(
     Filters.tenantScope(requireBundle.chunks, ctx)
       .groupBy(col("document_id"))
       .agg(
-        // I14 ids are `{filename}_{md5[:12]}` — invert when the chunk
-        // rows don't carry an explicit filename column value
+        // service ids are `org::{filename}_{md5[:12]}` — invert when
+        // the chunk rows don't carry an explicit filename column value
         coalesce(
           first(col("filename"), ignoreNulls = true),
           regexp_extract(first(col("document_id")),
-            "^(.*)_[0-9a-f]{12}$", 1)).as("filename"),
+            "^(?:.*::)?(.*)_[0-9a-f]{12}$", 1)).as("filename"),
         first(col("document_type"), ignoreNulls = true).as("document_type"),
         count(lit(1)).as("total_chunks"),
         max(col("page_number")).as("total_pages"))
@@ -284,6 +300,8 @@ class QueryService(
     val ctx = tenant(req)
     val limit = (req \ "limit").extractOpt[Int].getOrElse(100)
     val offset = (req \ "offset").extractOpt[Int].getOrElse(0)
+    if (limit < 1 || limit > 1000) throw ServiceError(400, "limit must be 1..1000")
+    if (offset < 0) throw ServiceError(400, "offset must be >= 0")
     val typed = (req \ "document_type").extractOpt[String] match {
       case Some(t) => docInfo(ctx).filter(col("document_type") === t)
       case None => docInfo(ctx)
@@ -351,7 +369,16 @@ object QueryService {
     while (running && in.hasNext) {
       val line = in.next().trim
       if (line.nonEmpty) {
-        if (line.contains("\"shutdown\"")) {
+        // parse properly — a search QUERY containing the word
+        // "shutdown" must not kill the server
+        val isShutdown =
+          try {
+            (org.json4s.jackson.JsonMethods.parse(line) \ "op") match {
+              case JString("shutdown") => true
+              case _ => false
+            }
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (isShutdown) {
           println("""{"status":"bye"}""")
           running = false
         } else println(svc.handle(line))

@@ -63,7 +63,8 @@ class QueryServiceSpec extends SparkSpec {
     assert(listB.size == 1)
 
     val leaseId = listA.map(d => (d \ "id").extract[String])
-      .find(_.startsWith("lease.md_")).get
+      .find(_.contains("lease.md_")).get
+    assert(leaseId.startsWith("org_a::"))
 
     // cross-tenant get → 404 (api/main.py:659-662)
     val xGet = call(s"""{"op":"get_document","organization_id":"org_b","document_id":"$leaseId"}""")
@@ -97,6 +98,35 @@ class QueryServiceSpec extends SparkSpec {
     val after = call("""{"op":"documents","organization_id":"org_b"}""").extract[List[JValue]]
     // same content → same I14 doc id → delete-then-insert, count stable
     assert(after.size == 1)
+  }
+
+  test("identical file in two tenants: ids distinct, deletes don't cross") {
+    val shared = """{"filename":"shared.md","text":"# Shared Handbook\n\nIdentical onboarding handbook text used by every subsidiary office. The handbook covers expense policy and travel booking rules in detail."}"""
+    val ra = call(s"""{"op":"ingest","organization_id":"org_a","docs":[$shared]}""")
+    val rb = call(s"""{"op":"ingest","organization_id":"org_b","docs":[$shared]}""")
+    val idA = (ra \ "document_ids").extract[List[String]].head
+    val idB = (rb \ "document_ids").extract[List[String]].head
+    // content-derived I14 suffix is equal; the tenant prefix disambiguates
+    assert(idA != idB)
+    assert(idA.split("::").last == idB.split("::").last)
+
+    // org_b deleting ITS copy must not touch org_a's
+    assert((call(s"""{"op":"delete","organization_id":"org_b","document_id":"$idB"}""")
+      \ "status").extract[String] == "deleted")
+    val g = call(s"""{"op":"get_document","organization_id":"org_a","document_id":"$idA"}""")
+    assert((g \ "filename").extract[String] == "shared.md")
+    val sa = call("""{"op":"search","organization_id":"org_a","query":"expense policy handbook","limit":5}""")
+    assert((sa \ "results").extract[List[JValue]]
+      .exists(r => (r \ "text").extract[String].contains("handbook")))
+    // cleanup org_a's copy so later counts stay predictable
+    call(s"""{"op":"delete","organization_id":"org_a","document_id":"$idA"}""")
+  }
+
+  test("bad limits on document listing are 400s") {
+    assert((call("""{"op":"documents","organization_id":"org_a","limit":-1}""")
+      \ "status").extract[Int] == 400)
+    assert((call("""{"op":"documents","organization_id":"org_a","offset":-5}""")
+      \ "status").extract[Int] == 400)
   }
 
   test("stats reports database / vector / bm25 blocks") {
