@@ -119,12 +119,14 @@ object DomainMetadata {
         "monetary_values" -> monetary.mkString(",")))
   }
 
+  private val allCapsLine = Pattern.compile("""^[A-Z][A-Z\s]+$""")
+
   /** `domain_schemas.py:268-279`: ALL-CAPS or agreement-ish line in the
     * first 20 lines. */
   private def extractTitle(text: String): Option[String] = {
     text.split("\n").take(20).map(_.trim).find { line =>
       line.length > 10 && line.length < 200 &&
-        (line.matches("""^[A-Z][A-Z\s]+$""") ||
+        (allCapsLine.matcher(line).matches() ||
           Seq("agreement", "contract", "amendment").exists(line.toLowerCase.contains))
     }
   }

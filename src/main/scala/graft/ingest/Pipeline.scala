@@ -42,7 +42,13 @@ object Pipeline {
   /** Ingest documents (cols: doc_id, text + optional org/source) into
     * the chunk fact table with quality routing and embeddings. The
     * embedder is the pluggable model seam (I9) — defaults to the
-    * deterministic feature-hash stand-in. */
+    * deterministic feature-hash stand-in.
+    *
+    * `doc_id` must be unique across the WHOLE input — not merely per
+    * org: chunk ids derive from it, and colliding chunk ids merge in
+    * the postings aggregation (doubling term frequencies). Multi-tenant
+    * callers ingesting content-derived ids should prefix them with the
+    * tenant (as `serve.QueryService` does). */
   def ingest(docs: DataFrame, embedder: Embedder = FeatureHashEmbedder(),
              orgCol: Option[String] = None): IndexBundle = {
     val spark = docs.sparkSession

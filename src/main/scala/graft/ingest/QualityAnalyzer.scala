@@ -44,6 +44,8 @@ object QualityAnalyzer {
     """[bcdfghjklmnpqrstvwxz]{5,}""", """[aeiou]{5,}""", """(.)\1{4,}""")
     .map(Pattern.compile(_, Pattern.CASE_INSENSITIVE))
 
+  private val leadingWs = Pattern.compile("""^\s+""")
+
   /** `chunking_service.py:64-69`: QUALITY_STRATEGY_MAP. */
   val strategyMap: Map[String, String] = Map(
     "high" -> "sdpm", "medium" -> "semantic",
@@ -134,7 +136,7 @@ object QualityAnalyzer {
     val blankRatio = lines.count(_.trim.isEmpty).toDouble / lines.length
     if (blankRatio > 0.5) score -= 0.2
     val indents = lines.filter(_.trim.nonEmpty)
-      .map(l => l.length - l.replaceAll("^\\s+", "").length)
+      .map(l => l.length - leadingWs.matcher(l).replaceFirst("").length)
     if (indents.nonEmpty && indents.distinct.length > 20) score -= 0.1
     math.max(0.0, score)
   }

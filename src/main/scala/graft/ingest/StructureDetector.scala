@@ -59,10 +59,13 @@ object StructureDetector {
     case _ => legalPatterns ++ technicalPatterns ++ codePatterns ++ financialPatterns
   }
 
+  private val numericSection = Pattern.compile("""\d+(\.\d+)*""")
+  private val sectionNumber = Pattern.compile("""(\d+(?:\.\d+)*)""")
+
   /** Nesting level = dot count in the section number + 1 ("2.1.3" → 3);
     * non-numeric headings are level 1. */
   def nestingLevel(number: Option[String]): Int =
-    number.filter(_.matches("""\d+(\.\d+)*"""))
+    number.filter(n => numericSection.matcher(n).matches())
       .map(n => n.count(_ == '.') + 1).getOrElse(1)
 
   /** Scan text line-by-line; each heading opens a section that ends at
@@ -76,7 +79,7 @@ object StructureDetector {
       val stripped = line.trim
       val matched = ps.exists(_.matcher(stripped).find())
       if (matched && stripped.nonEmpty) {
-        val numM = Pattern.compile("""(\d+(?:\.\d+)*)""").matcher(stripped)
+        val numM = sectionNumber.matcher(stripped)
         val number = if (numM.find()) Some(numM.group(1)) else None
         headings += ((i, offset, stripped, number))
       }
