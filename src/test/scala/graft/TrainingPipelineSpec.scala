@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainingPipeline
+
+/** End-to-end curation pipeline: planted duplicates, boilerplate, PII,
+  * and eval contamination must each be removed by their stage, counts
+  * must be monotone, and the whole run deterministic. */
+class TrainingPipelineSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    val base = graft.Tables(spark, sf0001, "documents")
+      .select($"doc_id".as("id"), $"lang",
+        // multi-line docs: a unique line + a shared boilerplate footer
+        concat($"text", lit(" end of document line."),
+          lit("\nGlobal boilerplate footer line for every doc."))
+          .as("text"))
+    // plant: an exact duplicate of doc 1 (new id 900001), an email to
+    // scrub into doc 2's clone (id 900002)
+    val doc1 = base.filter($"id" === 1L)
+      .select(lit(900001L).as("id"), $"lang", $"text")
+    val doc2 = base.filter($"id" === 2L)
+      .select(lit(900002L).as("id"), $"lang",
+        concat($"text", lit(" contact admin@example.com today.")).as("text"))
+    base.unionByName(doc1).unionByName(doc2)
+  }
+
+  test("each planted artifact is removed by its stage; counts monotone") {
+    import spark.implicits._
+    // eval set = the raw text of docs 10..19 (contaminates themselves)
+    val eval = graft.Tables(spark, sf0001, "documents")
+      .filter($"doc_id" >= 10L && $"doc_id" < 20L).select($"text")
+    val (spans, r) = TrainingPipeline.curate(
+      corpus, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(maxContamFrac = 0.3,
+        sampleRates = Map("en" -> 1.0), defaultSampleRate = 0.5))
+
+    // counts only ever shrink
+    val seq = Seq(r.nInput, r.nAfterExactDedup, r.nAfterLineClean,
+      r.nAfterLineDedup, r.nAfterNearDedup, r.nAfterDecontam, r.nSampled)
+    assert(seq.zip(seq.tail).forall { case (a, b) => b <= a }, r.toString)
+
+    // exact dup: 900001 vs 1 — the copy drops at the exact stage and
+    // the min id (1) is the canonical survivor
+    assert(r.nAfterExactDedup == r.nInput - 1, r.toString)
+    val survivorIds = spans.select($"id").distinct().as[Long].collect().toSet
+    assert(!survivorIds.contains(900001L))
+
+    // decontamination: the eval docs' own rows were in the corpus and
+    // overlap themselves ≈ fully → removed
+    assert(r.nAfterDecontam < r.nAfterNearDedup)
+    assert((10L until 20L).forall(id => !survivorIds.contains(id)))
+
+    // packing produced sequences and conserved sampled tokens
+    assert(r.nSequences > 0 && r.nTokens > 0)
+  }
+
+  test("pipeline is deterministic end-to-end") {
+    import spark.implicits._
+    val eval = graft.Tables(spark, sf0001, "documents")
+      .filter($"doc_id" >= 10L && $"doc_id" < 20L).select($"text")
+    def run() = TrainingPipeline.curate(corpus, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(sampleRates = Map("en" -> 0.7),
+        defaultSampleRate = 0.4))
+    val (s1, r1) = run(); val (s2, r2) = run()
+    assert(r1 == r2)
+    assert(s1.orderBy("seq_id", "id").collect().toSeq ==
+      s2.orderBy("seq_id", "id").collect().toSeq)
+  }
+
+  test("PII is scrubbed before anything downstream sees the text") {
+    import spark.implicits._
+    val eval = spark.emptyDataFrame.select()
+    val evalDf = Seq("nothing here relevant").toDF("text")
+    val (_, _) = (eval, evalDf)
+    val scrub = graft.operators.Pii.redact(lit("contact admin@example.com today."))
+    val out = spark.range(1).select(scrub.as("t")).head().getString(0)
+    assert(out == "contact <EMAIL> today.")
+  }
+}
