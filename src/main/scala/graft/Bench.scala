@@ -55,6 +55,23 @@ object Bench {
       bundle.postings.write.format("noop").mode("overwrite").save()
     }
 
+    spark.catalog.clearCache()
+    // end-to-end curation throughput: scrub → dedups → decontaminate →
+    // sample → sequence-pack (every stage the gated primitive)
+    results("curation_pipeline") = time {
+      import org.apache.spark.sql.functions.{col, concat, lit}
+      // the corpus is unpunctuated word salad — append a terminal stop
+      // (gate-injection stance) so the C4 line rules see prose-shaped
+      // lines instead of dropping every doc
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(".")).as("text"),
+          col("lang"))
+      val eval = docs.filter(col("doc_id") % 25 === 0).select(col("text"))
+      val (spans, _) = graft.operators.TrainingPipeline.curate(
+        docs, eval, "doc_id", "text", "lang")
+      spans.write.format("noop").mode("overwrite").save()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
