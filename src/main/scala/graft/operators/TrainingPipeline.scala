@@ -56,11 +56,17 @@ object TrainingPipeline {
 
   /** Run the full pipeline. `docs` needs (idCol: long-castable, textCol,
     * stratumCol); `evalDocs` needs textCol. Returns the packed sequence
-    * spans (seq_id, id, doc_from, len, seq_from) and the stage report. */
+    * spans (seq_id, id, doc_from, len, seq_from) and the stage report.
+    *
+    * `withReport = false` skips every per-stage count job (all Report
+    * counts become -1 except the sequence stats, which ride the final
+    * aggregate) — the production mode, where the only actions are the
+    * dedup-cluster iteration and whatever the caller runs on `spans`. */
   def curate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
              textCol: String, stratumCol: String,
-             cfg: Cfg = Cfg()): (DataFrame, Report) = {
-    val nInput = docs.count()
+             cfg: Cfg = Cfg(), withReport: Boolean = true): (DataFrame, Report) = {
+    def stageCount(df: DataFrame): Long = if (withReport) df.count() else -1L
+    val nInput = stageCount(docs)
 
     // 1: PII scrub (row-local; fuses with the next stage's scan)
     val scrubbed = docs.select(col(idCol).as("id"),
@@ -75,7 +81,7 @@ object TrainingPipeline {
       .select(col("id"))
     val exactDeduped = scrubbed
       .join(exactLosers, Seq("id"), "left_anti").cache()
-    val nExact = exactDeduped.count()
+    val nExact = stageCount(exactDeduped)
 
     // 3: line clean
     val cleaned = Clean.lineClean(exactDeduped, "id", "text",
@@ -84,7 +90,7 @@ object TrainingPipeline {
       .filter(col("n_kept") > 0)
       .select(col("id"), col("stratum"), col("cleaned").as("text"))
       .cache()
-    val nClean = cleaned.count()
+    val nClean = stageCount(cleaned)
 
     // 4: cross-doc repeated-line dedup (keep-first)
     val lineDeduped = Clean.dedupRepeatedLines(cleaned, "id", "text")
@@ -92,19 +98,22 @@ object TrainingPipeline {
       .join(cleaned.select(col("id"), col("stratum")), Seq("id"))
       .select(col("id"), col("stratum"), col("cleaned").as("text"))
       .cache()
-    val nLineDedup = lineDeduped.count()
+    val nLineDedup = stageCount(lineDeduped)
 
     // 5: near-dedup — minhash → banded LSH → verified Jaccard →
     // clusters → canonical-only
+    // cached: three consumers (signatures, Jaccard verify, canonical
+    // filter) would each re-run the tokenize lineage otherwise
     val toks = lineDeduped.select(col("id"), col("stratum"),
       col("text"), TextFunctions.tokenize(col("text")).as("toks"))
+      .cache()
     val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK)
     val cands = Dedup.lshCandidates(sigs, cfg.lshBands, cfg.lshRows)
     val pairs = Dedup.jaccardVerify(cands, toks, "id", "toks")
       .filter(col("jaccard") >= cfg.jaccardThreshold)
     val labels = Dedup.clusters(pairs)
     val nearDeduped = Dedup.keepCanonical(toks, "id", labels).cache()
-    val nNear = nearDeduped.count()
+    val nNear = stageCount(nearDeduped)
 
     // 6: decontamination — drop docs overlapping the eval set
     val evalToks = evalDocs.select(
@@ -116,14 +125,14 @@ object TrainingPipeline {
     val decontaminated = nearDeduped
       .join(broadcast(contaminated), Seq("id"), "left_anti")
       .cache()
-    val nDecontam = decontaminated.count()
+    val nDecontam = stageCount(decontaminated)
 
     // 7: deterministic stratified sampling
     val sampled = Curation.stratifiedSample(decontaminated, "id",
         "stratum", cfg.sampleRates, cfg.defaultSampleRate, cfg.sampleSalt)
       .select(col("id"), col("stratum"), col("toks"))
       .cache()
-    val nSampled = sampled.count()
+    val nSampled = stageCount(sampled)
 
     // 8: fixed-length sequence packing over token counts
     val sized = sampled.select(col("id"),
