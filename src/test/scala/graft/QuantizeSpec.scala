@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DenseKnn, Quantize}
+
+/** Int8 quantization: per-element error bound and retrieval quality
+  * against the exact dot-product path. */
+class QuantizeSpec extends SparkSpec {
+
+  test("dequantized values stay within half a quantization step") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings")
+    val (codes, scale) = Quantize.quantizeI8($"embedding")
+    // |code/127*scale - v| <= scale/254 (floor(x+0.5) = nearest)
+    val err = e.select(
+      aggregate(
+        zip_with(codes, $"embedding".cast("array<double>"),
+          (c, v) => abs(c / 127.0 * scale - v)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"),
+      (scale / 254.0 + lit(1e-12)).as("bound"))
+    assert(err.filter($"max_err" > $"bound").isEmpty)
+  }
+
+  test("codes are integers in [-127, 127]") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings")
+    val (codes, _) = Quantize.quantizeI8($"embedding")
+    val bad = e.select(explode(codes).as("c"))
+      .filter($"c" =!= floor($"c") || abs($"c") > 127)
+    assert(bad.isEmpty)
+  }
+
+  test("quantized top-10 recall vs exact is >= 0.8") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter($"vec_id" === 0).select($"embedding")
+    val exact = DenseKnn.topK(e, "vec_id", "embedding", q, "embedding", 10)
+      .select($"id").as[Long].collect().toSet
+    val quant = Quantize.topKQuantized(e, "vec_id", "embedding", 0L, 10)
+      .select($"id").as[Long].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+}
