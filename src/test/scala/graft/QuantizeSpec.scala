@@ -31,6 +31,31 @@ class QuantizeSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("tinyint store round-trips codes exactly and shrinks the files") {
+    import spark.implicits._
+    import graft.operators.TmpDirs
+    import graft.sources.TableStore
+    val root = TmpDirs.create("graft_quant")
+    val e = Tables(spark, sf0001, "embeddings")
+    TableStore.saveQuantized(e, "vec_id", "embedding", root)
+    val loaded = TableStore.loadQuantized(spark, root)
+    // round-trip: loaded codes equal the in-flight quantization
+    val (codes, scale) = Quantize.quantizeI8($"embedding")
+    val fresh = e.select($"vec_id".as("id"), codes.as("codes"), scale.as("scale"))
+    assert(loaded.except(fresh).isEmpty && fresh.except(loaded).isEmpty)
+    // 4x claim: quantized parquet is well under half the raw column's size
+    def dirSize(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        else f.length
+      walk(new java.io.File(p))
+    }
+    val rawDir = root + "/raw"
+    e.select($"vec_id", $"embedding").write.parquet(rawDir)
+    val ratio = dirSize(root + "/quantized").toDouble / dirSize(rawDir)
+    assert(ratio < 0.55, s"quantized/raw size ratio = $ratio")
+  }
+
   test("quantized top-10 recall vs exact is >= 0.8") {
     import spark.implicits._
     val e = Tables(spark, sf0001, "embeddings")
