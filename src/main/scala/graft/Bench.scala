@@ -67,9 +67,9 @@ object Bench {
         .select(col("doc_id"), concat(col("text"), lit(".")).as("text"),
           col("lang"))
       val eval = docs.filter(col("doc_id") % 25 === 0).select(col("text"))
-      val (spans, _) = graft.operators.TrainingPipeline.curate(
+      val out = graft.operators.TrainingPipeline.curate(
         docs, eval, "doc_id", "text", "lang")
-      spans.write.format("noop").mode("overwrite").save()
+      out.spans.write.format("noop").mode("overwrite").save()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -75,9 +75,11 @@ object Curation {
                          toksCol: String, n: Int,
                          fpp: Double = 1e-6): DataFrame = {
     val spark = train.sparkSession
-    // cached: the eval hash set feeds THREE consumers (the count, the
-    // bloom build, and the exact-confirm semi-join) — without it each
-    // re-runs the explode→distinct lineage over the eval corpus
+    // cached for the two eager consumers here (the count and the bloom
+    // build) and released right after — the exact-confirm semi-join in
+    // the returned lazy plan recomputes the eval lineage once when the
+    // caller acts, instead of this call leaking a cached frame per
+    // invocation into a long-lived session
     val evalSh = evalDocs
       .select(explode(array_distinct(TextFunctions.shingles(col(toksCol), n))).as("sh"))
       .select(TextFunctions.hash56(col("sh")).as("sh_h"))
@@ -86,6 +88,7 @@ object Curation {
     // eval sets are small (≤ millions): one pass builds the bloom
     val nEval = math.max(evalSh.count(), 1L)
     val bloom = evalSh.stat.bloomFilter("sh_h", nEval, fpp)
+    evalSh.unpersist(false)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val might = udf((h: Long) => bloomBc.value.mightContainLong(h))
 

@@ -26,15 +26,22 @@ import graft.Tables
   */
 object Quantize {
 
-  /** (codes, scale) for a float/double vector column. Zero vectors
-    * quantize to all-zero codes with scale 0. */
-  def quantizeI8(v: Column): (Column, Column) = {
-    val dv = v.cast("array<double>")
-    val scale = array_max(transform(dv, x => abs(x)))
-    val codes = transform(dv, x =>
-      when(scale > 0, floor(x / scale * 127 + 0.5)).otherwise(lit(0.0)))
-    (codes, scale)
-  }
+  /** (id, codes, scale) for a vector column. Zero vectors quantize to
+    * all-zero codes with scale 0.
+    *
+    * The scale is materialized as its OWN projection column before the
+    * codes lambda references it: an `array_max` subtree embedded
+    * directly inside the `transform` body would re-scan the whole
+    * vector per element, twice (lambda bodies get no loop-invariant
+    * hoisting — the q58 trap from BASELINE round 2), turning the
+    * quantization pass O(dim²). */
+  def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("scale", array_max(transform(col("__v"), x => abs(x))))
+      .withColumn("codes", transform(col("__v"), x =>
+        when(col("scale") > 0, floor(x / col("scale") * 127 + 0.5))
+          .otherwise(lit(0.0))))
+      .select(col("id"), col("codes"), col("scale"))
 
   /** Approximate dot product from two quantized pairs. */
   def dotI8(codesA: Column, scaleA: Column,
@@ -47,13 +54,10 @@ object Quantize {
     * the same path, scores via the integer dot + rescale. */
   def topKQuantized(emb: DataFrame, idCol: String, vecCol: String,
                     queryId: Long, k: Int): DataFrame = {
-    val (codes, scale) = quantizeI8(col(vecCol))
-    val q = emb.select(col(idCol).as("__qid"), codes.as("qcodes"),
-        scale.as("qscale"))
-      .filter(col("__qid") === queryId)
-      .select(col("qcodes"), col("qscale"))
-    emb.select(col(idCol).as("id"), codes.as("codes"), scale.as("scale"))
-      .crossJoin(broadcast(q))
+    val qz = quantized(emb, idCol, vecCol)
+    val q = qz.filter(col("id") === queryId)
+      .select(col("codes").as("qcodes"), col("scale").as("qscale"))
+    qz.crossJoin(broadcast(q))
       .select(col("id"),
         round(dotI8(col("codes"), col("scale"),
           col("qcodes"), col("qscale")), 6).as("score"))

@@ -40,9 +40,13 @@ object TrainingPipeline {
       sampleSalt: String = "s42",
       seqLen: Long = 512L)
 
-  /** Survivor counts after each stage (a count() per stage — cheap
-    * aggregates, and the intermediate frames below are cached exactly
-    * because two consumers need them: the count and the next stage). */
+  /** Pipeline output: the curated documents (id, stratum, toks — what
+    * a tokenizer-side consumer reads), the packed sequence spans, and
+    * the per-stage survivor report. */
+  case class Output(docs: DataFrame, spans: DataFrame, report: Report)
+
+  /** Survivor counts after each stage (report mode only; every field
+    * is -1 when `withReport = false`). */
   case class Report(
       nInput: Long,
       nAfterExactDedup: Long,
@@ -58,20 +62,35 @@ object TrainingPipeline {
     * stratumCol); `evalDocs` needs textCol. Returns the packed sequence
     * spans (seq_id, id, doc_from, len, seq_from) and the stage report.
     *
-    * `withReport = false` skips every per-stage count job (all Report
-    * counts become -1 except the sequence stats, which ride the final
-    * aggregate) — the production mode, where the only actions are the
-    * dedup-cluster iteration and whatever the caller runs on `spans`. */
+    * `withReport = false` skips every count/stat job (all Report
+    * fields become -1) and every per-stage cache except the
+    * multi-consumer tokenized frame — the production mode, where the
+    * only actions before the caller touches `spans` are the
+    * dedup-cluster iteration's own. In report mode each stage cache is
+    * unpersisted as soon as the next stage is materialized, so
+    * curate() pins at most two stages at a time, not the whole
+    * lineage. */
   def curate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
              textCol: String, stratumCol: String,
-             cfg: Cfg = Cfg(), withReport: Boolean = true): (DataFrame, Report) = {
-    def stageCount(df: DataFrame): Long = if (withReport) df.count() else -1L
-    val nInput = stageCount(docs)
+             cfg: Cfg = Cfg(), withReport: Boolean = true): Output = {
+    def staged(df: DataFrame): DataFrame = if (withReport) df.cache() else df
+    var prev: Option[DataFrame] = None
+    // count the just-materialized stage, then release its predecessor
+    def stageCount(df: DataFrame): Long =
+      if (!withReport) -1L
+      else {
+        val n = df.count()
+        prev.foreach(_.unpersist(false))
+        prev = Some(df)
+        n
+      }
+    val nInput = if (withReport) docs.count() else -1L
 
-    // 1: PII scrub (row-local; fuses with the next stage's scan)
-    val scrubbed = docs.select(col(idCol).as("id"),
-      col(stratumCol).as("stratum"), Pii.redact(col(textCol)).as("text"))
-      .cache()
+    // 1: PII scrub (row-local) — staged because exact dedup consumes
+    // it three times (groups, losers, surviving base)
+    val scrubbed = staged(docs.select(col(idCol).as("id"),
+      col(stratumCol).as("stratum"), Pii.redact(col(textCol)).as("text")))
+    prev = Some(scrubbed)
 
     // 2: exact dedup — only non-canonical members of md5 groups drop
     val dupGroups = Dedup.exactGroups(scrubbed, "id", "text")
@@ -79,31 +98,33 @@ object TrainingPipeline {
       .join(dupGroups, md5(col("text")) === col("text_md5"))
       .filter(col("id") =!= col("canonical_id"))
       .select(col("id"))
-    val exactDeduped = scrubbed
-      .join(exactLosers, Seq("id"), "left_anti").cache()
+    val exactDeduped = staged(scrubbed
+      .join(exactLosers, Seq("id"), "left_anti"))
     val nExact = stageCount(exactDeduped)
 
     // 3: line clean
-    val cleaned = Clean.lineClean(exactDeduped, "id", "text",
+    val cleaned0 = Clean.lineClean(exactDeduped, "id", "text",
         cfg.minWordsPerLine)
       .join(exactDeduped.select(col("id"), col("stratum")), Seq("id"))
       .filter(col("n_kept") > 0)
       .select(col("id"), col("stratum"), col("cleaned").as("text"))
-      .cache()
-    val nClean = stageCount(cleaned)
+    val cleanedS = staged(cleaned0)
+    val nClean = stageCount(cleanedS)
 
     // 4: cross-doc repeated-line dedup (keep-first)
-    val lineDeduped = Clean.dedupRepeatedLines(cleaned, "id", "text")
+    val lineDeduped = staged(Clean.dedupRepeatedLines(cleanedS, "id", "text")
       .filter(col("n_kept") > 0)
-      .join(cleaned.select(col("id"), col("stratum")), Seq("id"))
-      .select(col("id"), col("stratum"), col("cleaned").as("text"))
-      .cache()
+      .join(cleanedS.select(col("id"), col("stratum")), Seq("id"))
+      .select(col("id"), col("stratum"), col("cleaned").as("text")))
     val nLineDedup = stageCount(lineDeduped)
 
     // 5: near-dedup — minhash → banded LSH → verified Jaccard →
     // clusters → canonical-only
-    // cached: three consumers (signatures, Jaccard verify, canonical
-    // filter) would each re-run the tokenize lineage otherwise
+    // cached in BOTH modes: three consumers (signatures, Jaccard
+    // verify, canonical filter) plus the cluster loop's own actions
+    // would each re-run the tokenize lineage otherwise; in lazy mode
+    // this is the one deliberate cache (the spans lineage still
+    // references it — LRU-evictable, recompute-safe)
     val toks = lineDeduped.select(col("id"), col("stratum"),
       col("text"), TextFunctions.tokenize(col("text")).as("toks"))
       .cache()
@@ -112,8 +133,11 @@ object TrainingPipeline {
     val pairs = Dedup.jaccardVerify(cands, toks, "id", "toks")
       .filter(col("jaccard") >= cfg.jaccardThreshold)
     val labels = Dedup.clusters(pairs)
-    val nearDeduped = Dedup.keepCanonical(toks, "id", labels).cache()
+    val nearDeduped = staged(Dedup.keepCanonical(toks, "id", labels))
     val nNear = stageCount(nearDeduped)
+    // once the canonical survivors are materialized, the token frame's
+    // remaining consumers all read through cached stages
+    if (withReport) toks.unpersist(false)
 
     // 6: decontamination — drop docs overlapping the eval set
     val evalToks = evalDocs.select(
@@ -122,30 +146,35 @@ object TrainingPipeline {
         nearDeduped, evalToks, "id", "toks", cfg.shingleN)
       .filter(col("hit_frac") >= cfg.maxContamFrac)
       .select(col("id"))
-    val decontaminated = nearDeduped
-      .join(broadcast(contaminated), Seq("id"), "left_anti")
-      .cache()
+    val decontaminated = staged(nearDeduped
+      .join(broadcast(contaminated), Seq("id"), "left_anti"))
     val nDecontam = stageCount(decontaminated)
 
     // 7: deterministic stratified sampling
-    val sampled = Curation.stratifiedSample(decontaminated, "id",
+    val sampled = staged(Curation.stratifiedSample(decontaminated, "id",
         "stratum", cfg.sampleRates, cfg.defaultSampleRate, cfg.sampleSalt)
-      .select(col("id"), col("stratum"), col("toks"))
-      .cache()
+      .select(col("id"), col("stratum"), col("toks")))
     val nSampled = stageCount(sampled)
 
     // 8: fixed-length sequence packing over token counts
     val sized = sampled.select(col("id"),
       size(col("toks")).cast("long").as("n_tokens"))
-    val spans = Curation.packSequences(sized, "id", "n_tokens",
-      cfg.seqLen).cache()
-    val seqStats = spans.agg(
-      countDistinct(col("seq_id")), sum(col("len"))).head()
+    val spans = staged(Curation.packSequences(sized, "id", "n_tokens",
+      cfg.seqLen))
+    // sequence stats are themselves a report job — in lazy mode
+    // NOTHING here materializes spans; the caller decides when
+    val (nSeq, nTok) =
+      if (!withReport) (-1L, -1L)
+      else {
+        val st = spans.agg(
+          countDistinct(col("seq_id")), sum(col("len"))).head()
+        // sampled stays cached — it is RETURNED as Output.docs
+        (if (st.isNullAt(0)) 0L else st.getLong(0),
+          if (st.isNullAt(1)) 0L else st.getLong(1))
+      }
 
-    val report = Report(nInput, nExact, nClean, nLineDedup, nNear,
-      nDecontam, nSampled,
-      if (seqStats.isNullAt(0)) 0L else seqStats.getLong(0),
-      if (seqStats.isNullAt(1)) 0L else seqStats.getLong(1))
-    (spans, report)
+    Output(sampled, spans,
+      Report(nInput, nExact, nClean, nLineDedup, nNear,
+        nDecontam, nSampled, nSeq, nTok))
   }
 }

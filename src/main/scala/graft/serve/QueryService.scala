@@ -81,6 +81,7 @@ class QueryService(
       val req = parse(line)
       val op = (req \ "op").extractOpt[String].getOrElse("")
       val res = op match {
+        case "shutdown"     => JObject("status" -> JString("bye"))
         case "health"       => health()
         case "stats"        => stats()
         case "ingest"       => ingest(req)
@@ -112,6 +113,10 @@ class QueryService(
   private def tenant(req: JValue): TenantContext = {
     val org = (req \ "organization_id").extractOpt[String]
       .getOrElse(throw ServiceError(401, "organization_id required"))
+    // "::" is the tenant-prefix separator in document ids — an org id
+    // containing it could forge another tenant's id space
+    if (org.contains("::"))
+      throw ServiceError(400, "organization_id must not contain '::'")
     TenantContext(org,
       workspaceId = (req \ "workspace_id").extractOpt[String],
       collectionId = (req \ "collection_id").extractOpt[String])
@@ -178,6 +183,10 @@ class QueryService(
       case JArray(ds) => ds.map { d =>
         val fn = (d \ "filename").extractOpt[String]
           .getOrElse(throw ServiceError(400, "docs[].filename required"))
+        // same injection guard as the org id: 'a' uploading 'b::x.md'
+        // must not produce the id 'a::b' would get for 'x.md'
+        if (fn.contains("::"))
+          throw ServiceError(400, "filename must not contain '::'")
         val text = (d \ "text").extractOpt[String]
           .getOrElse(throw ServiceError(400, "docs[].text required"))
         (docId(ctx, fn, text), text, ctx.organizationId)
@@ -288,8 +297,11 @@ class QueryService(
         // the chunk rows don't carry an explicit filename column value
         coalesce(
           first(col("filename"), ignoreNulls = true),
+          // reluctant prefix: ids are org::filename_md5 and neither
+          // part may contain "::" (validated at ingest), so the FIRST
+          // "::" is the separator
           regexp_extract(first(col("document_id")),
-            "^(?:.*::)?(.*)_[0-9a-f]{12}$", 1)).as("filename"),
+            "^(?:.*?::)?(.*)_[0-9a-f]{12}$", 1)).as("filename"),
         first(col("document_type"), ignoreNulls = true).as("document_type"),
         count(lit(1)).as("total_chunks"),
         max(col("page_number")).as("total_pages"))
@@ -369,19 +381,12 @@ object QueryService {
     while (running && in.hasNext) {
       val line = in.next().trim
       if (line.nonEmpty) {
-        // parse properly — a search QUERY containing the word
-        // "shutdown" must not kill the server
-        val isShutdown =
-          try {
-            (org.json4s.jackson.JsonMethods.parse(line) \ "op") match {
-              case JString("shutdown") => true
-              case _ => false
-            }
-          } catch { case scala.util.control.NonFatal(_) => false }
-        if (isShutdown) {
-          println("""{"status":"bye"}""")
-          running = false
-        } else println(svc.handle(line))
+        // one parse: handle() resolves op (a search QUERY containing
+        // the word "shutdown" is just a query); the loop stops on the
+        // shutdown op's fixed response
+        val resp = svc.handle(line)
+        println(resp)
+        if (resp == """{"status":"bye"}""") running = false
       }
     }
     spark.stop()

@@ -140,22 +140,19 @@ object TableStore {
     delta.write.mode("append")
       .partitionBy("tbl", "bucket").parquet(s"$root/ann")
 
-  /** `extracted_tables` sink (nested structured_data preserved as a
-    * parquet struct), tenant-partitioned like the chunk fact table. */
   /** Quantized vector store: int8 codes persisted as `array<tinyint>`
     * + a per-vector double scale — 4× smaller files than raw
     * float32/float64 embedding columns, and the read path restores the
     * integer-valued-double codes [[graft.operators.Quantize]] computes
     * on, so scoring arithmetic is identical to the in-flight form. */
   def saveQuantized(emb: DataFrame, idCol: String, vecCol: String,
-                    root: String): Unit = {
-    val (codes, scale) = graft.operators.Quantize.quantizeI8(
-      org.apache.spark.sql.functions.col(vecCol))
-    emb.select(org.apache.spark.sql.functions.col(idCol).as("id"),
-        codes.cast("array<tinyint>").as("codes"),
-        scale.as("scale"))
+                    root: String): Unit =
+    graft.operators.Quantize.quantized(emb, idCol, vecCol)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("codes").cast("array<tinyint>")
+          .as("codes"),
+        org.apache.spark.sql.functions.col("scale"))
       .write.mode("overwrite").parquet(s"$root/quantized")
-  }
 
   def loadQuantized(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/quantized")
@@ -164,6 +161,8 @@ object TableStore {
           .as("codes"),
         org.apache.spark.sql.functions.col("scale"))
 
+  /** `extracted_tables` sink (nested structured_data preserved as a
+    * parquet struct), tenant-partitioned like the chunk fact table. */
   def saveExtractedTables(records: DataFrame, root: String): Unit =
     records.write.mode("overwrite")
       .partitionBy("organization_id").parquet(s"$root/extracted_tables")

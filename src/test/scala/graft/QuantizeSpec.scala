@@ -11,22 +11,24 @@ class QuantizeSpec extends SparkSpec {
   test("dequantized values stay within half a quantization step") {
     import spark.implicits._
     val e = Tables(spark, sf0001, "embeddings")
-    val (codes, scale) = Quantize.quantizeI8($"embedding")
+    val qz = Quantize.quantized(e, "vec_id", "embedding")
+      .join(e.select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("v")), Seq("id"))
     // |code/127*scale - v| <= scale/254 (floor(x+0.5) = nearest)
-    val err = e.select(
+    val err = qz.select(
       aggregate(
-        zip_with(codes, $"embedding".cast("array<double>"),
-          (c, v) => abs(c / 127.0 * scale - v)),
+        zip_with($"codes", $"v",
+          (c, v) => abs(c / 127.0 * $"scale" - v)),
         lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"),
-      (scale / 254.0 + lit(1e-12)).as("bound"))
+      ($"scale" / 254.0 + lit(1e-12)).as("bound"))
     assert(err.filter($"max_err" > $"bound").isEmpty)
   }
 
   test("codes are integers in [-127, 127]") {
     import spark.implicits._
     val e = Tables(spark, sf0001, "embeddings")
-    val (codes, _) = Quantize.quantizeI8($"embedding")
-    val bad = e.select(explode(codes).as("c"))
+    val bad = Quantize.quantized(e, "vec_id", "embedding")
+      .select(explode($"codes").as("c"))
       .filter($"c" =!= floor($"c") || abs($"c") > 127)
     assert(bad.isEmpty)
   }
@@ -40,8 +42,7 @@ class QuantizeSpec extends SparkSpec {
     TableStore.saveQuantized(e, "vec_id", "embedding", root)
     val loaded = TableStore.loadQuantized(spark, root)
     // round-trip: loaded codes equal the in-flight quantization
-    val (codes, scale) = Quantize.quantizeI8($"embedding")
-    val fresh = e.select($"vec_id".as("id"), codes.as("codes"), scale.as("scale"))
+    val fresh = Quantize.quantized(e, "vec_id", "embedding")
     assert(loaded.except(fresh).isEmpty && fresh.except(loaded).isEmpty)
     // 4x claim: quantized parquet is well under half the raw column's size
     def dirSize(p: String): Long = {

@@ -32,10 +32,11 @@ class TrainingPipelineSpec extends SparkSpec {
     // eval set = the raw text of docs 10..19 (contaminates themselves)
     val eval = graft.Tables(spark, sf0001, "documents")
       .filter($"doc_id" >= 10L && $"doc_id" < 20L).select($"text")
-    val (spans, r) = TrainingPipeline.curate(
+    val out = TrainingPipeline.curate(
       corpus, eval, "id", "text", "lang",
       TrainingPipeline.Cfg(maxContamFrac = 0.3,
         sampleRates = Map("en" -> 1.0), defaultSampleRate = 0.5))
+    val (spans, r) = (out.spans, out.report)
 
     // counts only ever shrink
     val seq = Seq(r.nInput, r.nAfterExactDedup, r.nAfterLineClean,
@@ -64,19 +65,36 @@ class TrainingPipelineSpec extends SparkSpec {
     def run() = TrainingPipeline.curate(corpus, eval, "id", "text", "lang",
       TrainingPipeline.Cfg(sampleRates = Map("en" -> 0.7),
         defaultSampleRate = 0.4))
-    val (s1, r1) = run(); val (s2, r2) = run()
-    assert(r1 == r2)
-    assert(s1.orderBy("seq_id", "id").collect().toSeq ==
-      s2.orderBy("seq_id", "id").collect().toSeq)
+    val (o1, o2) = (run(), run())
+    assert(o1.report == o2.report)
+    assert(o1.spans.orderBy("seq_id", "id").collect().toSeq ==
+      o2.spans.orderBy("seq_id", "id").collect().toSeq)
   }
 
-  test("PII is scrubbed before anything downstream sees the text") {
+  test("PII planted in the corpus is scrubbed in the pipeline's output") {
     import spark.implicits._
-    val eval = spark.emptyDataFrame.select()
-    val evalDf = Seq("nothing here relevant").toDF("text")
-    val (_, _) = (eval, evalDf)
-    val scrub = graft.operators.Pii.redact(lit("contact admin@example.com today."))
-    val out = spark.range(1).select(scrub.as("t")).head().getString(0)
-    assert(out == "contact <EMAIL> today.")
+    val docs = Seq(
+      (1L, "en", "Contact admin@example.com for the quarterly report today.\nA second well formed line sits here."),
+      (2L, "en", "Nothing sensitive in this perfectly ordinary document line."))
+      .toDF("id", "lang", "text")
+    val eval = Seq("completely unrelated evaluation text").toDF("text")
+    val out = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0))
+    // the curated docs' tokens carry the placeholder, never the address
+    val toks = out.docs.filter($"id" === 1L)
+      .select(explode($"toks").as("t")).as[String].collect().toSet
+    assert(toks.contains("email"))
+    assert(!toks.contains("admin") && !toks.contains("example"))
+  }
+
+  test("lazy mode runs no report jobs and returns -1 counts") {
+    import spark.implicits._
+    val eval = graft.Tables(spark, sf0001, "documents")
+      .filter($"doc_id" >= 10L && $"doc_id" < 20L).select($"text")
+    val out = TrainingPipeline.curate(corpus, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(), withReport = false)
+    assert(out.report.nInput == -1L && out.report.nSequences == -1L)
+    // the spans frame is still fully computable on demand
+    assert(out.spans.limit(1).count() >= 0)
   }
 }
