@@ -67,8 +67,10 @@ object Bench {
         .select(col("doc_id"), concat(col("text"), lit(".")).as("text"),
           col("lang"))
       val eval = docs.filter(col("doc_id") % 25 === 0).select(col("text"))
+      // production shape: no per-stage report jobs — one materializing
+      // action on the packed spans
       val out = graft.operators.TrainingPipeline.curate(
-        docs, eval, "doc_id", "text", "lang")
+        docs, eval, "doc_id", "text", "lang", withReport = false)
       out.spans.write.format("noop").mode("overwrite").save()
     }
 
