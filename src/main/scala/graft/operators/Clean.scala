@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions
 
 /** Line-level corpus cleaning — the C4-style scrub + cross-document
   * boilerplate dedup stage of a web-scale training pipeline (not a
@@ -16,8 +15,11 @@ import graft.functions.TextFunctions
   *  - [[lineClean]] is a pure row-local column program (split →
   *    filter → rejoin inside one codegen'd projection) — zero shuffle
   *    at any corpus size.
-  *  - [[dedupRepeatedLines]] keys every shuffle on the 56-bit line
-  *    hash, never the raw line bytes: the line-frequency aggregate is
+  *  - [[dedupRepeatedLines]] keys every shuffle on the 128-bit md5 of
+  *    the line, never the raw line bytes (a 56-bit key would collide a
+  *    few times per billion distinct lines — at web-corpus scale that
+  *    silently drops real, non-duplicate lines; 128 bits make a chance
+  *    collision astronomically unlikely): the line-frequency aggregate is
   *    algebraic (count + min — partial-agg'd map-side, so corpus-wide
   *    boilerplate lines are hot KEYS but not skewed GROUPS), and the
   *    join back to occurrences is hash → stats, broadcast-able when
@@ -60,7 +62,7 @@ object Clean {
                          textCol: String): DataFrame = {
     val occ = docs.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("lh", TextFunctions.hash56(col("line")))
+      .withColumn("lh", md5(col("line")))
     // algebraic per-line-hash stats: occurrence count + first occurrence
     val stats = occ.groupBy(col("lh"))
       .agg(count(lit(1)).as("occ_n"),

@@ -42,8 +42,15 @@ object TrainingPipeline {
 
   /** Pipeline output: the curated documents (id, stratum, toks — what
     * a tokenizer-side consumer reads), the packed sequence spans, and
-    * the per-stage survivor report. */
-  case class Output(docs: DataFrame, spans: DataFrame, report: Report)
+    * the per-stage survivor report. `retained` are the cached frames
+    * the returned plans still reference lazily; call [[Output.release]]
+    * after materializing `docs`/`spans` so a long-lived session (e.g.
+    * a service calling curate() per request) doesn't accumulate cached
+    * lineages — the frames recompute transparently if touched again. */
+  case class Output(docs: DataFrame, spans: DataFrame, report: Report,
+                    retained: Seq[DataFrame] = Nil) {
+    def release(): Unit = retained.foreach(_.unpersist(false))
+  }
 
   /** Survivor counts after each stage (report mode only; every field
     * is -1 when `withReport = false`). */
@@ -173,8 +180,13 @@ object TrainingPipeline {
           if (st.isNullAt(1)) 0L else st.getLong(1))
       }
 
+    // report mode: sampled + spans are still pinned (docs IS sampled);
+    // lazy mode: the token frame is the one deliberate cache
+    val retained =
+      if (withReport) Seq(sampled, spans) else Seq(toks)
     Output(sampled, spans,
       Report(nInput, nExact, nClean, nLineDedup, nNear,
-        nDecontam, nSampled, nSeq, nTok))
+        nDecontam, nSampled, nSeq, nTok),
+      retained)
   }
 }

@@ -76,7 +76,13 @@ class QueryService(
     currentGen.map(n => TableStore.load(spark, genDir(n)))
 
   /** Handle one JSON request line, return one JSON response line. */
-  def handle(line: String): String =
+  def handle(line: String): String = handleLine(line)._1
+
+  /** [[handle]] plus a structured stop signal: true iff the request was
+    * a shutdown op — the stdin loop keys on THIS, not on string-equality
+    * of the rendered response (which would silently couple liveness to
+    * json4s field ordering). */
+  def handleLine(line: String): (String, Boolean) =
     try {
       val req = parse(line)
       val op = (req \ "op").extractOpt[String].getOrElse("")
@@ -91,10 +97,15 @@ class QueryService(
         case "delete"       => delete(req)
         case other => err(400, s"unknown op: '$other'")
       }
-      compact(render(res))
+      (compact(render(res)), op == "shutdown")
     } catch {
-      case e: ServiceError => compact(render(err(e.status, e.getMessage)))
-      case NonFatal(e) => compact(render(err(500, String.valueOf(e.getMessage))))
+      case e: ServiceError => (compact(render(err(e.status, e.getMessage))), false)
+      // a type mismatch in a request field (e.g. weights {"bm25":"x"})
+      // is the client's malformed input, not a server fault
+      case e: MappingException =>
+        (compact(render(err(400, s"malformed request: ${e.getMessage}"))), false)
+      case NonFatal(e) =>
+        (compact(render(err(500, String.valueOf(e.getMessage)))), false)
     } finally {
       // cache hygiene between requests (VERDICT r2 #4): the store is
       // parquet on disk — no request may depend on cached lineage
@@ -113,6 +124,10 @@ class QueryService(
   private def tenant(req: JValue): TenantContext = {
     val org = (req \ "organization_id").extractOpt[String]
       .getOrElse(throw ServiceError(401, "organization_id required"))
+    // reference minimum (`api/main.py:61-65`): required and ≥3 chars
+    if (org.length < 3)
+      throw ServiceError(400,
+        "organization_id is required and must be at least 3 characters")
     // "::" is the tenant-prefix separator in document ids — an org id
     // containing it could forge another tenant's id space
     if (org.contains("::"))
@@ -179,7 +194,7 @@ class QueryService(
 
   private def ingest(req: JValue): JValue = {
     val ctx = tenant(req)
-    val docs = (req \ "docs") match {
+    val docs = ((req \ "docs") match {
       case JArray(ds) => ds.map { d =>
         val fn = (d \ "filename").extractOpt[String]
           .getOrElse(throw ServiceError(400, "docs[].filename required"))
@@ -192,7 +207,13 @@ class QueryService(
         (docId(ctx, fn, text), text, ctx.organizationId)
       }
       case _ => throw ServiceError(400, "docs array required")
-    }
+    }).distinctBy(_._1)
+    // ^ intra-request dedupe by computed document id: two identical
+    // {filename, text} entries in one request would otherwise flow as
+    // two same-id documents into one delta — mergeBundles only
+    // anti-joins old-vs-new, so the duplicate would double tf/dl in
+    // the shared postings and persist duplicate chunk rows (the case
+    // Pipeline.ingest's docstring warns about, reachable only here)
     import spark.implicits._
     val df = docs.toDF("doc_id", "text", "org")
     val delta = Pipeline.ingest(df, embedder, orgCol = Some("org"))
@@ -381,12 +402,12 @@ object QueryService {
     while (running && in.hasNext) {
       val line = in.next().trim
       if (line.nonEmpty) {
-        // one parse: handle() resolves op (a search QUERY containing
-        // the word "shutdown" is just a query); the loop stops on the
-        // shutdown op's fixed response
-        val resp = svc.handle(line)
+        // one parse: handleLine resolves op (a search QUERY containing
+        // the word "shutdown" is just a query) and returns the stop
+        // signal structurally — never by matching the rendered JSON
+        val (resp, stop) = svc.handleLine(line)
         println(resp)
-        if (resp == """{"status":"bye"}""") running = false
+        if (stop) running = false
       }
     }
     spark.stop()
