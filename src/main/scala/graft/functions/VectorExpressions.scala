@@ -333,6 +333,25 @@ object VectorFunctions {
     out
   }
 
+  /** JVM twin of [[dot]] — same left-to-right accumulation order as
+    * the codegen kernel, so results are bit-identical. Used by the
+    * driver-side ANN probe selection (ranking a k-row quantizer must
+    * agree with the column form to the last ulp, or probe sets drift
+    * between the JVM and SQL twins). */
+  def dotJvm(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** JVM twin of Spark's `round(x, 6)` (BigDecimal HALF_UP — NOT
+    * banker's rounding, which `math.rint` would give). */
+  def round6Jvm(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** DuckDB-SQL twin of [[hyperplaneBuckets]] for one table id `t`
     * (a BIGINT SQL expression/column reference), over a DOUBLE[] column
     * expression `vec` of dimension `dim`. */

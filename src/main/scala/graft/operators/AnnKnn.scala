@@ -74,25 +74,43 @@ object AnnKnn {
       .limit(k)
   }
 
-  /** ANN top-k against a (tbl, bucket)-partitioned store
-    * ([[graft.sources.TableStore.saveAnn]] layout): the query's probe
-    * buckets are computed driver-side with the JVM twin of the bucket
+  /** Deduped (id, vec) candidate set from a (tbl, bucket)-partitioned
+    * store ([[graft.sources.TableStore.saveAnn]] layout): the probe
+    * pairs are computed driver-side with the JVM twins of the bucket
     * kernel and applied as a STATIC (tbl, bucket) filter — partition
-    * pruning, so the scan opens only the L probed directories of the
-    * index, never the rest of the corpus. */
-  def topKFromStore(idx: DataFrame, queryVec: Array[Double], k: Int,
-                    tables: Int = DefaultTables,
-                    bits: Int = DefaultBits): DataFrame = {
-    val sig = VectorFunctions.hyperplaneBucketsJvm(queryVec, tables, bits)
-    val probe = sig.zipWithIndex.map { case (b, t) =>
+    * pruning, so the scan opens only the probed directories of the
+    * index, never the rest of the corpus. `extraProbes > 0` adds the
+    * multi-probe neighbor buckets ([[multiProbeBuckets]]). This is the
+    * composable half of the read path: callers that need to scope
+    * candidates (tenant filters, metadata predicates — the reference's
+    * filter-pushed HNSW query, `vector_store.py:230-273`) semi-join
+    * HERE, before any top-k cut, so filtering never starves the k. */
+  def storeCandidates(idx: DataFrame, queryVec: Array[Double],
+                      tables: Int = DefaultTables, bits: Int = DefaultBits,
+                      extraProbes: Int = 0): DataFrame = {
+    val pairs: Seq[(Int, Long)] =
+      if (extraProbes > 0) multiProbeBuckets(queryVec, tables, bits, extraProbes)
+      else VectorFunctions.hyperplaneBucketsJvm(queryVec, tables, bits)
+        .zipWithIndex.map { case (b, t) => (t, b) }.toSeq
+    val probe = pairs.map { case (t, b) =>
       col("tbl") === t && col("bucket") === b }.reduce(_ || _)
     idx.filter(probe)
       .groupBy(col("id")).agg(first(col("vec")).as("vec"))
-      .select(col("id"),
+  }
+
+  /** Exact-dot rescore + deterministic top-k over a candidate set. */
+  def rescoreTopK(cand: DataFrame, queryVec: Array[Double], k: Int): DataFrame =
+    cand.select(col("id"),
         round(VectorFunctions.dot(col("vec"), typedLit(queryVec.toSeq)), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
-  }
+
+  /** ANN top-k against a (tbl, bucket)-partitioned store: static
+    * partition-pruned candidates, exact rescore, top-k. */
+  def topKFromStore(idx: DataFrame, queryVec: Array[Double], k: Int,
+                    tables: Int = DefaultTables,
+                    bits: Int = DefaultBits): DataFrame =
+    rescoreTopK(storeCandidates(idx, queryVec, tables, bits), queryVec, k)
 
   /** Multi-probe bucket set: each table's base bucket plus
     * `extraProbes` variants with the lowest-|margin| bits flipped —
@@ -120,17 +138,9 @@ object AnnKnn {
     * instead of `tables`. */
   def topKMultiProbe(idx: DataFrame, queryVec: Array[Double], k: Int,
                      extraProbes: Int = 2, tables: Int = DefaultTables,
-                     bits: Int = DefaultBits): DataFrame = {
-    val probe = multiProbeBuckets(queryVec, tables, bits, extraProbes)
-      .map { case (t, b) => col("tbl") === t && col("bucket") === b }
-      .reduce(_ || _)
-    idx.filter(probe)
-      .groupBy(col("id")).agg(first(col("vec")).as("vec"))
-      .select(col("id"),
-        round(VectorFunctions.dot(col("vec"), typedLit(queryVec.toSeq)), 6).as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
-  }
+                     bits: Int = DefaultBits): DataFrame =
+    rescoreTopK(storeCandidates(idx, queryVec, tables, bits, extraProbes),
+      queryVec, k)
 
   // ---- IVF (inverted-file) variant --------------------------------------
 
@@ -216,6 +226,29 @@ object AnnKnn {
 
   /** Literal element for the driver-collected quantizer. */
   private case class CentroidLit(cvec: Seq[Double], cid: Long)
+
+  /** Driver-side IVF probe selection: the quantizer is k rows by
+    * definition, so ranking it on the driver (the JVM dot twin +
+    * the same HALF_UP round-6 as the column form, ties → cid asc)
+    * costs nothing and turns the probe set into a STATIC cid filter —
+    * partition pruning on a cid-partitioned store, mirroring the
+    * (tbl, bucket) path of [[storeCandidates]]. */
+  def ivfProbesJvm(centroids: DataFrame, queryVec: Array[Double],
+                   nProbe: Int): Seq[Long] =
+    centroids.select(col("cid").cast("long"), col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), VectorFunctions.round6Jvm(
+        VectorFunctions.dotJvm(r.getSeq[Double](1).toArray, queryVec))))
+      .sortBy { case (cid, d) => (-d, cid) }
+      .take(nProbe).map(_._1).toSeq
+
+  /** (id, vec) members of the probed IVF lists — a static cid filter,
+    * so a cid-partitioned store opens only the probed directories.
+    * Scoping joins (tenant/metadata) belong on THIS frame, before any
+    * top-k cut. */
+  def ivfStoreCandidates(index: DataFrame, probeCids: Seq[Long]): DataFrame =
+    index.filter(col("cid").isin(probeCids: _*))
+      .select(col("id"), col("vec"))
 
   /** IVF top-k: rank centroids against the query, probe the nProbe
     * best lists (deterministic: dot desc, cid asc), exact-rescore only

@@ -49,6 +49,20 @@ object Quantize {
     aggregate(zip_with(codesA, codesB, (a, b) => a * b),
       lit(0.0), (acc, x) => acc + x) * scaleA * scaleB / lit(16129.0)
 
+  /** JVM twin of [[quantized]] for a driver-side query vector —
+    * identical rule (max-abs scale, floor(x/scale·127 + 0.5)), so a
+    * query quantized here scores against store codes with exactly the
+    * arithmetic the in-flight column program would use. */
+  def quantizeJvm(v: Array[Double]): (Array[Double], Double) = {
+    var scale = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > scale) scale = a; i += 1 }
+    val codes =
+      if (scale > 0) v.map(x => math.floor(x / scale * 127 + 0.5))
+      else new Array[Double](v.length)
+    (codes, scale)
+  }
+
   /** Quantized brute-force top-k: embeddings quantized once (the
     * store-side representation), the query quantized driver-free on
     * the same path, scores via the integer dot + rescale. */
@@ -74,6 +88,26 @@ object Quantize {
     topKQuantized(Tables(spark, dir, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 20)
 
+  /** q85: the same kNN arithmetic, but END-TO-END through the persisted
+    * tinyint store — save → load → score touches only the `codes`/
+    * `scale` columns read back from parquet (never the raw embedding),
+    * so the gate pins the cast-to-tinyint round-trip, not just the
+    * in-flight quantization q83 covers. */
+  def quantizedStoreKnn(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("graft_q85_quant")
+    graft.sources.TableStore.saveQuantized(
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", tmp)
+    val store = graft.sources.TableStore.loadQuantized(spark, tmp)
+    val q = store.filter(col("id") === 0)
+      .select(col("codes").as("qcodes"), col("scale").as("qscale"))
+    store.crossJoin(broadcast(q))
+      .select(col("id"),
+        round(dotI8(col("codes"), col("scale"),
+          col("qcodes"), col("qscale")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(20)
+  }
+
   private val quantOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
@@ -88,8 +122,13 @@ object Quantize {
       |ORDER BY score DESC, id LIMIT 20""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q83_quantized_knn" -> (quantizedKnn _))
+    "q83_quantized_knn" -> (quantizedKnn _),
+    "q85_quantized_store" -> (quantizedStoreKnn _))
 
   val oracle: Map[String, String] = Map(
-    "q83_quantized_knn" -> quantOracle)
+    "q83_quantized_knn" -> quantOracle,
+    // identical arithmetic to q83 BY DESIGN: the persisted tinyint
+    // round-trip must be lossless, so the store-path result equals the
+    // in-flight result — the oracle pins that equivalence
+    "q85_quantized_store" -> quantOracle)
 }

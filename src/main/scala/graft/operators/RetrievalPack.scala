@@ -269,6 +269,43 @@ object RetrievalPack {
       .orderBy($"score".desc, $"chunk_id")
   }
 
+  /** q84 (VERDICT r3 ask #1): the SERVING path end-to-end with the ANN
+    * store wired in — chunks (tenant column + feature-hash embeddings)
+    * are indexed with [[AnnKnn.index]], persisted (tbl, bucket)-
+    * partitioned, re-loaded, and `HybridSearch.search` runs with
+    * `DenseMode.AnnLsh`: BM25 over the tenant scope fused with dense
+    * candidates from the PRUNED store probes (semi-joined to the
+    * tenant scope before the top-k cut), weighted RRF. extraProbes = 0
+    * so the DuckDB twin can replicate the exact probe set (q48's
+    * bucket SQL) inside the full hybrid derivation; 2-bit buckets so
+    * the per-tenant candidate set is dense enough (≈1/4 of the corpus
+    * per table) to fill the fused top-5 at gate scale. */
+  val HybridAnnBits = 2
+
+  def hybridAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = docs(spark, dir).select(
+      lpad($"doc_id".cast("string"), 6, "0").as("id"),
+      $"text",
+      $"source".as("organization_id"),
+      lit("internal").as("access_level"),
+      graft.functions.EmbedFunctions.featureHashEmbed(
+        transform(TextFunctions.tokenize($"text"),
+          t => TextFunctions.hash56(t)), 64).as("embedding"))
+    val tmp = TmpDirs.create("graft_q84_ann")
+    graft.sources.TableStore.saveAnn(
+      AnnKnn.index(chunks, "id", "embedding", bits = HybridAnnBits), tmp)
+    val store = graft.sources.TableStore.loadAnn(spark, tmp)
+    graft.retrieval.HybridSearch.search(
+        chunks, FallbackQuery, graft.model.TenantContext("src3"),
+        cfg = graft.retrieval.HybridSearch.Config(limit = 5,
+          dense = graft.retrieval.HybridSearch.DenseMode.AnnLsh(store,
+            bits = HybridAnnBits, extraProbes = 0)))
+      .select($"id".cast("bigint").as("doc_id"),
+        round($"rrf_score", 6).as("rrf_score"))
+      .orderBy($"rrf_score".desc, $"doc_id")
+  }
+
   /** V5 fully self-contained hybrid: BM25 + feature-hash dense over the
     * documents table only (query embedded with the same deterministic
     * kernel in-engine and in-SQL), fused with RRF. */
@@ -310,6 +347,7 @@ object RetrievalPack {
     "q55_ivf_knn" -> (ivfKnn _),
     "q49_enhanced_fallback" -> (enhancedFallback _),
     "q50_colpali_propagate" -> (colpaliPropagateGate _),
+    "q84_hybrid_ann" -> (hybridAnn _),
   )
 
   /** CTE prefix computing feature-hash doc embeddings for `documents`:
@@ -493,6 +531,38 @@ object RetrievalPack {
          |  ORDER BY rrf_score DESC, doc_id LIMIT 5)
          |SELECT doc_id, rrf_score, '$qtype' AS query_type FROM fused
          |ORDER BY rrf_score DESC, doc_id""".stripMargin
+    },
+    // the serving hybrid with the ANN store dense branch: BM25 over the
+    // src3 tenant scope (positive-only, top-15) fused 0.3/0.5 with the
+    // dense list whose candidates come from the corpus-wide bucket
+    // probes (q48's bucket SQL), scoped to src3 BEFORE the top-15 cut
+    "q84_hybrid_ann" -> {
+      s"""WITH scoped AS (SELECT doc_id, text FROM documents WHERE source = 'src3'),
+         |${BM25.oracleCtes(QueryTokens, table = "scoped")},
+         |bmrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, round(score, 4) AS score FROM bm25 WHERE score > 0
+         |        ORDER BY round(score, 4) DESC, doc_id LIMIT 15) t),
+         |${docEmbedCtes()},
+         |${queryVecSql(QueryTokens)},
+         |sig AS (SELECT doc_id, t.tbl,
+         |  ${VectorFunctions.hyperplaneBucketSql("emb", "t.tbl", 64, HybridAnnBits)} AS bucket
+         |  FROM docemb, range(${AnnKnn.DefaultTables}) t(tbl)),
+         |qsig AS (SELECT t.tbl,
+         |  ${VectorFunctions.hyperplaneBucketSql("qvec", "t.tbl", 64, HybridAnnBits)} AS bucket
+         |  FROM qv, range(${AnnKnn.DefaultTables}) t(tbl)),
+         |cand AS (SELECT DISTINCT s.doc_id FROM sig s JOIN qsig q
+         |  ON s.tbl = q.tbl AND s.bucket = q.bucket),
+         |dscore AS (SELECT c.doc_id,
+         |    round(list_dot_product(d.emb, (SELECT qvec FROM qv)), 6) AS score
+         |  FROM cand c JOIN docemb d USING (doc_id) JOIN scoped USING (doc_id)),
+         |drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT * FROM dscore ORDER BY score DESC, doc_id LIMIT 15) t),
+         |contrib AS (
+         |  SELECT doc_id, 0.3 / (60 + rank) AS c FROM bmrank
+         |  UNION ALL
+         |  SELECT doc_id, 0.5 / (60 + rank) AS c FROM drank)
+         |SELECT doc_id, round(SUM(c), 6) AS rrf_score FROM contrib GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 5""".stripMargin
     },
     "q48_ann_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{EmbedFunctions, Embedder, FeatureHashEmbedder, TextFunctions, VectorFunctions}
 import graft.model.{Filters, TenantContext}
-import graft.operators.{BM25, DenseKnn, Fusion}
+import graft.operators.{AnnKnn, BM25, DenseKnn, Fusion, Quantize}
 
 /** Hybrid retrieval façade (V5, reference
   * `src/retrieval/hybrid_search.py:219-430`): tenant scope → per-method
@@ -25,6 +25,39 @@ object HybridSearch {
   val DefaultWeights: Map[String, Double] =
     Map("bm25" -> 0.3, "dense" -> 0.5, "colpali" -> 0.2)
 
+  /** Dense-branch index selection — the serving equivalent of the
+    * reference's HNSW-behind-a-filtered-query architecture
+    * (`vector_store.py:230-273`). Every non-exact mode scopes its
+    * candidates with a semi-join on the tenant/filter-scoped chunk ids
+    * BEFORE the top-k cut, so tenancy/filters hold identically in all
+    * modes; only the candidate-generation physics changes:
+    *  - [[DenseMode.Exact]]: brute-force codegen dot over the scoped
+    *    chunks' raw embedding column (the oracle baseline; a
+    *    full-corpus scan per query).
+    *  - [[DenseMode.AnnLsh]]: static-pruned (tbl, bucket) probes of a
+    *    [[graft.sources.TableStore.saveAnn]] store — opens only the
+    *    probed directories.
+    *  - [[DenseMode.AnnIvf]]: static-pruned cid probes of an IVF
+    *    store ([[graft.sources.TableStore.saveIvf]] layout).
+    *  - [[DenseMode.Quantized]]: exact scan over the int8 store
+    *    ([[graft.sources.TableStore.saveQuantized]]) — reads tinyint
+    *    codes + one scale instead of the float64 embedding column
+    *    (4× less scan bandwidth), never touching raw embeddings. */
+  sealed trait DenseMode
+  object DenseMode {
+    case object Exact extends DenseMode
+    final case class AnnLsh(
+        store: DataFrame,
+        tables: Int = AnnKnn.DefaultTables,
+        bits: Int = AnnKnn.DefaultBits,
+        extraProbes: Int = 2) extends DenseMode
+    final case class AnnIvf(
+        index: DataFrame,
+        centroids: DataFrame,
+        nProbe: Int = 4) extends DenseMode
+    final case class Quantized(store: DataFrame) extends DenseMode
+  }
+
   case class Config(
       limit: Int = 10,
       fetchMultiplier: Int = 3, // `hybrid_search.py:256`
@@ -35,7 +68,10 @@ object HybridSearch {
       weights: Option[Map[String, Double]] = None,
       // F7 (`master_pipeline.py:572,706`): paragraph chunks are the
       // primary retrieval unit; None searches all levels
-      levelFilter: Option[String] = Some("paragraph"))
+      levelFilter: Option[String] = Some("paragraph"),
+      // dense index selection; non-exact stores must be built over the
+      // SAME ids/embeddings as the chunk table being searched
+      dense: DenseMode = DenseMode.Exact)
 
   /** Chunk-table hybrid search. `chunks` needs columns: id, text,
     * organization_id (+ tenant columns), embedding. Returns the fused
@@ -77,13 +113,12 @@ object HybridSearch {
       methods += ((Fusion.rank(bm).join(bm, "id"), weights("bm25"), "bm25"))
     }
 
-    // dense branch: deterministic feature-hash query embedding (I9)
+    // dense branch: deterministic feature-hash query embedding (I9),
+    // candidate generation per cfg.dense (exact scan / pruned ANN
+    // probes / int8 store)
     if (weights.getOrElse("dense", 0.0) > 0) {
-      val spark = chunks.sparkSession
-      import spark.implicits._
       val qvec = cfg.embedder.embedQuery(qTokens)
-      val qdf = Seq(Tuple1(qvec)).toDF("qvec")
-      val dn = DenseKnn.topK(scoped, "id", "embedding", qdf, "qvec", fetch)
+      val dn = denseTopK(scoped, qvec, fetch, cfg)
       methods += ((Fusion.rank(dn).join(dn, "id"), weights("dense"), "dense"))
     }
 
@@ -119,6 +154,41 @@ object HybridSearch {
     withDetail
       .join(broadcast(detailText), Seq("id"), "left")
       .orderBy(col("rrf_score").desc, col("id"))
+  }
+
+  /** The dense branch's (id, score) top-fetch under cfg.dense. Every
+    * mode scopes on the tenant/filter-scoped ids BEFORE its top-k cut
+    * (filter-pushed candidate generation, `vector_store.py:230-273`) —
+    * a post-cut filter would return fewer than k results whenever the
+    * global top-k strays outside the tenant. */
+  private def denseTopK(scoped: DataFrame, qvec: Array[Double], fetch: Int,
+                        cfg: Config): DataFrame = {
+    def scopeIds(cand: DataFrame): DataFrame =
+      cand.join(scoped.select(col("id")), Seq("id"), "left_semi")
+    cfg.dense match {
+      case DenseMode.Exact =>
+        val spark = scoped.sparkSession
+        import spark.implicits._
+        val qdf = Seq(Tuple1(qvec)).toDF("qvec")
+        DenseKnn.topK(scoped, "id", "embedding", qdf, "qvec", fetch)
+      case DenseMode.AnnLsh(store, tables, bits, extraProbes) =>
+        AnnKnn.rescoreTopK(
+          scopeIds(AnnKnn.storeCandidates(store, qvec, tables, bits, extraProbes)),
+          qvec, fetch)
+      case DenseMode.AnnIvf(index, centroids, nProbe) =>
+        AnnKnn.rescoreTopK(
+          scopeIds(AnnKnn.ivfStoreCandidates(index,
+            AnnKnn.ivfProbesJvm(centroids, qvec, nProbe))),
+          qvec, fetch)
+      case DenseMode.Quantized(store) =>
+        val (qcodes, qscale) = Quantize.quantizeJvm(qvec)
+        scopeIds(store)
+          .select(col("id"),
+            round(Quantize.dotI8(col("codes"), col("scale"),
+              typedLit(qcodes.toSeq), lit(qscale)), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(fetch)
+    }
   }
 
   /** J3/J4 (`hybrid_search.py:307-394`): MaxSim-score pages against the

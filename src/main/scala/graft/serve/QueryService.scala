@@ -11,7 +11,7 @@ import graft.ingest.Pipeline
 import graft.ingest.Pipeline.IndexBundle
 import graft.functions.{Embedder, FeatureHashEmbedder}
 import graft.model.{Filters, TenantContext}
-import graft.operators.BM25
+import graft.operators.{AnnKnn, BM25}
 import graft.retrieval.HybridSearch
 import graft.sources.TableStore
 
@@ -57,13 +57,27 @@ class QueryService(
     val prev = currentGen
     val next = prev.map(_ + 1).getOrElse(0)
     TableStore.save(b, genDir(next))
+    // dense sidecar stores, derived from the just-written chunk files
+    // (reading back the parquet is cheaper than re-running the merge
+    // lineage, and prunes to the two needed columns): the LSH posting
+    // table + the int8 code table the ann/quantized dense modes read.
+    // Written BEFORE the CURRENT flip so any visible generation is
+    // complete. At corpus scale the ANN side switches to the
+    // incremental appendAnn path; the snapshot rewrite here matches
+    // the bundle's own write stance.
+    val written = TableStore.load(spark, genDir(next))
+    val emb = written.chunks.filter(col("embedding").isNotNull)
+      .select(col("id"), col("embedding"))
+    TableStore.saveAnn(AnnKnn.index(emb, "id", "embedding"), genDir(next))
+    TableStore.saveQuantized(emb, "id", "embedding", genDir(next))
     val tmp = java.nio.file.Paths.get(storeRoot, "CURRENT.tmp")
     java.nio.file.Files.createDirectories(tmp.getParent)
     java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, currentFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    bundle = Some(TableStore.load(spark, genDir(next)))
+    bundle = Some(written)
+    genRoot = Some(genDir(next))
     prev.foreach { p =>
       val fs = new org.apache.hadoop.fs.Path(genDir(p))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -74,6 +88,7 @@ class QueryService(
   // the read-path handle; None until first ingest (or store preload)
   private var bundle: Option[IndexBundle] =
     currentGen.map(n => TableStore.load(spark, genDir(n)))
+  private var genRoot: Option[String] = currentGen.map(genDir)
 
   /** Handle one JSON request line, return one JSON response line. */
   def handle(line: String): String = handleLine(line)._1
@@ -139,6 +154,17 @@ class QueryService(
 
   private def requireBundle: IndexBundle =
     bundle.getOrElse(throw ServiceError(503, "no documents ingested yet"))
+
+  /** Current generation root, checked to actually hold `sub` (ann /
+    * quantized sidecars exist for service-written generations only). */
+  private def sidecarRoot(sub: String): String = {
+    val root = genRoot.getOrElse(
+      throw ServiceError(503, "no documents ingested yet"))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, sub)))
+      throw ServiceError(400,
+        s"dense_mode requires the '$sub' sidecar store; re-ingest to build it")
+    root
+  }
 
   private def health(): JValue = JObject(
     "status" -> JString("healthy"),
@@ -276,8 +302,23 @@ class QueryService(
       }.toMap
       case _ => Map.empty
     }
+    // index selection for the dense branch (mirrors the reference's
+    // HNSW-behind-filters serving path): exact = brute-force float64
+    // scan; ann = partition-pruned LSH store probes; quantized = int8
+    // code scan. Sidecars exist for every generation this service
+    // wrote; a store preloaded from elsewhere may lack them → 400.
+    val dense = (req \ "dense_mode").extractOpt[String].getOrElse("exact") match {
+      case "exact" => HybridSearch.DenseMode.Exact
+      case "ann" =>
+        HybridSearch.DenseMode.AnnLsh(TableStore.loadAnn(spark, sidecarRoot("ann")))
+      case "quantized" =>
+        HybridSearch.DenseMode.Quantized(
+          TableStore.loadQuantized(spark, sidecarRoot("quantized")))
+      case other =>
+        throw ServiceError(400, s"dense_mode must be exact|ann|quantized, got '$other'")
+    }
     val cfg = HybridSearch.Config(limit = limit, embedder = embedder,
-      weights = weights)
+      weights = weights, dense = dense)
     val enhanced = (req \ "enhanced").extractOpt[Boolean].getOrElse(false)
     val out =
       if (enhanced)

@@ -140,6 +140,22 @@ object TableStore {
     delta.write.mode("append")
       .partitionBy("tbl", "bucket").parquet(s"$root/ann")
 
+  /** IVF store layout: the [[graft.operators.AnnKnn.ivfIndex]] posting
+    * table partitioned by cid (bounded: one directory per centroid)
+    * plus the tiny centroid table. A query's nProbe probed lists
+    * become a static cid filter
+    * ([[graft.operators.AnnKnn.ivfStoreCandidates]]) — the scan opens
+    * only the probed list directories. */
+  def saveIvf(index: DataFrame, centroids: DataFrame, root: String): Unit = {
+    index.write.mode("overwrite").partitionBy("cid").parquet(s"$root/ivf")
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$root/ivf_centroids")
+  }
+
+  /** (index, centroids) as saved by [[saveIvf]]. */
+  def loadIvf(spark: SparkSession, root: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$root/ivf"),
+      spark.read.parquet(s"$root/ivf_centroids"))
+
   /** Quantized vector store: int8 codes persisted as `array<tinyint>`
     * + a per-vector double scale — 4× smaller files than raw
     * float32/float64 embedding columns, and the read path restores the

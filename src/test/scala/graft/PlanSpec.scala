@@ -286,6 +286,56 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("hybrid dense modes: ANN store prunes; quantized mode never reads raw embeddings") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    import graft.operators.AnnKnn
+    import graft.retrieval.HybridSearch
+    import graft.retrieval.HybridSearch.DenseMode
+    import graft.sources.TableStore
+    // chunk table WITH a materialized embedding column on disk — the
+    // serving layout; the assertion below is that the quantized read
+    // path leaves that fat column unread
+    val chunks0 = graft.Tables(spark, sf0001, "documents").select(
+      lpad(col("doc_id").cast("string"), 6, "0").as("id"),
+      col("text"), col("source").as("organization_id"),
+      lit("internal").as("access_level"),
+      graft.functions.EmbedFunctions.featureHashEmbed(
+        transform(TextFunctions.tokenize(col("text")),
+          t => TextFunctions.hash56(t)), 64).as("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_dense_modes").toString
+    chunks0.write.parquet(s"$root/chunks")
+    val chunks = spark.read.parquet(s"$root/chunks")
+    TableStore.saveAnn(AnnKnn.index(chunks, "id", "embedding"), root)
+    TableStore.saveQuantized(chunks, "id", "embedding", root)
+    val ctx = graft.model.TenantContext("src3")
+
+    // ANN mode: the dense branch's store scan is (tbl, bucket)-pruned
+    val annSearch = HybridSearch.search(chunks, "spark join filter", ctx,
+      cfg = HybridSearch.Config(limit = 5,
+        dense = DenseMode.AnnLsh(TableStore.loadAnn(spark, root))))
+    val p = plan(annSearch)
+    val partLine = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")).getOrElse("")
+    assert(partLine.nonEmpty, p.take(2500))
+    assert(annSearch.limit(1).count() == 1)
+
+    // quantized mode (dense-only weights): NO scan reads the raw
+    // embedding column — the dense branch reads codes+scale only
+    val qSearch = HybridSearch.search(chunks, "spark join filter", ctx,
+      cfg = HybridSearch.Config(limit = 5,
+        weights = Some(Map("dense" -> 1.0)),
+        dense = DenseMode.Quantized(TableStore.loadQuantized(spark, root))))
+    val p2 = plan(qSearch)
+    val reads = p2.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("embedding"), reads)
+    assert(reads.contains("codes"), reads)
+    // and the scoped result stays inside the tenant
+    val orgs = qSearch.join(chunks.select(col("id"), col("organization_id")), "id")
+      .select(col("organization_id")).distinct().collect().map(_.getString(0)).toSeq
+    assert(orgs == Seq("src3"), orgs.mkString(","))
+  }
+
   test("IVF kNN: query path equi-joins probed lists; top-1 is the query itself") {
     import org.apache.spark.sql.functions.col
     import graft.operators.AnnKnn

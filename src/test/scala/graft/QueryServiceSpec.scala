@@ -122,6 +122,45 @@ class QueryServiceSpec extends SparkSpec {
     call(s"""{"op":"delete","organization_id":"org_a","document_id":"$idA"}""")
   }
 
+  test("dense_mode ann / quantized serve the same top hit as exact") {
+    // the sidecar stores are written at every persist, so all three
+    // dense modes are selectable per request; on a tiny corpus the
+    // clear-match query must surface the same document first in each
+    def top(mode: String): String = {
+      val r = call(s"""{"op":"search","organization_id":"org_b","query":"flour dough bake","limit":3,"dense_mode":"$mode"}""")
+      assert((r \ "total_results").extract[Int] > 0, s"$mode returned nothing")
+      ((r \ "results").extract[List[JValue]].head \ "id").extract[String]
+    }
+    val exact = top("exact")
+    assert(top("ann") == exact)
+    assert(top("quantized") == exact)
+    // unknown mode is the client's error
+    assert((call("""{"op":"search","organization_id":"org_b","query":"x","dense_mode":"hnsw"}""")
+      \ "status").extract[Int] == 400)
+  }
+
+  test("malformed weights are a 400, not a 500") {
+    assert((call("""{"op":"search","organization_id":"org_b","query":"x","weights":{"bm25":"notanumber"}}""")
+      \ "status").extract[Int] == 400)
+    // short org ids are rejected like the reference's header check
+    assert((call("""{"op":"search","organization_id":"ab","query":"x"}""")
+      \ "status").extract[Int] == 400)
+  }
+
+  test("duplicate docs in one ingest request collapse to one document") {
+    val dup = """{"filename":"dup.md","text":"# Duplicate Payload\n\nThe identical attachment was included twice by the client uploader. Either copy suffices for retrieval."}"""
+    val r = call(s"""{"op":"ingest","organization_id":"org_b","docs":[$dup, $dup]}""")
+    assert((r \ "document_ids").extract[List[String]].size == 1)
+    val g = call(s"""{"op":"get_document","organization_id":"org_b","document_id":"${(r \ "document_ids").extract[List[String]].head}"}""")
+    val n = (g \ "total_chunks").extract[Int]
+    // re-ingesting once more must not change the chunk count (no
+    // doubled postings from the intra-request duplicate)
+    val r2 = call(s"""{"op":"ingest","organization_id":"org_b","docs":[$dup]}""")
+    val g2 = call(s"""{"op":"get_document","organization_id":"org_b","document_id":"${(r2 \ "document_ids").extract[List[String]].head}"}""")
+    assert((g2 \ "total_chunks").extract[Int] == n)
+    call(s"""{"op":"delete","organization_id":"org_b","document_id":"${(r \ "document_ids").extract[List[String]].head}"}""")
+  }
+
   test("bad limits on document listing are 400s") {
     assert((call("""{"op":"documents","organization_id":"org_a","limit":-1}""")
       \ "status").extract[Int] == 400)
