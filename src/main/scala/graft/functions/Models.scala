@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pluggable model seams (reference model boundaries: BGE dense
@@ -24,6 +24,18 @@ trait Embedder extends Serializable {
     * [[embed]] computes for the same tokens (the reference embeds
     * queries through the same model, `dense_embedder.py:67-74`). */
   def embedQuery(tokens: Seq[String]): Array[Double]
+
+  /** DataFrame-level form — THE generic model boundary. The default
+    * delegates to the [[embed]] column kernel (null token rows → null
+    * embeddings, preserving the skip-embedding contract); model-backed
+    * implementations that have no column form (an inference server, a
+    * native runtime) override THIS with a `mapPartitions` batch pass
+    * instead — see [[ExternalEmbedder]]. Pipelines call only this
+    * method, so the swap needs no pipeline change. */
+  def embedFrame(df: DataFrame, tokensCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol,
+      when(col(tokensCol).isNull, lit(null).cast("array<double>"))
+        .otherwise(embed(col(tokensCol))))
 }
 
 /** Default embedder: the codegen'd feature-hash kernel (I9 stand-in,

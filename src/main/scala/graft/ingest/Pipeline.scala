@@ -91,10 +91,15 @@ object Pipeline {
     // re-runs the quality→chunk→embed pass (at cluster scale this is
     // the parquet write of the chunk fact table that everything else
     // derives from)
-    val embedded = chunks.withColumn("embedding",
+    // tokens are nulled for skip_embedding rows; the embedFrame seam
+    // maps null tokens → null embedding in every implementation, so
+    // the garbage-skip contract is embedder-independent
+    val tokenized = chunks.withColumn("__toks",
       when(col("metadata").getItem("skip_embedding") === "true",
-        lit(null).cast("array<double>"))
-        .otherwise(embedder.embed(TextFunctions.tokenize(col("text")))))
+        lit(null).cast("array<string>"))
+        .otherwise(TextFunctions.tokenize(col("text"))))
+    val embedded = embedder.embedFrame(tokenized, "__toks", "embedding")
+      .drop("__toks")
       .cache()
 
     // BM25 index (A1): paragraph-level chunks are the retrieval unit (F7)

@@ -66,6 +66,53 @@ class ModelSeamSpec extends SparkSpec {
       && viaExplicit.exceptAll(viaDefault).isEmpty)
   }
 
+  test("batched RPC embedder drives ingest + search through real sockets") {
+    // deterministic fake inference server: computes the feature-hash
+    // embedding via the JVM twin, so the RPC path must be BIT-IDENTICAL
+    // to the default FeatureHashEmbedder (Double.toString round-trips
+    // exactly) — proving serialization, batching, and the unit-norm
+    // contract under distribution without any model dependency
+    val server = new FakeEmbedServer(dim = 64)
+    try {
+      val rpc = graft.functions.ExternalEmbedder(
+        "127.0.0.1", server.port, dim = 64, batchSize = 4)
+      val viaRpc = Pipeline.ingest(docs, embedder = rpc, orgCol = Some("org"))
+      val viaDefault = Pipeline.ingest(docs, orgCol = Some("org"))
+      val a = viaRpc.chunks.select(col("id"), col("embedding"))
+      val b = viaDefault.chunks.select(col("id"), col("embedding"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+      // search end-to-end with the RPC embedder (query embeds through
+      // the same server, driver-side)
+      val out = HybridSearch.search(
+        viaRpc.chunks, "spark join filter", TenantContext("org1"),
+        cfg = HybridSearch.Config(limit = 3, embedder = rpc,
+          levelFilter = None),
+        index = Some(viaRpc.bm25Index))
+      assert(out.count() > 0)
+
+      // batching held: every request carried <= batchSize docs, and
+      // the RPC count is far below the row count
+      val sizes = server.batchSizes
+      assert(sizes.nonEmpty && sizes.max <= 4, sizes.mkString(","))
+    } finally server.stop()
+  }
+
+  test("a non-unit-norm server fails the task loudly at the seam") {
+    val server = new FakeEmbedServer(dim = 64, breakNorm = true)
+    try {
+      val rpc = graft.functions.ExternalEmbedder(
+        "127.0.0.1", server.port, dim = 64, batchSize = 4)
+      val ex = intercept[org.apache.spark.SparkException] {
+        Pipeline.ingest(docs, embedder = rpc, orgCol = Some("org"))
+          .chunks.select(col("embedding")).collect()
+      }
+      assert(String.valueOf(ex.getMessage).contains("unit-norm") ||
+        Option(ex.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("unit-norm")))
+    } finally server.stop()
+  }
+
   test("a second rerank scorer swaps in and changes the order") {
     val cands = Seq(
       (1L, "spark join filter merge window table scan extra words here"),
@@ -78,4 +125,55 @@ class ModelSeamSpec extends SparkSpec {
     assert(lex.head == 1L) // full lexical overlap wins
     assert(brief.head == 2L) // shortest text wins
   }
+}
+
+/** Deterministic fake inference endpoint speaking ExternalEmbedder's
+  * line protocol: TAB-separated docs in, TAB-separated space-joined
+  * vectors out, one batch per connection, concurrent connections
+  * served (executors connect in parallel under local[32]). The
+  * "model" is the feature-hash JVM twin, so expected outputs are
+  * exactly the default embedder's. `breakNorm` de-normalizes every
+  * vector to exercise the client's contract check. */
+class FakeEmbedServer(dim: Int, breakNorm: Boolean = false) {
+  private val ss = new java.net.ServerSocket(0, 64,
+    java.net.InetAddress.getByName("127.0.0.1"))
+  private val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  @volatile private var closed = false
+
+  def port: Int = ss.getLocalPort
+  def batchSizes: Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    sizes.forEach(s => b += s)
+    b.result()
+  }
+
+  private val acceptor = new Thread(() => {
+    try while (!closed) {
+      val s = ss.accept()
+      new Thread(() => handle(s)).start()
+    } catch { case _: java.net.SocketException => () } // closed
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def handle(s: java.net.Socket): Unit =
+    try {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream))
+      val out = new java.io.PrintWriter(s.getOutputStream, true)
+      val line = in.readLine()
+      if (line != null) {
+        val docs = line.split("\t", -1).toSeq
+        sizes.add(docs.size)
+        val resp = docs.map { d =>
+          val toks = if (d.isEmpty) Seq.empty[String] else d.split(" ").toSeq
+          val v = graft.functions.EmbedFunctions.embedQuery(toks, dim)
+          val w = if (breakNorm) v.map(_ * 2.0 + 0.5) else v
+          w.mkString(" ")
+        }.mkString("\t")
+        out.println(resp)
+      }
+    } finally s.close()
+
+  def stop(): Unit = { closed = true; ss.close() }
 }
