@@ -306,6 +306,39 @@ object RetrievalPack {
       .orderBy($"rrf_score".desc, $"doc_id")
   }
 
+  /** q87 (V9, VERDICT r3 ask #6): the precision fallback EXECUTED and
+    * oracle-pinned — "section 42" triggers detectPrecision
+    * (section_reference, `enhanced_hybrid_search.py:82-101`), the
+    * precision terms run a BM25-only lookup whose scores get the +0.5
+    * boost, and the boosted list merges IN FRONT of the base hybrid
+    * first-writer-wins (J8, `:391-434`). doc_id % 13 docs carry an
+    * injected "section 42" sentence so the precision list is nonempty
+    * and outranks the base (rrf scores are ≪ 0.5). "section" avoids
+    * the visual-modality keywords, keeping the base at the default
+    * 0.3/0.5 weights the oracle replicates. */
+  val PrecisionQuery = "spark join filter in section 42"
+  private val PrecisionInjection = " section 42 appendix details."
+
+  def precisionMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val injected = concat($"text",
+      when($"doc_id" % 13 === 0, lit(PrecisionInjection)).otherwise(lit("")))
+    val chunks = docs(spark, dir).select(
+      lpad($"doc_id".cast("string"), 6, "0").as("id"),
+      injected.as("text"),
+      $"source".as("organization_id"),
+      lit("internal").as("access_level"),
+      graft.functions.EmbedFunctions.featureHashEmbed(
+        transform(TextFunctions.tokenize(injected),
+          t => TextFunctions.hash56(t)), 64).as("embedding"))
+    graft.retrieval.HybridSearch.enhancedSearch(
+        chunks, PrecisionQuery, graft.model.TenantContext("src3"),
+        cfg = graft.retrieval.HybridSearch.Config(limit = 5, levelFilter = None))
+      .select($"id".cast("bigint").as("doc_id"),
+        round($"rrf_score", 6).as("rrf_score"), $"query_type")
+      .orderBy($"rrf_score".desc, $"doc_id")
+  }
+
   /** V5 fully self-contained hybrid: BM25 + feature-hash dense over the
     * documents table only (query embedded with the same deterministic
     * kernel in-engine and in-SQL), fused with RRF. */
@@ -348,6 +381,7 @@ object RetrievalPack {
     "q49_enhanced_fallback" -> (enhancedFallback _),
     "q50_colpali_propagate" -> (colpaliPropagateGate _),
     "q84_hybrid_ann" -> (hybridAnn _),
+    "q87_precision_merge" -> (precisionMerge _),
   )
 
   /** CTE prefix computing feature-hash doc embeddings for `documents`:
@@ -531,6 +565,54 @@ object RetrievalPack {
          |  ORDER BY rrf_score DESC, doc_id LIMIT 5)
          |SELECT doc_id, rrf_score, '$qtype' AS query_type FROM fused
          |ORDER BY rrf_score DESC, doc_id""".stripMargin
+    },
+    // the enhanced-search precision overlay: base hybrid (fetch 30,
+    // fused top-10) over the injected src3 scope, plus a second BM25
+    // scoring pass (q2/bm252 reusing the SAME corpus-stat CTEs) for
+    // the precision terms, +0.5, merged first-writer-wins, top-5
+    "q87_precision_merge" -> {
+      val qtype = graft.retrieval.QueryAnalyzer.classify(PrecisionQuery)
+      val baseToks = TextFunctions.tokenizeJvm(PrecisionQuery)
+      val precToks = graft.retrieval.QueryAnalyzer
+        .precisionSearchTerms("section_reference", "42")
+        .flatMap(TextFunctions.tokenizeJvm).distinct
+      val p = BM25.Params()
+      val q2vals = precToks.groupBy(identity).view.mapValues(_.size).toSeq.sorted
+        .map { case (t, c) => s"('$t', $c)" }.mkString(", ")
+      val inj = s"CASE WHEN doc_id % 13 = 0 THEN text || '$PrecisionInjection' ELSE text END"
+      s"""WITH injdocs AS (SELECT doc_id, $inj AS text, source FROM documents),
+         |scoped AS (SELECT doc_id, text FROM injdocs WHERE source = 'src3'),
+         |${BM25.oracleCtes(baseToks, table = "scoped")},
+         |bmrank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, round(score, 4) AS score FROM bm25 WHERE score > 0
+         |        ORDER BY round(score, 4) DESC, doc_id LIMIT 30) t),
+         |${docEmbedCtes("scoped")},
+         |${queryVecSql(baseToks)},
+         |dscore AS (SELECT doc_id, round(list_dot_product(emb, (SELECT qvec FROM qv)), 6) AS score FROM docemb),
+         |drank AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT * FROM dscore ORDER BY score DESC, doc_id LIMIT 30) t),
+         |contrib AS (
+         |  SELECT doc_id, 0.3 / (60 + rank) AS c FROM bmrank
+         |  UNION ALL
+         |  SELECT doc_id, 0.5 / (60 + rank) AS c FROM drank),
+         |fused AS (SELECT doc_id, round(SUM(c), 6) AS rrf_score FROM contrib GROUP BY doc_id
+         |  ORDER BY rrf_score DESC, doc_id LIMIT 10),
+         |q2(term, qcount) AS (VALUES $q2vals),
+         |bm252 AS (
+         |  SELECT p.doc_id,
+         |    SUM(i.idf * (p.tf * ${p.k1 + 1.0}) / (p.tf + ${p.k1} * (1.0 - ${p.b} + ${p.b} * p.dl / s.avgdl)) * q2.qcount) AS score
+         |  FROM posting p JOIN q2 USING (term) JOIN idf i USING (term), stats s
+         |  GROUP BY p.doc_id),
+         |prec AS (SELECT doc_id, round(score, 4) + 0.5 AS rrf_score
+         |  FROM (SELECT doc_id, round(score, 4) AS score FROM bm252 WHERE score > 0
+         |        ORDER BY round(score, 4) DESC, doc_id LIMIT 5) t),
+         |merged AS (
+         |  SELECT doc_id, rrf_score FROM prec
+         |  UNION ALL
+         |  SELECT f.doc_id, f.rrf_score FROM fused f
+         |  WHERE f.doc_id NOT IN (SELECT doc_id FROM prec))
+         |SELECT doc_id, round(rrf_score, 6) AS rrf_score, '$qtype' AS query_type
+         |FROM merged ORDER BY rrf_score DESC, doc_id LIMIT 5""".stripMargin
     },
     // the serving hybrid with the ANN store dense branch: BM25 over the
     // src3 tenant scope (positive-only, top-15) fused 0.3/0.5 with the

@@ -333,6 +333,30 @@ object StoreGates {
       |t(fid, tier, strategy, pipeline, overall, ocr, structure, format)
       |ORDER BY fid""".stripMargin
 
+  // ---- q86: vector sink round-trip (S7) ----------------------------------
+
+  /** q86: the embeddings table through the vector sink — save → load →
+    * explode per dimension. The oracle reads the SOURCE table directly,
+    * so a store that loses a single ulp anywhere in 32,000 cells
+    * hash-mismatches; this is the S7 persistence contract (float64
+    * arrays round-trip parquet bit-exactly), gated end-to-end. */
+  def vectorStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = TmpDirs.create("graft_q86_vec")
+    graft.sources.TableStore.saveVectors(
+      emb(spark, dir), "vec_id", "embedding", tmp)
+    graft.sources.TableStore.loadVectors(spark, tmp)
+      .select($"id".as("vec_id"), posexplode($"vec").as(Seq("dim", "value")))
+      .select($"vec_id", $"dim".cast("long").as("dim"), $"value")
+      .orderBy($"vec_id", $"dim")
+  }
+
+  private val vectorStoreOracle: String =
+    """SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+      |  CAST(embedding AS DOUBLE[])[u.i] AS value
+      |FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+      |ORDER BY vec_id, dim""".stripMargin
+
   // ---- q79: filter compiler + containment + projection + F8 -------------
 
   /** Query mixing the corpus's one rare term (positive idf) with two
@@ -382,7 +406,8 @@ object StoreGates {
     "q76_merge_detail" -> (mergeDetail _),
     "q77_visual_search" -> (visualSearch _),
     "q78_quality_routing" -> (qualityRouting _),
-    "q79_filter_compile" -> (filterCompile _))
+    "q79_filter_compile" -> (filterCompile _),
+    "q86_vector_store" -> (vectorStore _))
 
   val oracle: Map[String, String] = Map(
     "q73_doc_upsert" -> docUpsertOracle,
@@ -391,5 +416,6 @@ object StoreGates {
     "q76_merge_detail" -> mergeDetailOracle,
     "q77_visual_search" -> visualOracle,
     "q78_quality_routing" -> qualityOracle,
-    "q79_filter_compile" -> filterOracle)
+    "q79_filter_compile" -> filterOracle,
+    "q86_vector_store" -> vectorStoreOracle)
 }

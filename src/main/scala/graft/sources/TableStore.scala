@@ -140,6 +140,22 @@ object TableStore {
     delta.write.mode("append")
       .partitionBy("tbl", "bucket").parquet(s"$root/ann")
 
+  /** Plain vector sink (S7, the role of the reference's Qdrant
+    * collection upsert `vector_store.py:305-352`): (id, vec float64)
+    * parquet — the raw embedding persistence the chunk store's
+    * embedding column and the ANN/IVF/quantized sidecars all derive
+    * from. Doubles round-trip parquet bit-exactly, which gate q86 pins
+    * end-to-end. */
+  def saveVectors(emb: DataFrame, idCol: String, vecCol: String,
+                  root: String): Unit =
+    emb.select(org.apache.spark.sql.functions.col(idCol).as("id"),
+        org.apache.spark.sql.functions.col(vecCol)
+          .cast("array<double>").as("vec"))
+      .write.mode("overwrite").parquet(s"$root/vectors")
+
+  def loadVectors(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/vectors")
+
   /** IVF store layout: the [[graft.operators.AnnKnn.ivfIndex]] posting
     * table partitioned by cid (bounded: one directory per centroid)
     * plus the tiny centroid table. A query's nProbe probed lists
