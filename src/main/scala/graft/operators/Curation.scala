@@ -410,6 +410,75 @@ object Curation {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
+  // ---- URL / domain filtering ---------------------------------------------
+
+  /** C4/RefinedWeb-style URL hygiene as ONE row-local projection:
+    * extract the registrable host from each document's source URL,
+    * then keep a row iff (a) its domain is not blocklisted, (b) no
+    * blocked keyword occurs anywhere in the lowered URL, and (c) the
+    * domain is not a bare IP literal (crawl-noise tell). Returns
+    * (id, domain, keep) so callers can filter, audit, or aggregate
+    * per-domain stats from the same frame. Zero shuffle at any corpus
+    * size; a million-domain blocklist would swap the literal `isin`
+    * for a broadcast anti-join on `domain` with no other change. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(lower(url), "^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/:?#]+)", 1)
+
+  /** The keep predicate as a bare Column, so pipelines apply it as a
+    * row-local filter on the corpus scan itself (no join). */
+  def urlKeep(url: Column, blockedDomains: Seq[String],
+              blockedKeywords: Seq[String]): Column = {
+    val lowered = lower(url)
+    val domain = urlDomain(url)
+    val isIp = domain.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$")
+    val kwHit = blockedKeywords
+      .foldLeft(lit(false))((acc, k) => acc || lowered.contains(k.toLowerCase))
+    !domain.isin(blockedDomains.map(_.toLowerCase): _*) &&
+      !kwHit && !isIp && domain =!= ""
+  }
+
+  def urlFilter(docs: DataFrame, idCol: String, urlCol: String,
+                blockedDomains: Seq[String],
+                blockedKeywords: Seq[String]): DataFrame =
+    docs.select(col(idCol), urlDomain(col(urlCol)).as("domain"),
+      urlKeep(col(urlCol), blockedDomains, blockedKeywords).as("keep"))
+
+  // ---- perplexity-bucket quality gate -------------------------------------
+
+  /** CCNet-style perplexity bucketing (head / middle / tail) as a
+    * row-local column program. The score is a DETERMINISTIC stand-in
+    * for a KenLM document perplexity (the reference pattern ships a
+    * pretrained LM; this engine is model-free — a real LM plugs in via
+    * a `mapPartitions` batch scorer exactly like
+    * [[graft.functions.ExternalEmbedder]]): the exponential of the
+    * doc's word-unigram entropy, exp(ln N − Σ c·ln c / N) over its own
+    * token histogram. Degenerate repetition → ppl near 1 (tail-low);
+    * natural prose → mid; unstructured noise → high. Buckets by the
+    * (t1, t2) thresholds on the ROUNDED score, so the cut is stable
+    * across engines/libm ulps: head < t1 ≤ middle < t2 ≤ tail.
+    * Returns (id, ppl, bucket); counts are sorted before the Σ c·ln c
+    * fold so summation order (and thus the last ulp) is identical in
+    * every engine. */
+  def pplScore(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val counts = array_sort(transform(array_distinct(toks),
+      u => size(filter(toks, t => t === u)).cast("double")))
+    val sumClnC = aggregate(counts, lit(0.0), (acc, c) => acc + c * log(c))
+    when(size(toks) > 0, round(exp(log(n) - sumClnC / n), 4)).otherwise(lit(1.0))
+  }
+
+  /** Bucket label as a bare Column (pipelines filter the scan with it
+    * row-locally — no join, no shuffle). */
+  def pplBucket(toks: Column, t1: Double, t2: Double): Column = {
+    val ppl = pplScore(toks)
+    when(ppl < t1, "head").when(ppl < t2, "middle").otherwise("tail")
+  }
+
+  def pplBuckets(docs: DataFrame, idCol: String, toksCol: String,
+                 t1: Double, t2: Double): DataFrame =
+    docs.select(col(idCol), pplScore(col(toksCol)).as("ppl"),
+      pplBucket(col(toksCol), t1, t2).as("bucket"))
+
   // ---- gate queries ------------------------------------------------------
 
   private def docs(spark: SparkSession, dir: String) = Tables(spark, dir, "documents")
@@ -545,7 +614,44 @@ object Curation {
     "q64_source_cap" -> (sourceCap _),
     "q65_top_ngrams" -> (topTrigrams _),
     "q82_pack_sequences" -> (sequences _),
+    "q88_url_filter" -> (urlFilterGate _),
+    "q89_ppl_bucket" -> (pplBucketGate _),
   )
+
+  /** q88: deterministic URL fixture — domain cycles by doc_id % 5 (two
+    * blocklisted), doc_id % 13 hosts become bare IP literals, doc_id %
+    * 11 paths carry a blocked keyword — through the URL filter. */
+  def urlFilterGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val domain = when($"doc_id" % 5 === 0, "example.com")
+      .when($"doc_id" % 5 === 1, "spam-casino.biz")
+      .when($"doc_id" % 5 === 2, "news.site.org")
+      .when($"doc_id" % 5 === 3, "tracker.adserver.net")
+      .otherwise("blog.example.io")
+    val host = when($"doc_id" % 13 === 0, lit("93.184.216.34")).otherwise(domain)
+    val path = when($"doc_id" % 11 === 0, lit("/casino-bonus/")).otherwise(lit("/article/"))
+    val url = concat(lit("https://www."), host, path, $"doc_id".cast("string"))
+    urlFilter(
+        graft.Tables(spark, dir, "documents").select($"doc_id", url.as("url")),
+        "doc_id", "url",
+        blockedDomains = Seq("spam-casino.biz", "tracker.adserver.net"),
+        blockedKeywords = Seq("casino"))
+      .orderBy($"doc_id")
+  }
+
+  /** q89: perplexity-surrogate buckets over the raw corpus. */
+  def pplBucketGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pplBuckets(
+        graft.Tables(spark, dir, "documents").select($"doc_id",
+          TextFunctions.wsTokens(lower($"text")).as("toks")),
+        "doc_id", "toks", t1 = PplT1, t2 = PplT2)
+      .orderBy($"doc_id")
+  }
+
+  /** Gate thresholds, shared with the oracle SQL. */
+  val PplT1 = 18.0
+  val PplT2 = 24.0
 
   // ---- oracle SQL --------------------------------------------------------
 
@@ -574,6 +680,39 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "q88_url_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://www.' ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN '93.184.216.34' ELSE
+        |    (CASE doc_id % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'spam-casino.biz'
+        |      WHEN 2 THEN 'news.site.org' WHEN 3 THEN 'tracker.adserver.net'
+        |      ELSE 'blog.example.io' END) END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN '/casino-bonus/' ELSE '/article/' END) ||
+        |  CAST(doc_id AS VARCHAR) AS url FROM documents),
+        |d AS (SELECT doc_id, lower(url) AS lu FROM u),
+        |x AS (SELECT doc_id, lu,
+        |  regexp_extract(lu, '^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/:?#]+)', 1) AS domain FROM d)
+        |SELECT doc_id, domain,
+        |  (NOT list_contains(['spam-casino.biz', 'tracker.adserver.net'], domain))
+        |  AND NOT contains(lu, 'casino')
+        |  AND NOT regexp_matches(domain, '^\d{1,3}(\.\d{1,3}){3}$')
+        |  AND domain != '' AS keep
+        |FROM x ORDER BY doc_id""".stripMargin,
+    // identical histogram-entropy formula, counts SORTED before the
+    // c·ln c fold so both engines sum in the same order
+    "q89_ppl_bucket" -> {
+      s"""WITH t AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS n,
+         |  list_sort(list_transform(list_distinct(toks),
+         |    u -> CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE))) AS counts FROM t),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN n > 0
+         |    THEN round(exp(ln(n) - list_sum(list_transform(counts, c2 -> c2 * ln(c2))) / n), 4)
+         |    ELSE 1.0 END AS ppl FROM c)
+         |SELECT doc_id, ppl,
+         |  CASE WHEN ppl < $PplT1 THEN 'head' WHEN ppl < $PplT2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     "q72_decontaminate_bloom" -> decontOracle,
     "q57_decontaminate" -> decontOracle,
     "q58_repetition" -> {

@@ -9,9 +9,16 @@ import graft.functions.TextFunctions
   * 100 TB pretraining-data user actually runs, chaining the
   * individually-gated operators in their canonical order:
   *
-  *   PII scrub → exact dedup → line clean → cross-doc line dedup →
-  *   MinHash near-dedup (keep canonical) → eval-set decontamination →
-  *   stratified sampling → fixed-length sequence packing
+  *   URL/domain filter (when a URL column exists) → PII scrub →
+  *   exact dedup → line clean → cross-doc line dedup →
+  *   perplexity-bucket gate → MinHash near-dedup (keep canonical) →
+  *   eval-set decontamination → stratified sampling → fixed-length
+  *   sequence packing
+  *
+  * The two quality gates sit where they are cheapest: URL hygiene is a
+  * predicate on the input scan (junk never enters the pipeline), and
+  * the perplexity gate runs before minhash so rejected docs never pay
+  * for signatures.
   *
   * Exact dedup runs FIRST among the reducers: it is the cheapest pass
   * (one md5 aggregate), and it must precede line dedup — two identical
@@ -38,7 +45,16 @@ object TrainingPipeline {
       sampleRates: Map[String, Double] = Map.empty,
       defaultSampleRate: Double = 1.0,
       sampleSalt: String = "s42",
-      seqLen: Long = 512L)
+      seqLen: Long = 512L,
+      // URL hygiene (q88): applied first, as a row-local scan filter,
+      // when the input carries a URL column
+      urlCol: Option[String] = None,
+      urlBlockedDomains: Seq[String] = Nil,
+      urlBlockedKeywords: Seq[String] = Nil,
+      // perplexity-surrogate bucket gate (q89, CCNet shape): docs whose
+      // bucket is not in keepPplBuckets drop after line dedup
+      pplThresholds: Option[(Double, Double)] = None,
+      keepPplBuckets: Set[String] = Set("head", "middle"))
 
   /** Pipeline output: the curated documents (id, stratum, toks — what
     * a tokenizer-side consumer reads), the packed sequence spans, and
@@ -53,12 +69,16 @@ object TrainingPipeline {
   }
 
   /** Survivor counts after each stage (report mode only; every field
-    * is -1 when `withReport = false`). */
+    * is -1 when `withReport = false`; -1 also marks a stage that is
+    * disabled by config — URL filter without urlCol, ppl gate without
+    * thresholds). */
   case class Report(
       nInput: Long,
+      nAfterUrlFilter: Long,
       nAfterExactDedup: Long,
       nAfterLineClean: Long,
       nAfterLineDedup: Long,
+      nAfterPplGate: Long,
       nAfterNearDedup: Long,
       nAfterDecontam: Long,
       nSampled: Long,
@@ -93,9 +113,19 @@ object TrainingPipeline {
       }
     val nInput = if (withReport) docs.count() else -1L
 
+    // 0: URL hygiene (q88) — a row-local predicate on the input scan;
+    // fused by Catalyst into the same pass as the PII projection
+    val urlFiltered = cfg.urlCol match {
+      case Some(u) => docs.filter(Curation.urlKeep(col(u),
+        cfg.urlBlockedDomains, cfg.urlBlockedKeywords))
+      case None => docs
+    }
+    val nUrl =
+      if (!withReport || cfg.urlCol.isEmpty) -1L else urlFiltered.count()
+
     // 1: PII scrub (row-local) — staged because exact dedup consumes
     // it three times (groups, losers, surviving base)
-    val scrubbed = staged(docs.select(col(idCol).as("id"),
+    val scrubbed = staged(urlFiltered.select(col(idCol).as("id"),
       col(stratumCol).as("stratum"), Pii.redact(col(textCol)).as("text")))
     prev = Some(scrubbed)
 
@@ -125,6 +155,21 @@ object TrainingPipeline {
       .select(col("id"), col("stratum"), col("cleaned").as("text")))
     val nLineDedup = stageCount(lineDeduped)
 
+    // 4.5: perplexity-surrogate bucket gate (q89) — row-local filter
+    // before the expensive minhash stage, so junk never pays for
+    // signatures; CCNet keeps head+middle by default
+    val pplGated = cfg.pplThresholds match {
+      case Some((t1, t2)) =>
+        val kept = staged(lineDeduped.filter(
+          Curation.pplBucket(
+            graft.functions.TextFunctions.wsTokens(lower(col("text"))), t1, t2)
+            .isin(cfg.keepPplBuckets.toSeq: _*)))
+        kept
+      case None => lineDeduped
+    }
+    val nPpl =
+      if (!withReport || cfg.pplThresholds.isEmpty) -1L else stageCount(pplGated)
+
     // 5: near-dedup — minhash → banded LSH → verified Jaccard →
     // clusters → canonical-only
     // cached in BOTH modes: three consumers (signatures, Jaccard
@@ -132,7 +177,7 @@ object TrainingPipeline {
     // would each re-run the tokenize lineage otherwise; in lazy mode
     // this is the one deliberate cache (the spans lineage still
     // references it — LRU-evictable, recompute-safe)
-    val toks = lineDeduped.select(col("id"), col("stratum"),
+    val toks = pplGated.select(col("id"), col("stratum"),
       col("text"), TextFunctions.tokenize(col("text")).as("toks"))
       .cache()
     val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK)
@@ -185,7 +230,7 @@ object TrainingPipeline {
     val retained =
       if (withReport) Seq(sampled, spans) else Seq(toks)
     Output(sampled, spans,
-      Report(nInput, nExact, nClean, nLineDedup, nNear,
+      Report(nInput, nUrl, nExact, nClean, nLineDedup, nPpl, nNear,
         nDecontam, nSampled, nSeq, nTok),
       retained)
   }

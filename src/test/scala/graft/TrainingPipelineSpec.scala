@@ -58,6 +58,36 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(r.nSequences > 0 && r.nTokens > 0)
   }
 
+  test("URL filter and perplexity gate drop their planted docs") {
+    import spark.implicits._
+    // three docs: a clean one from a good domain, one from a blocked
+    // domain, one high-diversity noise doc (every token unique → the
+    // entropy surrogate maxes out → 'tail') from a good domain
+    val noise = (1 to 80).map(i => s"tok$i").mkString(" ") + "."
+    val docs = Seq(
+      (1L, "en", "https://news.example.org/a", "A perfectly ordinary first document line for the pipeline.\nAnother well formed second line follows here."),
+      (2L, "en", "https://spam-casino.biz/win", "This document would otherwise be perfectly fine to keep today.\nIt has two well formed lines of text."),
+      (3L, "en", "https://news.example.org/b", noise + "\nAnother well formed second line follows there."))
+      .toDF("id", "lang", "url", "text")
+    val eval = Seq("completely unrelated evaluation text").toDF("text")
+    val out = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0,
+        urlCol = Some("url"),
+        urlBlockedDomains = Seq("spam-casino.biz"),
+        pplThresholds = Some((5.0, 60.0))))
+    val r = out.report
+    assert(r.nInput == 3 && r.nAfterUrlFilter == 2, r.toString)
+    assert(r.nAfterPplGate == 1, r.toString)
+    val ids = out.docs.select($"id").as[Long].collect().toSet
+    assert(ids == Set(1L), ids.toString)
+
+    // both stages disabled → -1 sentinels, nothing dropped
+    val off = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0))
+    assert(off.report.nAfterUrlFilter == -1L && off.report.nAfterPplGate == -1L)
+    assert(off.report.nAfterLineDedup == 3L, off.report.toString)
+  }
+
   test("pipeline is deterministic end-to-end") {
     import spark.implicits._
     val eval = graft.Tables(spark, sf0001, "documents")
