@@ -56,6 +56,43 @@ object Bench {
     }
 
     spark.catalog.clearCache()
+    // ColPali MaxSim at the reference's REAL page shape (~1030×128
+    // patches/page, `vector_store.py:437-440`) over 1k pages — the
+    // gates run toy grids, this is the memory/throughput rehearsal
+    // (VERDICT r3 ask #4). ~1.05 MB/row; projection precedes the
+    // top-k so the patch column never enters the exchange. Pages are
+    // materialized to parquet OUTSIDE the clock (synthetic generation
+    // is 132M hash calls of non-workload cost); the timed part is the
+    // serving shape — scan the page store, score, top-k.
+    val pagesDir = java.nio.file.Files
+      .createTempDirectory("maxsim_pages").toString
+    graft.tools.Synthetic.pages(spark, 1000, 1030, 128)
+      .write.mode("overwrite").parquet(pagesDir)
+    results("maxsim_stress") = time {
+      graft.tools.Synthetic.maxsimTopK(
+          spark.read.parquet(pagesDir),
+          graft.tools.Synthetic.queryPatches(spark, 32, 128), 20)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // same workload over the packed f32 page store (one binary cell
+    // per page, pack_f32/maxsim_f32): isolates how much of
+    // maxsim_stress is nested-parquet decode vs math — and is the
+    // layout the store would actually use at scale
+    val packedDir = java.nio.file.Files
+      .createTempDirectory("maxsim_packed").toString
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(pagesDir)
+      .select(col("document_id"), col("page_number"),
+        graft.functions.VectorFunctions.packF32(col("patches"), 128).as("packed"))
+      .write.mode("overwrite").parquet(packedDir)
+    results("maxsim_stress_packed") = time {
+      graft.tools.Synthetic.maxsimTopKPacked(
+          spark.read.parquet(packedDir),
+          graft.tools.Synthetic.queryPatches(spark, 32, 128), 128, 20)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    spark.catalog.clearCache()
     // end-to-end curation throughput: scrub → dedups → decontaminate →
     // sample → sequence-pack (every stage the gated primitive)
     results("curation_pipeline") = time {

@@ -59,6 +59,10 @@ object GraftExtensions {
       (n, a) => { arity(n, a, 2); CosineSim(a(0), a(1)) }),
     ("graft_maxsim", "graft_maxsim(q, d) - ColBERT/ColPali MaxSim of two patch matrices",
       (n, a) => { arity(n, a, 2); MaxSim(a(0), a(1)) }),
+    ("graft_pack_f32", "graft_pack_f32(patches, dim) - row-major float32 binary packing of a patch matrix",
+      (n, a) => { arity(n, a, 2); PackF32(a(0), intLit(n, a(1), 1)) }),
+    ("graft_maxsim_f32", "graft_maxsim_f32(q, packed, dim) - MaxSim against a pack_f32 binary cell",
+      (n, a) => { arity(n, a, 3); MaxSimF32(a(0), a(1), intLit(n, a(2), 2)) }),
     ("graft_minhash", "graft_minhash(hashes, k) - k-perm MinHash signature of a bigint array",
       (n, a) => { arity(n, a, 2); MinHashSig(a(0), intLit(n, a(1), 1)) }),
     ("graft_simhash", "graft_simhash(hashes, bits) - SimHash fingerprint of a bigint array",

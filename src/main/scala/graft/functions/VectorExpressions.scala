@@ -115,60 +115,157 @@ case class MaxSim(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "maxsim"
 
-  override def nullSafeEval(q: Any, d: Any): Any = {
-    val qa = q.asInstanceOf[ArrayData]
-    val da = d.asInstanceOf[ArrayData]
-    val nq = qa.numElements(); val nd = da.numElements()
+  override def nullSafeEval(q: Any, d: Any): Any =
+    MaxSim.compute(MaxSim.toMatrix(q.asInstanceOf[ArrayData]),
+      MaxSim.toMatrix(d.asInstanceOf[ArrayData]))
+
+  // Both sides are unpacked to primitive double[][] ONCE per row and
+  // the hot triple loop runs on plain arrays: the naive per-pair
+  // `getArray` form allocates an ArrayData wrapper per (query patch ×
+  // doc patch) — 33k/page at the real 32×1030 ColPali shape — and its
+  // virtual per-element reads defeat JIT vectorization (measured 5×
+  // slower on the maxsim_stress bench).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, d) => {
+      val ms = "graft.functions.MaxSim"
+      s"${ev.value} = $ms.compute($ms.toMatrix($q), $ms.toMatrix($d));"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Primitive MaxSim kernels, shared by the interpreted and codegen
+  * paths (codegen calls these via the companion's static forwarders).
+  */
+object MaxSim {
+  import org.apache.spark.unsafe.Platform
+
+  def toMatrix(a: ArrayData): Array[Array[Double]] = {
+    val n = a.numElements()
+    val out = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) { out(i) = a.getArray(i).toDoubleArray(); i += 1 }
+    out
+  }
+
+  def compute(q: Array[Array[Double]], d: Array[Array[Double]]): Double = {
     var total = 0.0
     var qi = 0
-    while (qi < nq) {
-      val qv = qa.getArray(qi)
-      val dim = qv.numElements()
+    while (qi < q.length) {
+      val qv = q(qi)
       var best = Double.NegativeInfinity
       var di = 0
-      while (di < nd) {
-        val dv = da.getArray(di)
-        val n = math.min(dim, dv.numElements())
+      while (di < d.length) {
+        val dv = d(di)
+        val n = math.min(qv.length, dv.length)
         var s = 0.0; var i = 0
-        while (i < n) { s += qv.getDouble(i) * dv.getDouble(i); i += 1 }
+        while (i < n) { s += qv(i) * dv(i); i += 1 }
         if (s > best) best = s
         di += 1
       }
-      if (nd > 0) total += best
+      if (d.length > 0) total += best
       qi += 1
     }
     total
   }
 
+  /** Row-major f32 packing of a patch matrix: `rows × dim` floats,
+    * native byte order (pack and score always run on the same
+    * worker arch; the bytes are an interchange format only between
+    * these two kernels). Short rows zero-pad, long rows truncate. */
+  def packF32(m: Array[Array[Double]], dim: Int): Array[Byte] = {
+    val out = new Array[Byte](m.length * dim * 4)
+    var off = Platform.BYTE_ARRAY_OFFSET.toLong
+    var r = 0
+    while (r < m.length) {
+      val row = m(r)
+      var i = 0
+      while (i < dim) {
+        Platform.putFloat(out, off,
+          if (i < row.length) row(i).toFloat else 0.0f)
+        off += 4; i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** MaxSim against a [[packF32]]-packed doc side: one blob read per
+    * page instead of per-patch array decode — the layout the page
+    * store uses at scale. */
+  def computePacked(q: Array[Array[Double]], d: Array[Byte], dim: Int): Double = {
+    val rows = d.length / (4 * dim)
+    val base = Platform.BYTE_ARRAY_OFFSET.toLong
+    var total = 0.0
+    var qi = 0
+    while (qi < q.length) {
+      val qv = q(qi)
+      val n = math.min(qv.length, dim)
+      var best = Double.NegativeInfinity
+      var r = 0
+      while (r < rows) {
+        val rowOff = base + r.toLong * dim * 4
+        var s = 0.0; var i = 0
+        while (i < n) { s += qv(i) * Platform.getFloat(d, rowOff + i * 4); i += 1 }
+        if (s > best) best = s
+        r += 1
+      }
+      if (rows > 0) total += best
+      qi += 1
+    }
+    total
+  }
+}
+
+/** pack_f32(patches, dim): row-major float32 binary packing of an
+  * array<array<double>> patch matrix — the write-side half of the
+  * packed page-store layout. At the real ColPali shape the nested
+  * parquet layout costs ~20× the MaxSim math in decode alone (per-
+  * element offset/definition levels over 132k values/page); a single
+  * binary cell decodes as one blob and halves the bytes (f32 vs f64).
+  */
+case class PackF32(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(dim > 0)
+
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pack_f32"
+
+  override def nullSafeEval(in: Any): Any =
+    MaxSim.packF32(MaxSim.toMatrix(in.asInstanceOf[ArrayData]), dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ms = "graft.functions.MaxSim"
+      s"${ev.value} = $ms.packF32($ms.toMatrix($x), $dim);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** maxsim_f32(q, packed, dim): [[MaxSim]] where the doc side is a
+  * [[PackF32]] binary cell. Scores differ from the f64 form only by
+  * f32 rounding of the stored patches (≈1e-7 relative). */
+case class MaxSimF32(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression {
+  require(dim > 0)
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "maxsim_f32"
+
+  override def nullSafeEval(q: Any, d: Any): Any =
+    MaxSim.computePacked(MaxSim.toMatrix(q.asInstanceOf[ArrayData]),
+      d.asInstanceOf[Array[Byte]], dim)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (q, d) => {
-      val nq = ctx.freshName("nq"); val nd = ctx.freshName("nd")
-      val total = ctx.freshName("total"); val qi = ctx.freshName("qi")
-      val qv = ctx.freshName("qv"); val dim = ctx.freshName("dim")
-      val best = ctx.freshName("best"); val di = ctx.freshName("di")
-      val dv = ctx.freshName("dv"); val n = ctx.freshName("n")
-      val s = ctx.freshName("s"); val i = ctx.freshName("i")
-      val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
-      s"""
-         |int $nq = $q.numElements(); int $nd = $d.numElements();
-         |double $total = 0.0;
-         |for (int $qi = 0; $qi < $nq; $qi++) {
-         |  $ad $qv = $q.getArray($qi);
-         |  int $dim = $qv.numElements();
-         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
-         |  for (int $di = 0; $di < $nd; $di++) {
-         |    $ad $dv = $d.getArray($di);
-         |    int $n = java.lang.Math.min($dim, $dv.numElements());
-         |    double $s = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $s += $qv.getDouble($i) * $dv.getDouble($i);
-         |    }
-         |    if ($s > $best) $best = $s;
-         |  }
-         |  if ($nd > 0) $total += $best;
-         |}
-         |${ev.value} = $total;
-       """.stripMargin
+      val ms = "graft.functions.MaxSim"
+      s"${ev.value} = $ms.computePacked($ms.toMatrix($q), $d, $dim);"
     })
 
   override protected def withNewChildrenInternal(
@@ -271,6 +368,16 @@ object VectorFunctions {
   /** ColPali MaxSim late-interaction score as a codegen'd Column. */
   def maxsim(q: Column, d: Column): Column =
     Bridge.column(MaxSim(Bridge.expression(mat(q)), Bridge.expression(mat(d))))
+
+  /** Row-major f32 binary packing of a patch matrix — the write side
+    * of the packed page-store layout (see [[PackF32]]). */
+  def packF32(patches: Column, dim: Int): Column =
+    Bridge.column(PackF32(Bridge.expression(mat(patches)), dim))
+
+  /** MaxSim where the doc side is a [[packF32]]-packed binary cell. */
+  def maxsimF32(q: Column, packed: Column, dim: Int): Column =
+    Bridge.column(MaxSimF32(Bridge.expression(mat(q)),
+      Bridge.expression(packed.cast("binary")), dim))
 
   /** Random-hyperplane LSH bucket ids (one per table) as a codegen'd
     * Column: array<long> of length `tables`. */

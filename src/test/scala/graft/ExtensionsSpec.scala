@@ -67,6 +67,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(v - 1.5) < 1e-12)
   }
 
+  test("packed f32 MaxSim reachable from SQL, matches the nested form") {
+    import spark.implicits._
+    Seq((Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(0.5, 0.5), Seq(1.0, 0.0))))
+      .toDF("q", "d").createOrReplaceTempView("ext_maxsim_f32")
+    val r = spark.sql(
+      """SELECT graft_maxsim(q, d) AS exact,
+        |  graft_maxsim_f32(q, graft_pack_f32(d, 2), 2) AS packed
+        |FROM ext_maxsim_f32""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+  }
+
   test("non-literal sketch size is rejected at analysis time") {
     import spark.implicits._
     Seq((Array(1L, 2L), 8)).toDF("hs", "k").createOrReplaceTempView("ext_bad")
