@@ -37,8 +37,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=q49,q87: comma-separated substring filter for
+    // fast single-query iteration; unset = the full driver contract
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if wanted(name)) {
       // each query is measured self-contained: operators cache their own
       // shared intermediates (self-join sides, iteration state), and
       // letting those accumulate across 50 queries distorts later
@@ -48,7 +55,7 @@ object Bench {
     }
     spark.catalog.clearCache()
     // ingestion throughput: documents -> chunks+postings (I1)
-    results("ingest_pipeline") = time {
+    if (wanted("ingest_pipeline")) results("ingest_pipeline") = time {
       val docs = Tables(spark, sfDir, "documents")
       val bundle = graft.ingest.Pipeline.ingest(docs, orgCol = Some("source"))
       bundle.chunks.write.format("noop").mode("overwrite").save()
@@ -64,38 +71,40 @@ object Bench {
     // materialized to parquet OUTSIDE the clock (synthetic generation
     // is 132M hash calls of non-workload cost); the timed part is the
     // serving shape — scan the page store, score, top-k.
-    val pagesDir = java.nio.file.Files
-      .createTempDirectory("maxsim_pages").toString
-    graft.tools.Synthetic.pages(spark, 1000, 1030, 128)
-      .write.mode("overwrite").parquet(pagesDir)
-    results("maxsim_stress") = time {
-      graft.tools.Synthetic.maxsimTopK(
-          spark.read.parquet(pagesDir),
-          graft.tools.Synthetic.queryPatches(spark, 32, 128), 20)
-        .write.format("noop").mode("overwrite").save()
-    }
-    // same workload over the packed f32 page store (one binary cell
-    // per page, pack_f32/maxsim_f32): isolates how much of
-    // maxsim_stress is nested-parquet decode vs math — and is the
-    // layout the store would actually use at scale
-    val packedDir = java.nio.file.Files
-      .createTempDirectory("maxsim_packed").toString
-    import org.apache.spark.sql.functions.col
-    spark.read.parquet(pagesDir)
-      .select(col("document_id"), col("page_number"),
-        graft.functions.VectorFunctions.packF32(col("patches"), 128).as("packed"))
-      .write.mode("overwrite").parquet(packedDir)
-    results("maxsim_stress_packed") = time {
-      graft.tools.Synthetic.maxsimTopKPacked(
-          spark.read.parquet(packedDir),
-          graft.tools.Synthetic.queryPatches(spark, 32, 128), 128, 20)
-        .write.format("noop").mode("overwrite").save()
+    if (wanted("maxsim_stress")) {
+      val pagesDir = java.nio.file.Files
+        .createTempDirectory("maxsim_pages").toString
+      graft.tools.Synthetic.pages(spark, 1000, 1030, 128)
+        .write.mode("overwrite").parquet(pagesDir)
+      results("maxsim_stress") = time {
+        graft.tools.Synthetic.maxsimTopK(
+            spark.read.parquet(pagesDir),
+            graft.tools.Synthetic.queryPatches(spark, 32, 128), 20)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // same workload over the packed f32 page store (one binary cell
+      // per page, pack_f32/maxsim_f32): isolates how much of
+      // maxsim_stress is nested-parquet decode vs math — and is the
+      // layout the store would actually use at scale
+      val packedDir = java.nio.file.Files
+        .createTempDirectory("maxsim_packed").toString
+      import org.apache.spark.sql.functions.col
+      spark.read.parquet(pagesDir)
+        .select(col("document_id"), col("page_number"),
+          graft.functions.VectorFunctions.packF32(col("patches"), 128).as("packed"))
+        .write.mode("overwrite").parquet(packedDir)
+      results("maxsim_stress_packed") = time {
+        graft.tools.Synthetic.maxsimTopKPacked(
+            spark.read.parquet(packedDir),
+            graft.tools.Synthetic.queryPatches(spark, 32, 128), 128, 20)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
 
     spark.catalog.clearCache()
     // end-to-end curation throughput: scrub → dedups → decontaminate →
     // sample → sequence-pack (every stage the gated primitive)
-    results("curation_pipeline") = time {
+    if (wanted("curation_pipeline")) results("curation_pipeline") = time {
       import org.apache.spark.sql.functions.{col, concat, lit}
       // the corpus is unpunctuated word salad — append a terminal stop
       // (gate-injection stance) so the C4 line rules see prose-shaped

@@ -254,11 +254,24 @@ object HybridSearch {
     *    (deductions cap at 0.2+0.1, `:157-193`), so conf < 0.5 ⟺
     *    empty base.
     *
-    * There is NO driver-side action: the failure stats are a 1-row
-    * aggregate inside the returned plan, and each retry subtree is
-    * gated on it via a broadcast crossJoin+filter, so the whole
-    * decide-then-retry loop executes in the caller's single action
-    * (see the gate comment below). */
+    * The ONE driver-side data dependency is a single-row aggregate
+    * (count/avg/var_pop/countDistinct) over the ≤2·limit-row cached
+    * base — the conditional re-query needs a materialized decision,
+    * exactly as in the reference; no per-row collects. In the common
+    * confident case the retry plans are never even constructed.
+    *
+    * A fully-lazy fold of this decision INTO the returned plan
+    * (failure stats as a 1-row broadcast gating each retry subtree)
+    * was implemented and measured at sf0.1, and rejected on evidence:
+    * with cache() the gate + merge subtrees re-embed the whole base
+    * lineage, exploding analysis to ~33 s driver time and a
+    * 20,144-line physical plan (q87 82.6 s end-to-end, ~110 AQE stage
+    * jobs); truncating the lineage with localCheckpoint(lazy) shrinks
+    * the plan 17× but under AQE `toRdd` materializes every query
+    * stage eagerly, executing the base search at plan-build time
+    * (9 s, and eager jobs defeat the point). The 2-job form here is
+    * 3-4 s end-to-end for the same query — the extra "job" is a
+    * head() on a handful of cached rows. */
   def enhancedSearch(chunks: DataFrame, query: String, ctx: TenantContext,
                      filters: Map[String, Filters.Pred] = Map.empty,
                      cfg: Config = Config(),
@@ -270,12 +283,9 @@ object HybridSearch {
       cfg.copy(limit = cfg.limit * 2), index = index)
 
     val scoped = Filters.tenantScope(chunks, ctx).filter(Filters.compile(filters))
-    // BM25-only lookup reused by the precision and fallback branches;
-    // `pregate` lets the fallback branch splice its 1-row run/skip gate
-    // onto the corpus input so a skipped retry streams zero rows
-    def bm25Only(tokens: Seq[String], k: Int,
-                 pregate: DataFrame => DataFrame = identity): DataFrame =
-      scopedBm25(pregate(scoped), tokens, k, index)
+    // BM25-only lookup reused by the precision and fallback branches
+    def bm25Only(tokens: Seq[String], k: Int): DataFrame =
+      scopedBm25(scoped, tokens, k, index)
 
     val (isPrecision, ptypeOpt, refOpt) = QueryAnalyzer.detectPrecision(query)
     val merged0 = (isPrecision, ptypeOpt, refOpt) match {
@@ -292,57 +302,45 @@ object HybridSearch {
     }
 
     // ≤2·limit rows, but its lineage is the whole base search — cache
-    // so the failure-stats subtree, the retry gates, and the final plan
-    // compute it once.
+    // so the failure-stats action and the final plan compute it once.
     // Deliberately not unpersisted: the returned plan still references
     // it lazily; the entries are tiny and evict LRU. Long-lived query
     // services should clear the cache between requests (as Bench and
     // Verify do) if they care about storage-pool hygiene.
     val merged = merged0.cache()
 
-    // V10 steps 6-7 (VERDICT r3 ask #8 — ONE plan, no driver action):
-    // the failure signals (A7, `enhanced_hybrid_search.py:144-197`) are
-    // a 1-row struct computed IN the plan — the Column twin of
-    // [[analyzeFailureStats]] — and the retry subtrees hang off it as
-    // broadcast-gated branches: each retry's INPUT is crossJoined with
-    // the 1-row gate and filtered, so when confidence ≥ 0.5 the retry
-    // operators stream zero rows and the caller's single action is the
-    // only Spark job issued. (Non-empty results floor confidence at
-    // 0.7 — deductions cap at 0.2+0.1 — so the gates fire iff the base
-    // is empty, exactly the driver-side decision this replaces.)
+    // V10 steps 6-7: failure analysis on the merged base, then retries
     val docId =
       if (chunks.columns.contains("document_id"))
         chunks.select(col("id"), col("document_id"))
       else chunks.select(col("id"), col("id").as("document_id"))
-    val low = col("n") > 0 && col("avg") < 0.3
-    val highVar = col("n") > 1 && col("variance") > 0.1
-    val single = col("nsrc") === 1
-    val conf = when(col("n") === 0, lit(0.0)).otherwise(
-      greatest(lit(0.0), lit(1.0)
-        - when(low, lit(0.2)).otherwise(lit(0.0))
-        - when(highVar, lit(0.1)).otherwise(lit(0.0))))
-    val gates = merged.join(docId, Seq("id"), "left")
-      .agg(count(lit(1)).as("n"), avg(col("rrf_score")).as("avg"),
-        coalesce(var_pop(col("rrf_score")), lit(0.0)).as("variance"),
-        countDistinct(col("document_id")).as("nsrc"))
-      .select(
-        // `try_keyword_search` ⇐ low scores; `expand_search` ⇐ single
-        // source; empty base ⇒ both (the completed no_results branch)
-        (conf < 0.5 && (low || col("n") === 0)).as("__kw"),
-        (conf < 0.5 && (single || col("n") === 0)).as("__ex"))
+    val stats = merged.join(docId, Seq("id"), "left")
+      .agg(count(lit(1)), avg(col("rrf_score")), var_pop(col("rrf_score")),
+        countDistinct(col("document_id")))
+      .head()
+    val signals =
+      if (stats.getLong(0) == 0L)
+        analyzeFailure(Seq.empty, 0)
+      else analyzeFailureStats(stats.getLong(0), stats.getDouble(1),
+        if (stats.isNullAt(2)) 0.0 else stats.getDouble(2),
+        stats.getLong(3).toInt)
 
-    def gated(df: DataFrame, flag: String): DataFrame =
-      df.crossJoin(broadcast(gates.select(col(flag))))
-        .filter(col(flag)).drop(flag)
-
-    val keywordRetry = bm25Only(TextFunctions.tokenizeJvm(query), 5,
-        pregate = gated(_, "__kw"))
-      .select(col("id"), col("score").as("rrf_score"))
-    val expandRetry = search(gated(chunks, "__ex"), query, ctx, Map.empty,
-        cfg.copy(limit = 5), index = index)
-      .select(col("id"), col("rrf_score"))
-    val afterFallback = mergeFirstWriterWins(
-      mergeFirstWriterWins(keywordRetry, expandRetry), merged)
+    val afterFallback =
+      if (signals.confidence >= 0.5) merged
+      else {
+        val recs = signals.recommendations.toSet
+        val noResults = recs.contains("no_results_fallback")
+        val retries = Seq.newBuilder[DataFrame]
+        if (recs.contains("try_keyword_search") || noResults)
+          retries += bm25Only(TextFunctions.tokenizeJvm(query), 5)
+            .select(col("id"), col("score").as("rrf_score"))
+        if (recs.contains("expand_search") || noResults)
+          retries += search(chunks, query, ctx, Map.empty,
+              cfg.copy(limit = 5), index = index)
+            .select(col("id"), col("rrf_score"))
+        retries.result().reduceOption(mergeFirstWriterWins)
+          .fold(merged)(fb => mergeFirstWriterWins(fb, merged))
+      }
 
     afterFallback
       .withColumn("query_type", lit(queryType))

@@ -64,6 +64,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events.ts is TIMESTAMP(NANOS); read it as raw long (the replica
+    // then carries a bigint ts column, which graft.Tables.events
+    // handles identically to the original nanos — see Tables.scala)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for ((table, keys) <- keyCols) {
       val in = spark.read.parquet(s"$src/$table.parquet")
       val salt = if (table == "documents") Some("text") else None

