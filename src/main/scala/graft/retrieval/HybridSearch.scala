@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{EmbedFunctions, Embedder, FeatureHashEmbedder, TextFunctions, VectorFunctions}
 import graft.model.{Filters, TenantContext}
-import graft.operators.{AnnKnn, BM25, DenseKnn, Fusion, Quantize}
+import graft.operators.{AnnKnn, BM25, DenseKnn, Fusion, PqKnn, Quantize}
 
 /** Hybrid retrieval façade (V5, reference
   * `src/retrieval/hybrid_search.py:219-430`): tenant scope → per-method
@@ -56,6 +56,18 @@ object HybridSearch {
         centroids: DataFrame,
         nProbe: Int = 4) extends DenseMode
     final case class Quantized(store: DataFrame) extends DenseMode
+    /** IVF-PQ with exact refine ([[graft.operators.PqKnn.ivfPqTopK]]):
+      * cid-pruned probes → ADC over m-byte codes → exact rescore of
+      * the top fetch·refine candidates against the float sidecar
+      * `raw` (id, vec). The serving shape when raw vectors stop
+      * fitting the hot tier. */
+    final case class IvfPq(
+        codes: DataFrame,
+        centroids: DataFrame,
+        cb: graft.operators.PqKnn.Codebook,
+        raw: DataFrame,
+        nProbe: Int = 4,
+        refine: Int = 3) extends DenseMode
   }
 
   case class Config(
@@ -188,6 +200,18 @@ object HybridSearch {
               typedLit(qcodes.toSeq), lit(qscale)), 6).as("score"))
           .orderBy(col("score").desc, col("id"))
           .limit(fetch)
+      case DenseMode.IvfPq(codes, centroids, cb, raw, nProbe, refine) =>
+        // compressed-domain candidates from the probed (cid-pruned)
+        // lists, tenant/filter scope applied BEFORE the ADC cut so
+        // scoping never starves the k; exact refine by broadcast id
+        // join against the float sidecar
+        val probes = AnnKnn.ivfProbesJvm(centroids, qvec, nProbe)
+        PqKnn.refineTopK(
+          PqKnn.adcTopK(
+            scopeIds(codes.filter(col("cid").isin(probes: _*))
+              .select(col("id"), col("codes"))),
+            qvec, cb, fetch * refine),
+          raw, qvec, fetch)
     }
   }
 

@@ -11,7 +11,7 @@ import graft.ingest.Pipeline
 import graft.ingest.Pipeline.IndexBundle
 import graft.functions.{Embedder, FeatureHashEmbedder}
 import graft.model.{Filters, TenantContext}
-import graft.operators.{AnnKnn, BM25}
+import graft.operators.{AnnKnn, BM25, PqKnn}
 import graft.retrieval.HybridSearch
 import graft.sources.TableStore
 
@@ -70,6 +70,18 @@ class QueryService(
       .select(col("id"), col("embedding"))
     TableStore.saveAnn(AnnKnn.index(emb, "id", "embedding"), genDir(next))
     TableStore.saveQuantized(emb, "id", "embedding", genDir(next))
+    // IVF-PQ sidecar: hash-sampled coarse centroids (string chunk
+    // ids), sub-codebooks from the same deterministic sample, m-byte
+    // codes partitioned by cid; refine reads raw embeddings back from
+    // the chunk store by id, so no extra float sidecar is written
+    val cents = PqKnn.hashSampledCentroids(emb, "id", "embedding")
+    val centRows = cents.orderBy(col("cid"))
+      .select(col("cvec")).collect().map(_.getSeq[Double](0)).toSeq
+    if (centRows.nonEmpty) {
+      val cb = PqKnn.codebookFrom(centRows)
+      TableStore.savePq(PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb),
+        cb, genDir(next), centroids = Some(cents))
+    }
     val tmp = java.nio.file.Paths.get(storeRoot, "CURRENT.tmp")
     java.nio.file.Files.createDirectories(tmp.getParent)
     java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
@@ -314,8 +326,16 @@ class QueryService(
       case "quantized" =>
         HybridSearch.DenseMode.Quantized(
           TableStore.loadQuantized(spark, sidecarRoot("quantized")))
+      case "ivfpq" =>
+        val root = sidecarRoot("pq")
+        val (codes, cb) = TableStore.loadPq(spark, root)
+        HybridSearch.DenseMode.IvfPq(codes,
+          TableStore.loadPqCentroids(spark, root), cb,
+          b.chunks.filter(col("embedding").isNotNull)
+            .select(col("id"), col("embedding").cast("array<double>").as("vec")))
       case other =>
-        throw ServiceError(400, s"dense_mode must be exact|ann|quantized, got '$other'")
+        throw ServiceError(400,
+          s"dense_mode must be exact|ann|quantized|ivfpq, got '$other'")
     }
     val cfg = HybridSearch.Config(limit = limit, embedder = embedder,
       weights = weights, dense = dense)

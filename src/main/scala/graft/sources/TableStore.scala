@@ -201,4 +201,47 @@ object TableStore {
 
   def loadExtractedTables(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/extracted_tables")
+
+  /** IVF-PQ store: (cid, id, codes) partitioned by cid with codes as
+    * `array<tinyint>` — m bytes/vector instead of 8·d (64× at the
+    * d=64/m=8 config), the layout where the probed ANN scan reads
+    * codes only and raw floats stay in the [[saveVectors]] sidecar for
+    * the final refine. Codebook rides along as a (j, pid, cvec) table
+    * (m·k rows — tiny). */
+  def savePq(index: DataFrame, cb: graft.operators.PqKnn.Codebook,
+             root: String, centroids: Option[DataFrame] = None): Unit = {
+    index.select(col("cid"), col("id"),
+        col("codes").cast("array<tinyint>").as("codes"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/pq")
+    val spark = index.sparkSession
+    import spark.implicits._
+    (for (j <- 0 until cb.m; p <- 0 until cb.k) yield
+        (j, p, (0 until cb.sub).map(i => cb.flat((j * cb.k + p) * cb.sub + i))))
+      .toDF("j", "pid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/pq_codebook")
+    centroids.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/pq_centroids"))
+  }
+
+  /** Coarse centroids as written by [[savePq]] (service read path). */
+  def loadPqCentroids(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/pq_centroids")
+
+  /** (codes index, codebook) as written by [[savePq]]; codes come back
+    * as `array<int>` for the ADC kernel, the codebook re-flattens into
+    * the [[graft.functions.Pq]] layout. */
+  def loadPq(spark: SparkSession, root: String): (DataFrame, graft.operators.PqKnn.Codebook) = {
+    val idx = spark.read.parquet(s"$root/pq")
+      .select(col("cid"), col("id"), col("codes").cast("array<int>").as("codes"))
+    val rows = spark.read.parquet(s"$root/pq_codebook")
+      .select(col("j"), col("pid"), col("cvec").cast("array<double>"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+    val m = rows.map(_._1._1).max + 1
+    val k = rows.map(_._1._2).max + 1
+    val sub = rows.head._2.length
+    val flat = new Array[Double](m * k * sub)
+    for (((j, p), cv) <- rows; i <- 0 until sub)
+      flat((j * k + p) * sub + i) = cv(i)
+    (idx, graft.operators.PqKnn.Codebook(m, sub, k, flat))
+  }
 }

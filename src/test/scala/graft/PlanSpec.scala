@@ -362,4 +362,41 @@ class PlanSpec extends SparkSpec {
     val pb = plan(AnnKnn.ivfIndex(e, "vec_id", "embedding", cents))
     assert(!pb.contains("Exchange"), pb.take(1500))
   }
+
+  test("ivf-pq: ADC stage prunes cid partitions and never reads raw vectors") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{AnnKnn, PqKnn}
+    import graft.sources.TableStore
+    val e = graft.Tables(spark, sf0001, "embeddings")
+    val cents = AnnKnn.ivfCentroids(e, "vec_id", "embedding", 19)
+    val cb = PqKnn.sampledCodebook(e, "vec_id", "embedding", m = 8, k = 4, step = 7)
+    val root = java.nio.file.Files.createTempDirectory("graft_pq_plan").toString
+    TableStore.savePq(PqKnn.ivfPqIndex(e, "vec_id", "embedding", cents, cb), cb, root)
+    TableStore.saveVectors(e, "vec_id", "embedding", root)
+    val (store, cb2) = TableStore.loadPq(spark, root)
+    val raw = TableStore.loadVectors(spark, root)
+    val q = PqKnn.queryVec(e, "vec_id", "embedding", 0L)
+
+    // the ADC candidate stage alone: static cid probes -> partition
+    // pruning on the store scan, and the scan reads ONLY codes (+ the
+    // cid partition column) — never a float vector column
+    val probes = AnnKnn.ivfProbesJvm(cents, q, 2)
+    val adc = PqKnn.adcTopK(
+      store.filter(col("cid").isInCollection(probes)).select(col("id"), col("codes")),
+      q, cb2, 30)
+    val pAdc = plan(adc)
+    val pqScan = pAdc.linesIterator.filter(l =>
+      l.contains("Scan parquet") || l.contains("PartitionFilters")).mkString("\n")
+    assert(pAdc.contains("PartitionFilters") && pAdc.contains("cid"), pqScan)
+    val reads = pAdc.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.contains("codes") && !reads.contains("vec"), reads)
+
+    // full read path: refine touches the float store by broadcast id
+    // join (never a corpus scan feeding a shuffle join)
+    val top = PqKnn.ivfPqTopK(store, cents, raw, q, cb2, k = 5, nProbe = 2)
+    val p = plan(top)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(top.collect().head.getLong(0) == 0L)
+  }
 }

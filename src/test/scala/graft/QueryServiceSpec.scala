@@ -134,6 +134,7 @@ class QueryServiceSpec extends SparkSpec {
     val exact = top("exact")
     assert(top("ann") == exact)
     assert(top("quantized") == exact)
+    assert(top("ivfpq") == exact)
     // unknown mode is the client's error
     assert((call("""{"op":"search","organization_id":"org_b","query":"x","dense_mode":"hnsw"}""")
       \ "status").extract[Int] == 400)
