@@ -271,7 +271,8 @@ object PqKnn {
     "q91_ivfpq_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |qv AS (SELECT v FROM e WHERE vec_id = 0),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 19 = 0),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 19 = 0
+         |  ORDER BY vec_id LIMIT 128),
          |asg AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id

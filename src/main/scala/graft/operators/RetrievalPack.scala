@@ -659,7 +659,8 @@ object RetrievalPack {
          |ORDER BY score DESC, vec_id LIMIT ${Limit}""".stripMargin,
     "q55_ivf_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 19 = 0),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 19 = 0
+         |  ORDER BY vec_id LIMIT 128),
          |asg AS (SELECT vec_id, v, cid FROM (
          |  SELECT e.vec_id, e.v, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id
