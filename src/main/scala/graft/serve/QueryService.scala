@@ -102,6 +102,11 @@ class QueryService(
     currentGen.map(n => TableStore.load(spark, genDir(n)))
   private var genRoot: Option[String] = currentGen.map(genDir)
 
+  // serializes every store-mutating path (JSON ingest/delete and the
+  // streaming ingestBatch): two concurrent merges would both read gen
+  // N and race the CURRENT flip, silently dropping one delta
+  private val updateLock = new Object
+
   /** Handle one JSON request line, return one JSON response line. */
   def handle(line: String): String = handleLine(line)._1
 
@@ -254,17 +259,61 @@ class QueryService(
     // Pipeline.ingest's docstring warns about, reachable only here)
     import spark.implicits._
     val df = docs.toDF("doc_id", "text", "org")
-    val delta = Pipeline.ingest(df, embedder, orgCol = Some("org"))
-    val merged = bundle match {
-      case None => delta
-      case Some(old) => mergeBundles(old, delta)
+    val nChunks = updateLock.synchronized {
+      val delta = Pipeline.ingest(df, embedder, orgCol = Some("org"))
+      val merged = bundle match {
+        case None => delta
+        case Some(old) => mergeBundles(old, delta)
+      }
+      val n = delta.chunks.count()
+      persist(merged)
+      n
     }
-    persist(merged)
     JObject(
       "status" -> JString("completed"),
       "organization_id" -> JString(ctx.organizationId),
       "document_ids" -> JArray(docs.map(d => JString(d._1))),
-      "total_chunks" -> JLong(delta.chunks.count()))
+      "total_chunks" -> JLong(nChunks))
+  }
+
+  /** Streaming/bulk ingest seam: a docs-shaped DataFrame (`filename`,
+    * `text`, `organization_id`) merges into the serving store exactly
+    * like a JSON ingest — same tenant-prefixed I14 ids (md5 computed
+    * column-side, byte-identical to [[Pipeline.documentId]] since the
+    * string→binary cast is UTF-8), same upsert merge, same generation
+    * flip — so [[graft.streaming.EventStream.serveIngestStream]] can
+    * feed the store per micro-batch. Rows that would be a 400 over
+    * JSON (missing fields, `::` injection, short org id) are dropped
+    * rather than failing the stream (the `JsonlSource` quarantine
+    * stance); same-id duplicates within a batch collapse (same id ⟹
+    * same filename + content hash). Returns documents ingested. */
+  def ingestBatch(docs: DataFrame): Long = updateLock.synchronized {
+    val keyed = docs
+      .filter(col("filename").isNotNull && col("text").isNotNull &&
+        col("organization_id").isNotNull &&
+        !col("filename").contains("::") &&
+        !col("organization_id").contains("::") &&
+        length(col("organization_id")) >= 3)
+      .select(
+        concat(col("organization_id"), lit("::"), col("filename"), lit("_"),
+          substring(md5(col("text").cast("binary")), 1, 12)).as("doc_id"),
+        col("text"), col("organization_id").as("org"))
+      .dropDuplicates("doc_id")
+    if (keyed.isEmpty) 0L
+    else {
+      val delta = Pipeline.ingest(keyed, embedder, orgCol = Some("org"))
+      val merged = bundle match {
+        case None => delta
+        case Some(old) => mergeBundles(old, delta)
+      }
+      val n = delta.chunks.select(col("document_id")).distinct().count()
+      persist(merged)
+      // ingest caches the chunk table for its consumers; release it per
+      // batch or a long-lived stream accumulates one dead cache entry
+      // per micro-batch (the read path reloads from parquet anyway)
+      delta.chunks.unpersist()
+      n
+    }
   }
 
   /** Upsert merge: new docs replace same-id old rows (anti-join), BM25
@@ -438,7 +487,7 @@ class QueryService(
     val owned = Filters.tenantScope(b.chunks, ctx)
       .filter(col("document_id") === id).limit(1).count() > 0
     if (!owned) throw ServiceError(404, "Document not found")
-    persist(Pipeline.cascadeDelete(b, Seq(id)))
+    updateLock.synchronized { persist(Pipeline.cascadeDelete(b, Seq(id))) }
     JObject(
       "status" -> JString("deleted"),
       "document_id" -> JString(id),

@@ -84,6 +84,38 @@ object EventStream {
         }
       }
 
+  /** docs-stream schema for [[readDocs]]/[[serveIngestStream]] — the
+    * JSON ingest request's `docs[]` entries plus the tenant field. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("filename", StringType),
+    StructField("text", StringType),
+    StructField("organization_id", StringType)))
+
+  /** JSONL document stream over a directory (one doc per line) — the
+    * S5 directory scan lifted to a continuous source: files dropped in
+    * after the stream starts arrive in later micro-batches, and the
+    * checkpoint makes redelivery exactly-once per file. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).json(dir)
+
+  /** Streaming ingest INTO THE SERVING STORE: each micro-batch merges
+    * through [[graft.serve.QueryService.ingestBatch]] — the same
+    * upsert merge, BM25 recompute, ANN/int8/PQ sidecar build, and
+    * atomic generation flip as a JSON ingest — so documents dropped
+    * into the watched directory become searchable at the next batch
+    * boundary. `AvailableNow` drains what exists then stops (the
+    * restart-driven shape the specs exercise); a long-lived deployment
+    * swaps in a processing-time trigger, unchanged otherwise. */
+  def serveIngestStream(svc: graft.serve.QueryService, docs: DataFrame,
+                        checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { svc.ingestBatch(batch); () }
+      }
+
   /** Streaming exact dedup: drop rows whose key was already seen
     * within the watermark horizon — the batch `Dedup.exactGroups`
     * lifted to a continuous source. `dropDuplicatesWithinWatermark`

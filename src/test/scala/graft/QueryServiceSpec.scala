@@ -182,4 +182,56 @@ class QueryServiceSpec extends SparkSpec {
     assert((call("""{"op":"search","query":"x"}""") \ "status").extract[Int] == 401)
     assert((call("""{"op":"search","organization_id":"org_a","query":"x","limit":5000}""") \ "status").extract[Int] == 400)
   }
+
+  test("streaming ingest feeds the serving store across checkpointed micro-batches") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.EventStream
+    val tmp = TmpDirs.create("graft_svc_stream")
+    val docsDir = s"$tmp/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(docsDir, name), lines.mkString("\n").getBytes("UTF-8"))
+
+    drop("batch_a.jsonl", Seq(
+      """{"filename":"alpha.md","text":"Spark hybrid retrieval over parquet snapshots with broadcast fusion ranks the alpha corpus.","organization_id":"org_a"}""",
+      """{"filename":"beta.md","text":"Sourdough bread needs flour, water, salt, and patience before the bake.","organization_id":"org_b"}""",
+      """{"filename":"bad.md","text":"row with an injection attempt","organization_id":"x"}"""))
+
+    val streamed = new QueryService(spark, s"$tmp/store")
+    def sCall(json: String): JValue = parse(streamed.handle(json))
+    EventStream.serveIngestStream(streamed,
+      EventStream.readDocs(spark, docsDir), s"$tmp/ckpt").start().awaitTermination()
+
+    // batch A is searchable with tenant isolation; the short-org row
+    // was quarantined, not ingested and not fatal
+    val sa = sCall("""{"op":"search","organization_id":"org_a","query":"hybrid retrieval snapshots","limit":5}""")
+    assert((sa \ "total_results").extract[Int] > 0)
+    val sb = sCall("""{"op":"search","organization_id":"org_b","query":"hybrid retrieval snapshots","limit":5}""")
+    assert((sb \ "results").extract[List[JValue]]
+      .forall(r => !(r \ "text").extract[String].contains("alpha")))
+    val st = sCall("""{"op":"stats"}""")
+    assert((st \ "database" \ "documents").extract[Long] == 2L)
+
+    // a file dropped later arrives in the NEXT run of the checkpointed
+    // stream (exactly-once per file: batch A is not re-ingested), and
+    // the merge keeps batch A searchable
+    drop("batch_b.jsonl", Seq(
+      """{"filename":"gamma.md","text":"Streaming gamma document lands in a later micro-batch and must be found.","organization_id":"org_a"}"""))
+    EventStream.serveIngestStream(streamed,
+      EventStream.readDocs(spark, docsDir), s"$tmp/ckpt").start().awaitTermination()
+
+    val sg = sCall("""{"op":"search","organization_id":"org_a","query":"streaming gamma micro-batch","limit":5}""")
+    assert((sg \ "results").extract[List[JValue]]
+      .exists(r => (r \ "text").extract[String].contains("gamma")))
+    val sa2 = sCall("""{"op":"search","organization_id":"org_a","query":"hybrid retrieval snapshots","limit":5}""")
+    assert((sa2 \ "total_results").extract[Int] > 0)
+    assert((sCall("""{"op":"stats"}""") \ "database" \ "documents").extract[Long] == 3L)
+
+    // dense sidecars were rebuilt by the streaming path too: every
+    // index-backed dense mode agrees with the exact scan
+    for (mode <- Seq("exact", "ann", "quantized", "ivfpq")) {
+      val r = sCall(s"""{"op":"search","organization_id":"org_a","query":"hybrid retrieval snapshots","dense_mode":"$mode","limit":3}""")
+      assert((r \ "total_results").extract[Int] > 0, mode)
+    }
+  }
 }
