@@ -101,4 +101,20 @@ class AnnRecallSpec extends SparkSpec {
     val b = canon(AnnKnn.kmeansCentroids(e, "vec_id", "embedding", 19, iters = 2))
     assert(a == b)
   }
+
+  test("coarse quantizer cap binds: k stays fixed as the corpus grows") {
+    // without the cap, centroids = n/step turns assignment O(n²)
+    // (measured 62× cost at 10× rows in the sf1 rehearsal)
+    val capped = AnnKnn.ivfCentroids(e, "vec_id", "embedding", 3, maxK = 4)
+    assert(capped.count() == 4)
+    // the capped set is the id-ascending prefix, so it is a strict
+    // subset of the uncapped quantizer — search stays well-defined
+    val ids = capped.select(col("cid")).collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted && ids.forall(_ % 3 == 0))
+    val top = AnnKnn.ivfTopK(
+      AnnKnn.ivfIndex(e, "vec_id", "embedding", capped), capped,
+      e.filter(col("vec_id") === 0).select(col("embedding")),
+      "embedding", 5, nProbe = 2)
+    assert(top.collect().head.getLong(0) == 0L)
+  }
 }
