@@ -17,17 +17,31 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to
-    * microseconds — the same ns→µs truncation DuckDB applies, so oracle
-    * comparisons stay exact.
-    */
+  /** `events.ts` arrives in driver-generated parquet either as
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects, so it
+    * is read as long and truncated to microseconds (the same ns→µs
+    * truncation DuckDB applies) — or, in newer generations, as a plain
+    * TIMESTAMP(MICROS) NTZ column. Both normalize to a session-local
+    * TIMESTAMP; the host/oracle run in UTC, so values are identical
+    * across engines either way. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // integer division (`div`), not `/`: ns-since-epoch exceeds double
-    // precision, so floating division would corrupt low-order digits
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(raw)
+  }
+
+  /** Normalize a `ts` column to TIMESTAMP regardless of source schema
+    * (nanos-as-long / NTZ micros / already-timestamp). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      // integer division (`div`), not `/`: ns-since-epoch exceeds
+      // double precision, so floating division would corrupt digits
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }

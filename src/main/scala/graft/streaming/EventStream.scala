@@ -18,7 +18,9 @@ import graft.ingest.Pipeline
 object EventStream {
 
   /** events table schema (TESTDATA.md), ts as epoch-nanos long (the
-    * driver parquet is TIMESTAMP(NANOS); see graft.Tables.events). */
+    * historical driver parquet is TIMESTAMP(NANOS); newer generations
+    * write TIMESTAMP(MICROS) NTZ — [[readEvents]] probes the on-disk
+    * type and [[graft.Tables.normalizeTs]] reconciles both). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -38,10 +40,14 @@ object EventStream {
     val path =
       if (new java.io.File(s"$dir/events.parquet").isFile) s"$dir/{events}.parquet"
       else dir
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // probe the on-disk ts type once (streams need a declared schema,
+    // and declaring long against a TIMESTAMP(MICROS) file — or vice
+    // versa — fails the scan); normalizeTs reconciles either form
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(path))
   }
 
   /** Tumbling-window ingest-rate stats with watermark (event-time):
