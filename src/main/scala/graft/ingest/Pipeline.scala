@@ -137,7 +137,8 @@ object Pipeline {
     val docFreq = BM25.docFreq(postings)
     val stats = postings.select(col("id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        sum(col("dl")).as("sum_dl"))
     IndexBundle(chunks, postings, docFreq,
       BM25.idfTable(docFreq, stats), stats)
   }

@@ -58,7 +58,12 @@ object BM25 {
   def stats(corpus: DataFrame): DataFrame =
     corpus.filter(col("dl") > 0).agg(
       count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      // exact integer token total: lets incremental maintenance
+      // ([[graft.sources.SegmentedStore]]) roll avgdl forward
+      // bit-identically to a full recompute (n·avgdl in double would
+      // not round-trip)
+      sum(col("dl")).as("sum_dl"))
 
   /** (term, idf) with rank_bm25's ε-floor for negative idfs applied —
     * built once per index, not per query. */
@@ -139,7 +144,8 @@ object BM25 {
       .unionByName(postings(newCorpus))
     val st = merged.select(col("id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+        sum(col("dl")).as("sum_dl"))
     Index(merged, idfTable(docFreq(merged), st, p), st)
   }
 

@@ -70,23 +70,25 @@ object PqKnn {
     Codebook(m, sub, kEff, flat)
   }
 
-  /** Deterministic k-sample usable as coarse IVF centroids for ANY id
-    * type (the service's chunk ids are strings, so
-    * [[AnnKnn.ivfCentroids]]' numeric `% step` rule doesn't apply):
-    * order by (xxhash64(id), id) and take k — one TakeOrdered pass,
-    * reproducible across runs. Returns (cid, cvec) with dense cids
-    * 0..k-1 in hash order. */
+  /** Deterministic k-sample of corpus vectors for ANY id type (the
+    * service's chunk ids are strings, so [[AnnKnn.ivfCentroids]]'
+    * numeric `% step` rule doesn't apply): order by (xxhash64(id), id)
+    * and take k — one TakeOrdered pass, reproducible across runs. */
+  def hashSampledRows(data: DataFrame, idCol: String, vecCol: String,
+                      k: Int): Seq[Seq[Double]] =
+    data.orderBy(xxhash64(col(idCol).cast("string")), col(idCol).cast("string"))
+      .limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+
+  /** [[hashSampledRows]] as a coarse-centroid table: (cid, cvec) with
+    * dense cids 0..k-1 in hash order. */
   def hashSampledCentroids(data: DataFrame, idCol: String, vecCol: String,
                            k: Int = K): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val rows = data
-      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol).cast("string"))
-      .limit(k)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0))
-    rows.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cid", "cvec")
+    hashSampledRows(data, idCol, vecCol, k).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cid", "cvec")
   }
 
   /** Lloyd-refined per-subspace codebook: start from [[sampledCodebook]]
@@ -98,8 +100,16 @@ object PqKnn {
     * is the (j,pid,dim)-keyed partial-aggregated mean. */
   def refinedCodebook(data: DataFrame, idCol: String, vecCol: String,
                       m: Int = M, k: Int = K, step: Int = Step,
-                      iters: Int = 2): Codebook = {
-    var cb = sampledCodebook(data, idCol, vecCol, m, k, step)
+                      iters: Int = 2): Codebook =
+    refineCodebook(data, vecCol, sampledCodebook(data, idCol, vecCol, m, k, step),
+      iters)
+
+  /** Lloyd rounds from an EXPLICIT starting codebook — the shared core
+    * of [[refinedCodebook]] and the serving store's production-shape
+    * codebook (hash-sampled k=256 init, string ids). */
+  def refineCodebook(data: DataFrame, vecCol: String, cb0: Codebook,
+                     iters: Int): Codebook = {
+    var cb = cb0
     val vecs = data.select(col(vecCol).cast("array<double>").as("vec"))
     for (_ <- 1 to iters) {
       val cbLocal = cb

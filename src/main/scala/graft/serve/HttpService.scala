@@ -52,6 +52,10 @@ class HttpService(svc: QueryService, bindPort: Int = 0) {
         case ("GET", "/stats") => Some("stats" -> JObject())
         case ("POST", "/search") => Some("search" -> body(ex))
         case ("POST", "/documents/ingest") => Some("ingest" -> body(ex))
+        // raw-file upload (multipart-equivalent): docs[] entries carry
+        // {filename, content_b64}; the service parses bytes→text via
+        // the DocumentParser seam server-side
+        case ("POST", "/documents/upload") => Some("ingest" -> body(ex))
         case ("GET", "/documents") => Some("documents" -> queryParams(ex))
         case ("GET", DocPath(id)) =>
           Some("get_document" -> JObject("document_id" -> JString(id)))

@@ -1,0 +1,266 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.{parseJson, Serialization}
+
+import graft.ingest.Pipeline.IndexBundle
+import graft.operators.{AnnKnn, BM25, PqKnn, Quantize}
+
+/** Incremental (LSM-style) layout for the serving store: a **base
+  * generation** (full snapshot, as written by [[TableStore.save]] plus
+  * the dense sidecars) and append-only **delta segments**, tied
+  * together by an atomically-flipped JSON manifest. An ingest
+  * micro-batch writes ONE new segment — O(delta) data files — plus a
+  * refreshed copy of the small derived tables (docfreq / idf / stats,
+  * O(vocabulary), which shrinks relative to the corpus as it grows —
+  * Heaps' law); no base or prior-segment file is ever rewritten. This
+  * replaces the previous whole-corpus snapshot rewrite per ingest (the
+  * round-4 scale-killer): at 100 TB a one-document upload now touches
+  * kilobytes, not the world.
+  *
+  * The service's document ids are content-derived
+  * (`org::filename_md5(text)`, [[graft.serve.QueryService]]), so a
+  * re-ingest of an existing id is byte-identical content — ingest is
+  * therefore PURE APPEND after an existing-id skip, and the reference's
+  * delete-then-insert upsert semantics (`metadata_store.py:808-847`)
+  * hold with no tombstones on this path. Explicit deletes (rare,
+  * interactive) and segment-count overflow take the full-snapshot
+  * path, which doubles as compaction — the Lucene segments-and-merges
+  * stance.
+  *
+  * Read path: chunks / postings / each dense sidecar are the UNION of
+  * base + segment directories (bounded: ≤ [[MaxSegments]]+1 scans, each
+  * partition-pruned exactly as before — tenant dirs for chunks,
+  * term_blk for postings, (tbl,bucket) / cid for the ANN stores). PQ
+  * coarse centroids and codebook stay PINNED at the base generation —
+  * segments encode against them — and retrain at the next compaction.
+  *
+  * Exactness: the derived-table roll-forward is bit-identical to a
+  * full recompute — docfreq merges long counts, and stats carries the
+  * exact integer `sum_dl` so `avgdl = sum_dl.toDouble / n_docs` equals
+  * the full aggregate's `sum(dl).cast(double) / count` — so BM25
+  * scores after N incremental batches equal a from-scratch rebuild.
+  *
+  * Crash safety: segment + derived dirs are fully written before the
+  * manifest flips (write-tmp-then-ATOMIC_MOVE); a crash mid-write
+  * leaves orphan directories, never a broken store.
+  */
+object SegmentedStore {
+
+  /** Store manifest: `base` (full-snapshot dir name), `segments`
+    * (append order), `derived` (current docfreq/idf/stats dir — the
+    * base itself right after a compaction), `seq` (monotonic dir-name
+    * counter), and the LSH sidecar's (tables, bits) — recorded so the
+    * probe side can never silently diverge from the build side (the
+    * probe set is a static partition filter; mismatched configs would
+    * read the wrong directories, not error). All names are relative
+    * to the store root. */
+  case class Manifest(base: String, segments: List[String],
+                      derived: String, seq: Int,
+                      annTables: Option[Int] = None,
+                      annBits: Option[Int] = None) {
+    def dataDirs: Seq[String] = base +: segments
+    def lshTables: Int = annTables.getOrElse(AnnKnn.ServingTables)
+    def lshBits: Int = annBits.getOrElse(AnnKnn.ServingBits)
+  }
+
+  /** Compaction threshold: one more segment than this folds everything
+    * into a fresh base generation (bounding the read-side union fan-out
+    * and retraining the PQ quantizer on the grown corpus). */
+  val MaxSegments = 8
+
+  implicit private val formats: Formats = DefaultFormats
+
+  private def currentPath(root: String) =
+    java.nio.file.Paths.get(root, "CURRENT")
+
+  private def exists(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+
+  /** Read the CURRENT manifest. A legacy CURRENT holding a bare
+    * generation number (the pre-segment layout) maps to a
+    * single-generation manifest — old stores load unchanged. */
+  def readManifest(root: String): Option[Manifest] = {
+    val p = currentPath(root)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      if (s.nonEmpty && s.forall(_.isDigit))
+        // legacy bare-number CURRENT: those generations built their
+        // LSH sidecar at the old fine default config
+        Some(Manifest(s"gen$s", Nil, s"gen$s", s.toInt,
+          Some(AnnKnn.DefaultTables), Some(AnnKnn.DefaultBits)))
+      else Some(parseJson(s).extract[Manifest])
+    }
+  }
+
+  /** Atomically install `m` as CURRENT (write aside + ATOMIC_MOVE —
+    * readers see the old complete manifest or the new one, never a
+    * partial write). */
+  def writeManifest(root: String, m: Manifest): Unit = {
+    val tmp = java.nio.file.Paths.get(root, "CURRENT.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.write(tmp, Serialization.write(m).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, currentPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Union of the existing dirs among `dirs` (missing ones — e.g. a
+    * segment whose delta had no embeddings — simply don't contribute). */
+  private def readUnion(spark: SparkSession, dirs: Seq[String]): Option[DataFrame] =
+    dirs.filter(exists).map(spark.read.parquet(_))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+
+  /** The serving read view: chunk/posting unions across base +
+    * segments (each scan keeps its own partition pruning), derived
+    * tables from the manifest's current derived dir. */
+  def loadView(spark: SparkSession, root: String, m: Manifest): IndexBundle = {
+    val dirs = m.dataDirs.map(d => s"$root/$d")
+    IndexBundle(
+      chunks = readUnion(spark, dirs.map(_ + "/chunks")).get,
+      postings = readUnion(spark, dirs.map(_ + "/postings")).get,
+      docFreq = spark.read.parquet(s"$root/${m.derived}/docfreq"),
+      idf = spark.read.parquet(s"$root/${m.derived}/idf"),
+      stats = spark.read.parquet(s"$root/${m.derived}/stats"))
+  }
+
+  /** LSH sidecar view (base + segments), None when the base was built
+    * without one. */
+  def annView(spark: SparkSession, root: String, m: Manifest): Option[DataFrame] =
+    readUnion(spark, m.dataDirs.map(d => s"$root/$d/ann"))
+
+  /** int8 sidecar view with the [[TableStore.loadQuantized]] read
+    * casts applied after the union. */
+  def quantizedView(spark: SparkSession, root: String, m: Manifest): Option[DataFrame] =
+    readUnion(spark, m.dataDirs.map(d => s"$root/$d/quantized"))
+      .map(_.select(col("id"), col("codes").cast("array<double>").as("codes"),
+        col("scale")))
+
+  /** IVF-PQ view: code union across base + segments; centroids and
+    * codebook come from the BASE only (segments encoded against them —
+    * the pinned-quantizer contract). */
+  def pqView(spark: SparkSession, root: String,
+             m: Manifest): Option[(DataFrame, DataFrame, PqKnn.Codebook)] = {
+    val base = s"$root/${m.base}"
+    if (!exists(s"$base/pq") || !exists(s"$base/pq_centroids")) None
+    else {
+      val (_, cb) = TableStore.loadPq(spark, base)
+      val codes = readUnion(spark, m.dataDirs.map(d => s"$root/$d/pq")).get
+        .select(col("cid"), col("id"),
+          TableStore.unpackPidCodes(col("codes")).as("codes"))
+      Some((codes, TableStore.loadPqCentroids(spark, base), cb))
+    }
+  }
+
+  /** Append one delta segment and roll the derived tables forward;
+    * returns the manifest to install. Writes are O(delta) for every
+    * data table (chunks, postings, LSH, int8, PQ codes — partitioned
+    * exactly like their base counterparts) plus O(vocab) for the
+    * docfreq/idf rewrite; nothing outside the new `seg{seq}` /
+    * `derived{seq}` dirs is touched. */
+  def writeSegment(spark: SparkSession, root: String, m: Manifest,
+                   delta: IndexBundle): Manifest = {
+    val seq = m.seq + 1
+    val segName = s"seg$seq"
+    val seg = s"$root/$segName"
+
+    delta.chunks.write.mode("overwrite")
+      .partitionBy("organization_id").parquet(s"$seg/chunks")
+    val hasPostings = !delta.postings.isEmpty
+    if (hasPostings)
+      delta.postings.withColumn("term_blk", TableStore.termBlock(col("term")))
+        .write.mode("overwrite").partitionBy("term_blk").parquet(s"$seg/postings")
+
+    // dense sidecars from the just-written delta chunk files (column-
+    // pruned read-back, the same stance as the full persist); quantizer
+    // state stays pinned at the base
+    val emb = spark.read.parquet(s"$seg/chunks")
+      .filter(col("embedding").isNotNull)
+      .select(col("id"), col("embedding"))
+    if (!emb.isEmpty) {
+      // same (tables, bits) as the base sidecar (from the manifest) —
+      // the probe set is a static partition filter, so write and read
+      // configs must agree
+      AnnKnn.index(emb, "id", "embedding", m.lshTables, m.lshBits)
+        .write.mode("overwrite")
+        .partitionBy("tbl", "bucket").parquet(s"$seg/ann")
+      Quantize.quantized(emb, "id", "embedding")
+        .select(col("id"), col("codes").cast("array<tinyint>").as("codes"),
+          col("scale"))
+        .write.mode("overwrite").parquet(s"$seg/quantized")
+      val base = s"$root/${m.base}"
+      if (exists(s"$base/pq_centroids") && exists(s"$base/pq_codebook")) {
+        val cents = TableStore.loadPqCentroids(spark, base)
+        val (_, cb) = TableStore.loadPq(spark, base)
+        PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb)
+          .select(col("cid"), col("id"),
+            TableStore.packPidCodes(col("codes")).as("codes"))
+          .write.mode("overwrite").partitionBy("cid").parquet(s"$seg/pq")
+      }
+    }
+
+    // derived roll-forward — skipped entirely when the delta carries no
+    // postings (nothing changed; the manifest keeps pointing at the
+    // current derived dir)
+    val derivedName =
+      if (!hasPostings) m.derived
+      else {
+        val derName = s"derived$seq"
+        val der = s"$root/$derName"
+        val segPost = spark.read.parquet(s"$seg/postings")
+        val mergedDf = spark.read.parquet(s"$root/${m.derived}/docfreq")
+          .drop("term_blk")
+          .select(col("term"), col("df").as("df_old"))
+          .join(BM25.docFreq(segPost).select(col("term"), col("df").as("df_new")),
+            Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+              .as("df"))
+        val statsDf = rolledStats(spark, root, m, segPost)
+        mergedDf.withColumn("term_blk", TableStore.termBlock(col("term")))
+          .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/docfreq")
+        BM25.idfTable(mergedDf, statsDf)
+          .withColumn("term_blk", TableStore.termBlock(col("term")))
+          .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/idf")
+        statsDf.coalesce(1).write.mode("overwrite").parquet(s"$der/stats")
+        derName
+      }
+
+    Manifest(m.base, m.segments :+ segName, derivedName, seq)
+  }
+
+  /** Exact corpus-stats roll-forward: integer `sum_dl` carried in the
+    * stats table makes the incremental avgdl equal the full-recompute
+    * `sum(dl).cast(double) / count` bit-for-bit. A base written before
+    * `sum_dl` existed upgrades once via a full-postings aggregate. */
+  private def rolledStats(spark: SparkSession, root: String, m: Manifest,
+                          segPost: DataFrame): DataFrame = {
+    import spark.implicits._
+    val old = spark.read.parquet(s"$root/${m.derived}/stats")
+    val oldRow = old.head()
+    val oldN =
+      if (oldRow.isNullAt(oldRow.fieldIndex("n_docs"))) 0L
+      else oldRow.getLong(oldRow.fieldIndex("n_docs"))
+    val oldSum =
+      if (old.columns.contains("sum_dl")) {
+        if (oldRow.isNullAt(oldRow.fieldIndex("sum_dl"))) 0L
+        else oldRow.getLong(oldRow.fieldIndex("sum_dl"))
+      } else {
+        // legacy one-time upgrade: recover the exact sum from the full
+        // postings view (integer sum — exact, unlike n_docs · avgdl)
+        val r = readUnion(spark, m.dataDirs.map(d => s"$root/$d/postings")).get
+          .select(col("id"), col("dl")).distinct()
+          .agg(sum(col("dl"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    val d = segPost.select(col("id"), col("dl")).distinct()
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    val n = oldN + d.getLong(0)
+    val s = oldSum + (if (d.isNullAt(1)) 0L else d.getLong(1))
+    Seq((n, if (n > 0) Some(s.toDouble / n) else None, s))
+      .toDF("n_docs", "avgdl", "sum_dl")
+  }
+}

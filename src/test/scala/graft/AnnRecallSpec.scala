@@ -43,11 +43,15 @@ class AnnRecallSpec extends SparkSpec {
     // the recall/cost knob: halving bits (coarser, bigger buckets) and
     // doubling tables trades candidate volume for recall — on these
     // near-uniform synthetic embeddings (neighbors barely closer than
-    // noise, LSH's hardest case) the fine config still lands ~0.3
+    // noise, LSH's hardest case) the fine config still lands ~0.3.
+    // The coarse config IS the query service's serving default
+    // (AnnKnn.ServingTables × ServingBits), so this assertion pins the
+    // DEFAULT serving recall at ≥ 0.7 — without even counting the
+    // multi-probe lift the serving path adds on top
     val fine = lshRecall(AnnKnn.DefaultTables, AnnKnn.DefaultBits)
-    val coarse = lshRecall(8, 3)
+    val coarse = lshRecall(AnnKnn.ServingTables, AnnKnn.ServingBits)
     assert(fine >= 0.2, s"fine-config recall@10 = $fine")
-    assert(coarse >= 0.7, s"coarse-config recall@10 = $coarse")
+    assert(coarse >= 0.7, s"SERVING-default recall@10 = $coarse")
     assert(coarse > fine, s"coarse $coarse should beat fine $fine")
   }
 

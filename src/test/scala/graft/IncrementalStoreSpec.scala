@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+
+import graft.operators.TmpDirs
+import graft.serve.QueryService
+import graft.sources.SegmentedStore
+
+/** Pins the serving store's O(delta) maintenance contract
+  * ([[graft.sources.SegmentedStore]]): an ingest into a populated
+  * store must APPEND a segment — never rewrite base data files — the
+  * incremental derived tables must equal a from-scratch rebuild
+  * bit-for-bit, and the per-batch write footprint must be independent
+  * of store size (the observable that kills the rebuild-the-world-per-
+  * micro-batch failure mode at 100 TB). */
+class IncrementalStoreSpec extends SparkSpec {
+
+  implicit private val formats: Formats = DefaultFormats
+
+  /** (size, mtime) inventory of every regular file under `root`. */
+  private def inventory(root: String): Map[String, (Long, Long)] = {
+    val p = Paths.get(root)
+    val s = Files.walk(p)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(f => (f.toString,
+        (Files.size(f), Files.getLastModifiedTime(f).toMillis)))
+      .toMap
+    finally s.close()
+  }
+
+  private def docsDf(rows: Seq[(String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("filename", "text", "organization_id")
+  }
+
+  private def seedRows(n: Int): Seq[(String, String, String)] =
+    (1 to n).map { i =>
+      (s"doc_$i.md",
+        s"# Document $i\n\nDocument number $i discusses subject ${i % 7} " +
+          s"in moderate depth. The corpus covers retrieval, indexing, and " +
+          s"storage themes with shared vocabulary plus marker term tag${i % 13}.",
+        if (i % 2 == 0) "org_a" else "org_b")
+    }
+
+  test("2-doc ingest into a populated store touches only delta dirs") {
+    val root = TmpDirs.create("graft_incr")
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(120)))
+    val before = inventory(root)
+    assert(before.keys.exists(_.contains("/gen0/")), "seed built a base generation")
+
+    svc.ingestBatch(docsDf(Seq(
+      ("new_1.md", "Fresh incremental document about zeppelin quartz feasibility studies.", "org_a"),
+      ("new_2.md", "Another fresh delta document mentioning xylophone maintenance budgets.", "org_b"))))
+
+    val after = inventory(root)
+    // every pre-existing base data file survives byte-identical
+    val touched = before.filter { case (p, meta) =>
+      p.contains("/gen0/") && !after.get(p).contains(meta)
+    }
+    assert(touched.isEmpty, s"base files rewritten: ${touched.keys.take(5).mkString(", ")}")
+    // new files land only in the delta segment / derived dirs / manifest
+    val fresh = (after.keySet -- before.keySet).filterNot(_.endsWith("CURRENT"))
+    assert(fresh.nonEmpty)
+    assert(fresh.forall(p => p.contains("/seg") || p.contains("/derived")),
+      s"writes outside delta dirs: ${fresh.filterNot(p => p.contains("/seg") || p.contains("/derived")).take(5)}")
+
+    // the merged view serves old AND new docs in every dense mode
+    def hits(q: String, org: String, mode: String): Int = {
+      val r = parse(svc.handle(
+        s"""{"op":"search","organization_id":"$org","query":"$q","limit":5,"dense_mode":"$mode"}"""))
+      (r \ "total_results").extract[Int]
+    }
+    for (mode <- Seq("exact", "ann", "quantized", "ivfpq")) {
+      assert(hits("zeppelin quartz feasibility", "org_a", mode) > 0, s"new doc invisible via $mode")
+      assert(hits("retrieval indexing storage", "org_b", mode) > 0, s"old docs invisible via $mode")
+    }
+  }
+
+  test("incremental derived tables equal a from-scratch rebuild") {
+    val rootA = TmpDirs.create("graft_incr_a")
+    val rootB = TmpDirs.create("graft_incr_b")
+    val seed = seedRows(40)
+    val delta = Seq(
+      ("late_1.md", "A later document that arrives in its own micro-batch with novel words like quasar.", "org_a"),
+      ("late_2.md", "Second later arrival covering pulsar cadence and dispersion measures.", "org_b"))
+
+    val incr = new QueryService(spark, rootA)
+    incr.ingestBatch(docsDf(seed))
+    incr.ingestBatch(docsDf(delta))
+
+    val once = new QueryService(spark, rootB)
+    once.ingestBatch(docsDf(seed ++ delta))
+
+    // stats roll-forward is exact: n_docs / avgdl / sum_dl identical
+    def stats(svc: QueryService): (Long, Double) = {
+      val s = parse(svc.handle("""{"op":"stats"}"""))
+      ((s \ "database" \ "chunks").extract[Long],
+        (s \ "bm25" \ "avgdl").extract[Double])
+    }
+    assert(stats(incr) == stats(once))
+
+    // and a BM25+dense search returns identical ids AND scores (doc
+    // ids are content-derived, so the two stores hold the same ids)
+    def results(svc: QueryService): List[(String, Double)] = {
+      val r = parse(svc.handle(
+        """{"op":"search","organization_id":"org_a","query":"quasar retrieval cadence","limit":10}"""))
+      (r \ "results").extract[List[JValue]].map(x =>
+        ((x \ "id").extract[String], (x \ "score").extract[Double]))
+    }
+    assert(results(incr) == results(once))
+  }
+
+  test("per-batch write footprint does not grow with store size") {
+    val root = TmpDirs.create("graft_incr_growth")
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(100)))
+
+    def batchBytes(i: Int): Long = {
+      val before = inventory(root)
+      svc.ingestBatch(docsDf(Seq((s"growth_$i.md",
+        s"Growth probe document $i with a stable payload of ordinary sentences about indexing.",
+        "org_a"))))
+      val after = inventory(root)
+      (after.keySet -- before.keySet).toSeq.map(after(_)._1).sum
+    }
+    val sizes = (1 to 3).map(batchBytes)
+    // identical-shape batches into a growing store must not write
+    // monotonically more; derived tables grow only with vocabulary,
+    // so 2× headroom is generous
+    assert(sizes.last <= sizes.head * 2,
+      s"per-batch write footprint grew with store size: $sizes")
+  }
+
+  test("segment overflow compacts into a fresh base generation") {
+    val root = TmpDirs.create("graft_incr_compact")
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(20)))
+    for (i <- 1 to SegmentedStore.MaxSegments + 1)
+      svc.ingestBatch(docsDf(Seq((s"seg_probe_$i.md",
+        s"Segment probe $i content with marker word cascade$i.", "org_a"))))
+    val m = SegmentedStore.readManifest(root).get
+    // the (MaxSegments+1)-th delta triggered compaction: fresh base,
+    // segment list reset (at most the post-compaction ingest remains)
+    assert(m.segments.size <= 1, s"no compaction: ${m.segments}")
+    assert(m.base != "gen0")
+    // everything remains searchable after the fold
+    val r = parse(svc.handle(
+      s"""{"op":"search","organization_id":"org_a","query":"cascade1 segment probe","limit":5}"""))
+    assert((r \ "total_results").extract[Int] > 0)
+  }
+}
