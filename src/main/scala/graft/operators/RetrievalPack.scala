@@ -523,7 +523,9 @@ object RetrievalPack {
       s"""WITH qp AS (SELECT $qlist AS q),
          |pat AS (SELECT CAST(floor(vec_id / 4) AS BIGINT) AS document_id,
          |  CAST(vec_id % 4 AS INT) AS page_number,
-         |  list_transform(range(4), r -> list_slice(CAST(embedding AS DOUBLE[]), r*16 + 1, r*16 + 16)) AS patches
+         |  list_transform(range(4), r -> list_transform(
+         |    list_slice(CAST(embedding AS DOUBLE[]), r*16 + 1, r*16 + 16),
+         |    x -> CAST(CAST(x AS REAL) AS DOUBLE))) AS patches
          |  FROM embeddings WHERE vec_id < 100),
          |ps AS (SELECT document_id, page_number,
          |  round(list_sum(list_transform((SELECT q FROM qp), qrow ->

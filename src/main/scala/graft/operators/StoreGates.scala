@@ -207,8 +207,12 @@ object StoreGates {
 
   /** Elements synthesized from the embeddings table (id, document_id,
     * element_type cycling table/figure/chart, 4×16 patch matrices from
-    * the 64-dim vectors); the real V13 path embeds the query tokens,
-    * filters to the requested element types, and MaxSim-scores. */
+    * the 64-dim vectors), persisted through the PACKED element store
+    * ([[graft.sources.TableStore.savePages]]) and read back — the gate
+    * pins the f32 blob round-trip plus the packed MaxSim kernel, not
+    * just in-flight scoring. The real V13 path embeds the query
+    * tokens, filters to the requested element types, and
+    * MaxSim-scores the packed blobs. */
   def visualSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val elements = emb(spark, dir).select(
@@ -217,8 +221,11 @@ object StoreGates {
       element_type($"vec_id").as("element_type"),
       transform(sequence(lit(0), lit(3)), p =>
         slice($"embedding".cast("array<double>"), p * 16 + 1, lit(16))).as("patches"))
-    HybridSearch.visualElementSearch(elements, VisualQuery, 15,
-        elementTypes = Seq("table", "figure"))
+    val tmp = graft.operators.TmpDirs.create("graft_q77_pages")
+    graft.sources.TableStore.savePages(elements, tmp, dim = 16, sub = "elements")
+    HybridSearch.visualElementSearch(
+        graft.sources.TableStore.loadPages(spark, tmp, sub = "elements"),
+        VisualQuery, 15, elementTypes = Seq("table", "figure"))
       .orderBy($"score".desc, $"id")
   }
 
@@ -234,13 +241,16 @@ object StoreGates {
       .mkString("['", "', '", "']")
     val h = TextFunctions.hash56Sql("t")
     // ordered list_sum (not SUM-over-group) so the float addition order
-    // matches the Scala MaxSim's query-row order exactly
+    // matches the Scala MaxSim's query-row order exactly; the stored
+    // side is the PACKED f32 blob, so patch values are quantized to
+    // binary32 (CAST AS REAL round-trip) before the ±1-basis read
     s"""WITH els AS (
        |  SELECT 'el' || vec_id AS id, 'd' || (vec_id // 10) AS document_id,
        |    CASE CAST(vec_id % 3 AS INT) WHEN 0 THEN 'table' WHEN 1 THEN 'figure'
        |      ELSE 'chart' END AS element_type,
-       |    list_transform(range(4), p ->
-       |      list_slice(CAST(embedding AS DOUBLE[]), p*16 + 1, p*16 + 16)) AS patches
+       |    list_transform(range(4), p -> list_transform(
+       |      list_slice(CAST(embedding AS DOUBLE[]), p*16 + 1, p*16 + 16),
+       |      x -> CAST(CAST(x AS REAL) AS DOUBLE))) AS patches
        |  FROM embeddings),
        |qb AS (SELECT list_transform($toks, t ->
        |    struct_pack(b := CAST($h % 16 AS INT),

@@ -219,22 +219,33 @@ object HybridSearch {
     * query's patch matrix, propagate to chunks on (document_id,
     * page_number); chunks with no scored page fall back to max doc page
     * score × 0.8 on document_id. `pages` needs (document_id,
-    * page_number, patches). Chunks need (id, document_id, page_number).
-    */
+    * page_number) plus EITHER a `packed` f32 blob column (the
+    * [[graft.sources.TableStore.savePages]] store layout — measured
+    * 2.3× faster than nested array<array<double>> at the real ColPali
+    * shape, where per-element parquet decode costs ~20× the MaxSim
+    * math) or a nested `patches` column, packed on the fly so the
+    * scoring kernel is the packed one either way. Chunks need (id,
+    * document_id, page_number). `dim` is the per-patch width (16 — the
+    * query-side embedQuery width). */
   def colpaliPropagate(chunks: DataFrame, pages: DataFrame,
                        qTokens: Seq[String], cfg: Config,
-                       fetch: Int): DataFrame = {
+                       fetch: Int, dim: Int = 16): DataFrame = {
     val spark = chunks.sparkSession
     import spark.implicits._
     // query patch matrix: one row per token (deterministic stand-in for
     // the ColPali query embedder, I10)
     val qpatches = qTokens.take(32)
-      .map(t => EmbedFunctions.embedQuery(Seq(t), 16).toSeq)
+      .map(t => EmbedFunctions.embedQuery(Seq(t), dim).toSeq)
     val qdf = Seq(Tuple1(qpatches)).toDF("qpatches")
 
-    val pageScores = pages.crossJoin(broadcast(qdf))
+    val packed =
+      if (pages.columns.contains("packed")) pages
+      else pages.withColumn("packed",
+        VectorFunctions.packF32(col("patches"), dim))
+    val pageScores = packed.crossJoin(broadcast(qdf))
       .select(col("document_id"), col("page_number"),
-        round(VectorFunctions.maxsim(col("qpatches"), col("patches")), 6).as("pscore"))
+        round(VectorFunctions.maxsimF32(col("qpatches"), col("packed"), dim), 6)
+          .as("pscore"))
 
     val direct = chunks
       .join(pageScores, Seq("document_id", "page_number"))
@@ -402,23 +413,32 @@ object HybridSearch {
     * collection with an element_type filter; called with limit/2 by the
     * hybrid path (T8) and auto-triggered when the analyzer's
     * visual_score ≥ 0.3 (`query_analyzer.py:51-53`). `elements` needs
-    * (id, document_id, element_type, patches). */
+    * (id, document_id, element_type) plus a `packed` f32 blob (the
+    * [[graft.sources.TableStore.savePages]] element-store layout) or a
+    * nested `patches` column, packed on the fly — the packed kernel is
+    * the scoring path either way (the measured-2.3× serving layout). */
   def visualElementSearch(elements: DataFrame, query: String,
                           limit: Int,
                           elementTypes: Seq[String] = Nil,
-                          cfg: Config = Config()): DataFrame = {
+                          cfg: Config = Config(),
+                          dim: Int = 16): DataFrame = {
     val spark = elements.sparkSession
     import spark.implicits._
     val qTokens = TextFunctions.tokenizeJvm(query)
     val qpatches = qTokens.take(32)
-      .map(t => EmbedFunctions.embedQuery(Seq(t), 16).toSeq)
+      .map(t => EmbedFunctions.embedQuery(Seq(t), dim).toSeq)
     val qdf = Seq(Tuple1(qpatches)).toDF("qpatches")
     val filtered =
       if (elementTypes.nonEmpty) elements.filter(col("element_type").isin(elementTypes: _*))
       else elements
-    filtered.crossJoin(broadcast(qdf))
+    val packed =
+      if (filtered.columns.contains("packed")) filtered
+      else filtered.withColumn("packed",
+        VectorFunctions.packF32(col("patches"), dim))
+    packed.crossJoin(broadcast(qdf))
       .select(col("id"), col("document_id"), col("element_type"),
-        round(VectorFunctions.maxsim(col("qpatches"), col("patches")), 6).as("score"))
+        round(VectorFunctions.maxsimF32(col("qpatches"), col("packed"), dim), 6)
+          .as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(limit)
   }
