@@ -84,9 +84,183 @@ object DocumentParser {
     def parse(bytes: Array[Byte]): Parsed = Parsed(decodeUtf8(bytes), "table")
   }
 
+  /** Native XLSX scan (S4, the role of the reference's
+    * `partition_xlsx` dispatch, `document_processor.py:369-374`):
+    * an .xlsx is a zip of XML parts, both readable with the JDK alone
+    * — no new dependency. Each worksheet renders as a TSV block under
+    * a `## Sheet: name` heading, so the output flows straight into
+    * [[TableExtractor]]'s delimiter-inference path (dual chunks +
+    * structured records) exactly like a hand-made TSV upload, and the
+    * heading doubles as section structure for the chunker.
+    *
+    * Supported cell forms: shared strings (`t="s"`), inline strings
+    * (`t="inlineStr"`), literal strings (`t="str"`), booleans
+    * (`t="b"` → TRUE/FALSE), and numeric `<v>` passthrough. Column
+    * gaps from the `r="B2"` cell refs become empty TSV cells.
+    * Formatting/formulas/merged-cell geometry are out of scope (the
+    * reference's `infer_table_structure` keeps cell VALUES too). */
+  object XlsxParser extends Parser {
+    def accepts(f: String): Boolean = f.endsWith(".xlsx")
+
+    // per-entry decompression cap: a zip-bomb guard for the upload route
+    private val MaxEntryBytes = 64 * 1024 * 1024
+
+    def parse(bytes: Array[Byte]): Parsed = {
+      val entries = readZip(bytes)
+      val shared = entries.get("xl/sharedStrings.xml")
+        .map(parseSharedStrings).getOrElse(Vector.empty)
+      val names = entries.get("xl/workbook.xml")
+        .map(parseSheetNames).getOrElse(Vector.empty)
+      val sheetFiles = entries.keys
+        .filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).toSeq
+        .sortBy(n => n.replaceAll("\\D", "").toInt)
+      val blocks = sheetFiles.zipWithIndex.map { case (f, i) =>
+        val name = names.lift(i).getOrElse(s"Sheet${i + 1}")
+        s"## Sheet: $name\n\n" + sheetToTsv(entries(f), shared)
+      }
+      Parsed(blocks.mkString("\n\n").trim, "table")
+    }
+
+    private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = Map.newBuilder[String, Array[Byte]]
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = zin.read(tmp)
+          while (n > 0) {
+            if (buf.size + n > MaxEntryBytes)
+              throw new IllegalArgumentException(
+                s"xlsx entry ${e.getName} exceeds $MaxEntryBytes bytes")
+            buf.write(tmp, 0, n); n = zin.read(tmp)
+          }
+          out += e.getName -> buf.toByteArray
+        }
+        e = zin.getNextEntry
+      }
+      out.result()
+    }
+
+    private def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      // no DTDs / external entities on untrusted input
+      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f.createXMLStreamReader(new java.io.ByteArrayInputStream(bytes), "UTF-8")
+    }
+
+    /** `<si>` items, each the concatenation of its `<t>` runs. */
+    private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
+      val r = xmlReader(bytes)
+      val items = Vector.newBuilder[String]
+      var current: StringBuilder = null
+      var inT = false
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => current = new StringBuilder
+              case "t" => inT = true
+              case _ =>
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT && current != null =>
+            current.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "si" => items += current.toString; current = null
+              case "t" => inT = false
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      items.result()
+    }
+
+    /** `<sheet name="…">` attributes in workbook order. */
+    private def parseSheetNames(bytes: Array[Byte]): Vector[String] = {
+      val r = xmlReader(bytes)
+      val names = Vector.newBuilder[String]
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet")
+          names += Option(r.getAttributeValue(null, "name")).getOrElse("")
+      }
+      names.result()
+    }
+
+    /** "B2" → 0-based column index (letters part only). */
+    private def colIndex(ref: String): Int = {
+      var i = 0; var acc = 0
+      while (i < ref.length && ref.charAt(i).isLetter) {
+        acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+      }
+      math.max(0, acc - 1)
+    }
+
+    private def sheetToTsv(bytes: Array[Byte], shared: Vector[String]): String = {
+      val r = xmlReader(bytes)
+      val rows = Vector.newBuilder[String]
+      var cells: scala.collection.mutable.ArrayBuffer[String] = null
+      var cellCol = 0
+      var nextCol = 0
+      var cellType = ""
+      var inV = false
+      var inIsT = false
+      val value = new StringBuilder
+      def flushCell(): Unit = if (cells != null) {
+        val text = cellType match {
+          case "s" => shared.lift(value.toString.trim.toInt).getOrElse("")
+          case "b" => if (value.toString.trim == "1") "TRUE" else "FALSE"
+          case _ => value.toString
+        }
+        while (cells.size < cellCol) cells += ""
+        cells += text
+        nextCol = cellCol + 1
+        value.clear()
+      }
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" =>
+                cells = scala.collection.mutable.ArrayBuffer.empty[String]
+                nextCol = 0
+              case "c" =>
+                cellCol = Option(r.getAttributeValue(null, "r"))
+                  .map(colIndex).getOrElse(nextCol)
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                value.clear()
+              case "v" => inV = true
+              case "t" => inIsT = true
+              case _ =>
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV || inIsT =>
+            value.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "c" => flushCell()
+              case "v" => inV = false
+              case "t" => inIsT = false
+              case "row" =>
+                if (cells != null) rows += cells.mkString("\t")
+                cells = null
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      rows.result().mkString("\n")
+    }
+  }
+
   /** Default parser chain, first-accept-wins (the reference's
     * extension dispatch). */
-  val defaultParsers: Seq[Parser] = Seq(TextParser, HtmlParser, DelimitedParser)
+  val defaultParsers: Seq[Parser] =
+    Seq(TextParser, HtmlParser, DelimitedParser, XlsxParser)
 
   /** Parse one file; None when no parser claims it (the caller's
     * quarantine / 400 decision, mirroring the reference's

@@ -48,12 +48,18 @@ object AnnKnn {
 
   /** The persisted ANN index: (tbl, bucket, id, vec) — one row per
     * (vector, table). At cluster scale this is written partitioned by
-    * (tbl, bucket) so a query reads only its L probed buckets. */
+    * (tbl, bucket) so a query reads only its L probed buckets.
+    * `keepCols` pass through unchanged — the serving store keeps
+    * `organization_id` so the layout can partition tenant-FIRST and a
+    * tenant's probes prune to its own directories before any read. */
   def index(data: DataFrame, idCol: String, vecCol: String,
-            tables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame =
-    data.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+            tables: Int = DefaultTables, bits: Int = DefaultBits,
+            keepCols: Seq[String] = Nil): DataFrame =
+    data.select(col(idCol).as("id") +: col(vecCol).cast("array<double>").as("vec")
+        +: keepCols.map(col): _*)
       .withColumn("sig", VectorFunctions.hyperplaneBuckets(col("vec"), tables, bits))
-      .select(col("id"), col("vec"), posexplode(col("sig")).as(Seq("tbl", "bucket")))
+      .select(col("id") +: col("vec") +: keepCols.map(col)
+        :+ posexplode(col("sig")).as(Seq("tbl", "bucket")): _*)
 
   /** ANN top-k for a single query vector: bucket-join candidates, exact
     * dot rescore, deterministic (score desc, id) order. `query` is a

@@ -73,8 +73,13 @@ class QueryService(
     val written = TableStore.load(spark, dir)
     val emb = written.chunks.filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"))
-    TableStore.saveAnn(AnnKnn.index(emb, "id", "embedding",
-      AnnKnn.ServingTables, AnnKnn.ServingBits), dir)
+    // tenant-first LSH layout (org/tbl/bucket): the F3 tenant filter
+    // composes INTO the probe read as a leading partition filter
+    TableStore.saveAnn(AnnKnn.index(
+      written.chunks.filter(col("embedding").isNotNull)
+        .select(col("id"), col("embedding"), col("organization_id")),
+      "id", "embedding", AnnKnn.ServingTables, AnnKnn.ServingBits,
+      keepCols = Seq("organization_id")), dir)
     TableStore.saveQuantized(emb, "id", "embedding", dir)
     // IVF-PQ sidecar: hash-sampled coarse centroids (string chunk
     // ids) and the PRODUCTION-SHAPE sub-codebook — k=256 entries per
@@ -437,7 +442,16 @@ class QueryService(
       case "exact" => HybridSearch.DenseMode.Exact
       case "ann" =>
         val m = requireManifest
-        HybridSearch.DenseMode.AnnLsh(sidecar("ann", annViewOpt),
+        val store = sidecar("ann", annViewOpt)
+        // tenant partition filter composed INTO the probe read: with
+        // the org/tbl/bucket layout the scan opens only THIS tenant's
+        // probed directories (the semi-join scope still applies after,
+        // for workspace/collection and metadata predicates)
+        val scoped =
+          if (store.columns.contains("organization_id"))
+            store.filter(col("organization_id") === ctx.organizationId)
+          else store
+        HybridSearch.DenseMode.AnnLsh(scoped,
           tables = m.lshTables, bits = m.lshBits)
       case "quantized" =>
         HybridSearch.DenseMode.Quantized(sidecar("quantized",

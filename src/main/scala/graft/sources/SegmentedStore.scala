@@ -179,14 +179,15 @@ object SegmentedStore {
     // state stays pinned at the base
     val emb = spark.read.parquet(s"$seg/chunks")
       .filter(col("embedding").isNotNull)
-      .select(col("id"), col("embedding"))
+      .select(col("id"), col("embedding"), col("organization_id"))
     if (!emb.isEmpty) {
-      // same (tables, bits) as the base sidecar (from the manifest) —
-      // the probe set is a static partition filter, so write and read
-      // configs must agree
-      AnnKnn.index(emb, "id", "embedding", m.lshTables, m.lshBits)
+      // same (tables, bits) and the same tenant-first layout as the
+      // base sidecar — the probe set is a static partition filter, so
+      // write and read configs must agree
+      AnnKnn.index(emb, "id", "embedding", m.lshTables, m.lshBits,
+          keepCols = Seq("organization_id"))
         .write.mode("overwrite")
-        .partitionBy("tbl", "bucket").parquet(s"$seg/ann")
+        .partitionBy("organization_id", "tbl", "bucket").parquet(s"$seg/ann")
       Quantize.quantized(emb, "id", "embedding")
         .select(col("id"), col("codes").cast("array<tinyint>").as("codes"),
           col("scale"))

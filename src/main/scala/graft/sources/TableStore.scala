@@ -121,10 +121,19 @@ object TableStore {
     * buckets become a static partition filter
     * ([[graft.operators.AnnKnn.topKFromStore]]), so the scan opens
     * only those directories — the HNSW-replacement read path with
-    * physical pruning, not just a logical equi-join. */
-  def saveAnn(index: DataFrame, root: String): Unit =
+    * physical pruning, not just a logical equi-join. An index built
+    * with an `organization_id` passthrough partitions TENANT-FIRST
+    * (org/tbl/bucket): the mandatory F3 tenant filter then prunes
+    * before the probe filter, so a tenant's query opens only its own
+    * probed directories — never another tenant's buckets. */
+  def saveAnn(index: DataFrame, root: String): Unit = {
+    val parts =
+      if (index.columns.contains("organization_id"))
+        Seq("organization_id", "tbl", "bucket")
+      else Seq("tbl", "bucket")
     index.write.mode("overwrite")
-      .partitionBy("tbl", "bucket").parquet(s"$root/ann")
+      .partitionBy(parts: _*).parquet(s"$root/ann")
+  }
 
   def loadAnn(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/ann")

@@ -144,6 +144,40 @@ class PlanSpec extends SparkSpec {
       inMem.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("tenant-first ANN store: tenant AND probe filters prune one scan (r4 ask #9)") {
+    import org.apache.spark.sql.functions.{col, when}
+    import graft.operators.AnnKnn
+    import graft.sources.TableStore
+    val e = graft.Tables(spark, sf0001, "embeddings").select(
+      col("vec_id").cast("string").as("id"), col("embedding"),
+      when(col("vec_id") % 2 === 0, "org_a").otherwise("org_b")
+        .as("organization_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_org").toString
+    TableStore.saveAnn(AnnKnn.index(e, "id", "embedding",
+      keepCols = Seq("organization_id")), root)
+    val qvec = graft.Tables(spark, sf0001, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    // the serving shape: tenant filter composed into the store BEFORE
+    // the probe filter — one scan, two partition-pruning predicates.
+    // Inspect the scan node's partitionFilters directly: the rendered
+    // plan string truncates long filter lists at ~100 chars, so a
+    // substring assertion flakes with expression-id width.
+    val scoped = TableStore.loadAnn(spark, root)
+      .filter(col("organization_id") === "org_a")
+    val partFilters = AnnKnn.storeCandidates(scoped, qvec)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.flatMap(_.partitionFilters).map(_.toString)
+    assert(partFilters.exists(_.contains("organization_id")), partFilters)
+    assert(partFilters.exists(_.contains("bucket")), partFilters)
+    // and the scoped candidates are genuinely tenant-pure
+    val cands = AnnKnn.storeCandidates(scoped, qvec)
+      .select(col("id")).collect().map(_.getString(0))
+    assert(cands.nonEmpty && cands.forall(_.toLong % 2 == 0))
+  }
+
   test("ANN store append: delta visible, no pre-existing file rewritten") {
     import org.apache.spark.sql.functions.col
     import graft.operators.AnnKnn
