@@ -115,25 +115,36 @@ class IncrementalStoreSpec extends SparkSpec {
     assert(results(incr) == results(once))
   }
 
-  test("per-batch write footprint does not grow with store size") {
+  test("per-batch cost does not grow with store size (footprint + wall time)") {
     val root = TmpDirs.create("graft_incr_growth")
     val svc = new QueryService(spark, root)
     svc.ingestBatch(docsDf(seedRows(100)))
 
-    def batchBytes(i: Int): Long = {
+    def batch(i: Int): (Long, Double) = {
       val before = inventory(root)
+      val t0 = System.nanoTime()
       svc.ingestBatch(docsDf(Seq((s"growth_$i.md",
         s"Growth probe document $i with a stable payload of ordinary sentences about indexing.",
         "org_a"))))
+      val secs = (System.nanoTime() - t0) / 1e9
       val after = inventory(root)
-      (after.keySet -- before.keySet).toSeq.map(after(_)._1).sum
+      ((after.keySet -- before.keySet).toSeq.map(after(_)._1).sum, secs)
     }
-    val sizes = (1 to 3).map(batchBytes)
+    val runs = (1 to 3).map(batch)
+    val sizes = runs.map(_._1)
     // identical-shape batches into a growing store must not write
     // monotonically more; derived tables grow only with vocabulary,
     // so 2× headroom is generous
     assert(sizes.last <= sizes.head * 2,
       s"per-batch write footprint grew with store size: $sizes")
+    // and the WALL TIME of the last batch must not blow up either —
+    // the observable that dies first under O(corpus) rebuilds (the
+    // write footprint is the deterministic signal; the generous 4×
+    // bound only guards against a gross per-batch corpus scan
+    // reappearing while tolerating JIT/ambient-load noise)
+    val times = runs.map(_._2)
+    assert(times.last <= times.head * 4 + 1.0,
+      s"per-batch wall time grew with store size: $times")
   }
 
   test("segment overflow compacts into a fresh base generation") {
