@@ -147,6 +147,41 @@ class IncrementalStoreSpec extends SparkSpec {
       s"per-batch wall time grew with store size: $times")
   }
 
+  test("partition pruning survives the base+segment union view") {
+    import org.apache.spark.sql.functions.col
+    val root = TmpDirs.create("graft_incr_prune")
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(60)))
+    svc.ingestBatch(docsDf(Seq(
+      ("seg_doc.md", "A segment resident document about prismatic lenses.", "org_a"))))
+    val m = SegmentedStore.readManifest(root).get
+    assert(m.segments.nonEmpty)
+    val view = SegmentedStore.loadView(spark, root, m)
+
+    def partFilters(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.partitionFilters.map(_.toString)
+      }
+
+    // tenant filter prunes EVERY chunk scan in the union (base + seg)
+    val chunkScans = partFilters(
+      view.chunks.filter(col("organization_id") === "org_a"))
+    assert(chunkScans.size >= 2, s"expected base+segment scans: $chunkScans")
+    assert(chunkScans.forall(_.exists(_.contains("organization_id"))), chunkScans)
+
+    // term-block filter prunes EVERY postings scan in the union — the
+    // BM25 read path touches ≤|query| blocks of each segment, never
+    // the rest (the property that keeps query cost flat as segments
+    // accumulate)
+    val blks = Seq("prismatic", "lenses")
+      .map(graft.sources.TableStore.termBlockJvm).distinct
+    val postScans = partFilters(
+      view.postings.filter(col("term_blk").isin(blks: _*)))
+    assert(postScans.size >= 2, s"expected base+segment scans: $postScans")
+    assert(postScans.forall(_.exists(_.contains("term_blk"))), postScans)
+  }
+
   test("segment overflow compacts into a fresh base generation") {
     val root = TmpDirs.create("graft_incr_compact")
     val svc = new QueryService(spark, root)
