@@ -529,17 +529,82 @@ object IngestGates {
        |    CAST(0.5 AS DOUBLE) + 4 * CAST(0.05 AS DOUBLE), md5(semantic) FROM t)
        |SELECT * FROM u ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- q92: html→text extraction (S1 parser seam, round 6) --------------
+
+  /** Injection gate for [[graft.ingest.DocumentParser.HtmlParser]]:
+    * every document wraps into a deterministic HTML page (style +
+    * script noise with a `<` inside, an h1, a comment, entities, a
+    * list), the Spark side runs the REAL JVM parser per row (the same
+    * code path the upload route and `binaryFile` scan use), and the
+    * oracle replays the strip chain step-for-step in DuckDB regexes —
+    * so the gate pins block removal, heading→markdown, block-closer
+    * newlines, tag stripping, entity decode, and whitespace collapse
+    * against an independent engine, not just ScalaTest. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val html = concat(
+      lit("<html><head><style>p { color: #888; }</style>" +
+        "<script>var x = 1 < 2;</script></head><body><h1>Doc "),
+      col("doc_id"),
+      lit("</h1><!-- generated --><p>"), col("text"),
+      lit(" &amp; more</p><ul><li>alpha</li><li>beta</li></ul></body></html>"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), html.as("h")).as[(Long, String)]
+      .map { case (id, h) =>
+        (id, graft.ingest.DocumentParser.HtmlParser.parse(h.getBytes("UTF-8")).text)
+      }
+      .toDF("doc_id", "parsed")
+      .orderBy("doc_id")
+  }
+
+  /** The HtmlParser strip chain, one CTE per stage. Only the h1 rule
+    * can match the constructed input, so the h2..h6 passes are
+    * no-ops and elided; entity replacements run in the parser's order
+    * (amp LAST, so `&amp;lt;` would decode like the JVM side). The
+    * final trim strips spaces/newlines/tabs/CRs — Java `trim`'s
+    * ≤U+0020 rule restricted to the characters this input can
+    * produce. */
+  private val htmlOracle: String =
+    """WITH src AS (SELECT doc_id,
+      |  '<html><head><style>p { color: #888; }</style><script>var x = 1 < 2;</script></head><body><h1>Doc '
+      |  || doc_id || '</h1><!-- generated --><p>' || text ||
+      |  ' &amp; more</p><ul><li>alpha</li><li>beta</li></ul></body></html>' AS h
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(h,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM src),
+      |s2 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(h, '(?is)<h1[^>]*>(.*?)</h1>',
+      |    chr(10) || '# \1' || chr(10), 'g') AS h FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(h,
+      |    '(?i)<(br|/p|/div|/li|/tr|/ul|/ol|/table)[^>]*>', chr(10), 'g') AS h FROM s3),
+      |s5 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]+>', ' ', 'g') AS h FROM s4),
+      |s6 AS (SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(h,
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h FROM s5),
+      |s7 AS (SELECT doc_id, list_aggregate(list_transform(
+      |    string_split(h, chr(10)),
+      |    l -> trim(regexp_replace(l, '[ \t\x0B\f\r]+', ' ', 'g'))),
+      |    'string_agg', chr(10)) AS h FROM s6),
+      |s8 AS (SELECT doc_id, trim(regexp_replace(h,
+      |    chr(10) || '{3,}', chr(10) || chr(10), 'g'),
+      |    ' ' || chr(10) || chr(9) || chr(13)) AS h FROM s7)
+      |SELECT doc_id, h AS parsed FROM s8 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_hier_chunks" -> (hierChunks _),
     "q67_sections" -> (sections _),
     "q68_domain_tags" -> (domainTags _),
     "q69_relations" -> (relations _),
-    "q70_table_extract" -> (tableExtract _))
+    "q70_table_extract" -> (tableExtract _),
+    "q92_html_extract" -> (htmlExtract _))
 
   val oracle: Map[String, String] = Map(
     "q66_hier_chunks" -> hierOracle,
     "q67_sections" -> sectionsOracle,
     "q68_domain_tags" -> domainOracle,
     "q69_relations" -> relationsOracle,
-    "q70_table_extract" -> tablesOracle)
+    "q70_table_extract" -> tablesOracle,
+    "q92_html_extract" -> htmlOracle)
 }

@@ -52,6 +52,19 @@ class QueryService(
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  // One-flip grace retention for superseded dirs: a search planning
+  // against manifest N while a mutation flips to N+1 still reads
+  // intact files, because N's dirs are deleted only at the N+2 flip
+  // (deleting at flip time — the pre-round-6 stance — raced exactly
+  // one in-flight plan). Restart cleanup of both grace dirs and
+  // crash orphans is SegmentedStore.gcOrphans at construction.
+  private var graceDirs: Seq[String] = Nil
+
+  private def retire(superseded: Seq[String]): Unit = {
+    dropDirs(graceDirs.filterNot(superseded.contains))
+    graceDirs = superseded.distinct
+  }
+
   /** Full-snapshot persist (first ingest / delete / compaction): write
     * gen N+1 while reading the current view (never overwrite-what-you-
     * read — lazy plans over the old files would hit FILE_NOT_EXIST
@@ -106,13 +119,13 @@ class QueryService(
     SegmentedStore.writeManifest(storeRoot, next)
     bundle = Some(written)
     manifest = Some(next)
-    prev.foreach(m => dropDirs((m.dataDirs :+ m.derived).distinct))
+    retire(prev.map(m => (m.dataDirs :+ m.derived).distinct).getOrElse(Nil))
   }
 
   /** O(delta) persist: append one segment + refreshed derived tables,
-    * flip the manifest, drop only the superseded derived dir. No base
-    * or prior-segment file is touched — a 2-doc ingest into a 100 TB
-    * store writes kilobytes. */
+    * flip the manifest, retire only the superseded derived dir (one-
+    * flip grace). No base or prior-segment file is touched — a 2-doc
+    * ingest into a 100 TB store writes kilobytes. */
   private def persistDelta(delta: IndexBundle): Unit = {
     val m = manifest.getOrElse(
       throw new IllegalStateException("delta persist needs a base generation"))
@@ -120,8 +133,9 @@ class QueryService(
     SegmentedStore.writeManifest(storeRoot, next)
     bundle = Some(SegmentedStore.loadView(spark, storeRoot, next))
     manifest = Some(next)
-    if (m.derived != next.derived && m.derived != m.base)
-      dropDirs(Seq(m.derived))
+    retire(
+      if (m.derived != next.derived && m.derived != m.base) Seq(m.derived)
+      else Nil)
   }
 
   /** Route a pure-insert delta: first ingest and segment-count
@@ -134,7 +148,10 @@ class QueryService(
     case _ => persistDelta(delta)
   }
 
-  // the read-path handle; None until first ingest (or store preload)
+  // the read-path handle; None until first ingest (or store preload).
+  // Startup GC reclaims crash orphans and grace-retained dirs from a
+  // previous process (no in-flight readers can exist yet).
+  SegmentedStore.gcOrphans(spark, storeRoot)
   private var manifest: Option[Manifest] = SegmentedStore.readManifest(storeRoot)
   private var bundle: Option[IndexBundle] =
     manifest.map(m => SegmentedStore.loadView(spark, storeRoot, m))

@@ -233,6 +233,44 @@ object SegmentedStore {
     Manifest(m.base, m.segments :+ segName, derivedName, seq)
   }
 
+  /** Startup garbage collection: delete store-root directories that
+    * the CURRENT manifest does not reference — the orphans a crash
+    * between dir-writes and the manifest flip leaves behind (they are
+    * invisible to readers, only disk waste). Never touches referenced
+    * dirs or foreign files; a no-op without a manifest. Callers run
+    * this at service construction, NOT per mutation — mutation-time
+    * cleanup of superseded dirs stays with the flip (with its one-
+    * generation grace retention for in-flight readers). */
+  def gcOrphans(spark: SparkSession, root: String): Seq[String] =
+    readManifest(root) match {
+      case None => Nil
+      case Some(m) =>
+        val referenced = (m.dataDirs :+ m.derived).toSet
+        val rootPath = java.nio.file.Paths.get(root)
+        if (!java.nio.file.Files.isDirectory(rootPath)) Nil
+        else {
+          val s = java.nio.file.Files.list(rootPath)
+          val dirs =
+            try {
+              val it = s.iterator()
+              val b = Seq.newBuilder[String]
+              while (it.hasNext) {
+                val p = it.next()
+                if (java.nio.file.Files.isDirectory(p)) b += p.getFileName.toString
+              }
+              b.result()
+            } finally s.close()
+          val orphans = dirs.filter(d =>
+            !referenced.contains(d) &&
+              (d.startsWith("gen") || d.startsWith("seg") || d.startsWith("derived")))
+          orphans.foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(s"$root/$d")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+          orphans
+        }
+    }
+
   /** Exact corpus-stats roll-forward: integer `sum_dl` carried in the
     * stats table makes the incremental avgdl equal the full-recompute
     * `sum(dl).cast(double) / count` bit-for-bit. A base written before

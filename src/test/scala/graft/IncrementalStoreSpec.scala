@@ -182,6 +182,39 @@ class IncrementalStoreSpec extends SparkSpec {
     assert(postScans.forall(_.exists(_.contains("term_blk"))), postScans)
   }
 
+  test("superseded dirs get one-flip grace; crash orphans GC at startup") {
+    val root = TmpDirs.create("graft_incr_gc")
+    def exists(d: String) = Files.exists(Paths.get(root, d))
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(20)))                       // gen0 (derived = base)
+    svc.ingestBatch(docsDf(Seq(("g1.md",
+      "First grace probe document with enough words to chunk.", "org_a")))) // seg1 + derived1
+    svc.ingestBatch(docsDf(Seq(("g2.md",
+      "Second grace probe document with enough words to chunk.", "org_a")))) // seg2 + derived2
+    // derived1 was superseded by the LAST flip → still on disk (an
+    // in-flight reader planning against the old manifest stays safe)
+    assert(exists("derived1"), "grace retention dropped a just-superseded dir")
+    svc.ingestBatch(docsDf(Seq(("g3.md",
+      "Third grace probe document with enough words to chunk.", "org_a")))) // seg3 + derived3
+    // two flips old → reclaimed
+    assert(!exists("derived1"), "grace window failed to reclaim")
+    assert(exists("derived2"), "one-flip grace should retain the previous derived")
+
+    // a crash between dir writes and the manifest flip leaves orphans;
+    // a fresh service construction reclaims them and nothing else
+    Files.createDirectories(Paths.get(root, "seg999"))
+    Files.write(Paths.get(root, "seg999", "part-orphan"), "x".getBytes("UTF-8"))
+    val reopened = new QueryService(spark, root)
+    assert(!exists("seg999"), "startup GC missed a crash orphan")
+    val m = SegmentedStore.readManifest(root).get
+    assert((m.dataDirs :+ m.derived).distinct.forall(exists),
+      "startup GC must never touch referenced dirs")
+    // and the reopened store still serves everything
+    val r = parse(reopened.handle(
+      """{"op":"search","organization_id":"org_a","query":"grace probe document","limit":5}"""))
+    assert((r \ "total_results").extract[Int] > 0)
+  }
+
   test("segment overflow compacts into a fresh base generation") {
     val root = TmpDirs.create("graft_incr_compact")
     val svc = new QueryService(spark, root)
