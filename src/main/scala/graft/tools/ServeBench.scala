@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-store ingest latency vs store size (VERDICT r4 ask #8's
+  * measured form): seed a QueryService store with N documents from the
+  * testdata corpus, then time single-document ingest batches. Under
+  * the round-6 segmented layout the per-batch cost must be flat in N
+  * (each batch writes one O(delta) segment + an O(vocab) derived
+  * refresh); under the old snapshot-rewrite layout it was O(N).
+  *
+  * Usage: ServeBench [sfDir] [seedSizes...]  (defaults 500 2000 5000)
+  * Prints one JSON line: {"seed_n": {"seed_sec":…, "probe_secs":[…]}}.
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sizes =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(500, 2000, 5000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = sizes.map { n =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_servebench_$n").toString
+      val svc = new graft.serve.QueryService(spark, root)
+      val seed = graft.Tables(spark, sfDir, "documents")
+        .limit(n)
+        .select(concat(lit("doc_"), col("doc_id"), lit(".md")).as("filename"),
+          col("text"), lit("org_bench").as("organization_id"))
+      val seedSec = time { svc.ingestBatch(seed) }
+      import spark.implicits._
+      val probes = (1 to 3).map { i =>
+        val one = Seq((s"probe_$i.md",
+          s"Single-document latency probe $i with a steady payload of plain sentences.",
+          "org_bench")).toDF("filename", "text", "organization_id")
+        time { svc.ingestBatch(one) }
+      }
+      n -> (seedSec, probes)
+    }
+
+    val json = results.map { case (n, (seedSec, probes)) =>
+      s""""$n":{"seed_sec":${f"$seedSec%.2f"},"probe_secs":[${probes.map(p => f"$p%.2f").mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}
