@@ -48,11 +48,23 @@ object ServeBench {
           "org_bench")).toDF("filename", "text", "organization_id")
         time { svc.ingestBatch(one) }
       }
-      n -> (seedSec, probes)
+      // search latency over the now-segmented store (base + 3 delta
+      // segments): the read side pays the union fan-out, which must
+      // stay flat in store size and small in segment count
+      val searches = (1 to 3).map { _ =>
+        time {
+          svc.handle("""{"op":"search","organization_id":"org_bench",""" +
+            """"query":"latency probe payload","limit":5,"dense_mode":"ann"}""")
+          ()
+        }
+      }
+      n -> (seedSec, probes, searches)
     }
 
-    val json = results.map { case (n, (seedSec, probes)) =>
-      s""""$n":{"seed_sec":${f"$seedSec%.2f"},"probe_secs":[${probes.map(p => f"$p%.2f").mkString(",")}]}"""
+    val json = results.map { case (n, (seedSec, probes, searches)) =>
+      s""""$n":{"seed_sec":${f"$seedSec%.2f"},""" +
+        s""""probe_secs":[${probes.map(p => f"$p%.2f").mkString(",")}],""" +
+        s""""search_secs":[${searches.map(p => f"$p%.2f").mkString(",")}]}"""
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()
