@@ -84,6 +84,60 @@ object Clean {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Cross-document repeated-SPAN scrub: remove every token covered by
+    * a `w`-token window that appears verbatim in ≥ `minDocs` distinct
+    * documents — the span-granular boilerplate dedup of web-scale
+    * training pipelines (the exact-substring dedup class of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", at fixed-window granularity: license headers, shared
+    * disclaimers, template preambles vanish while each document's
+    * unique prose survives — finer than [[dedupRepeatedLines]], which
+    * only catches line-aligned boilerplate).
+    *
+    * Shape: whitespace tokens (reconstruction-safe) → sliding-window
+    * 56-bit span keys (one row-local transform) → distinct-doc counts
+    * per key (algebraic aggregate, partial-agg'd map-side) → coverage
+    * explode of the boilerplate HITS only (w× that subset, never the
+    * corpus) → anti-join on (doc, token-pos) → ordered reassembly
+    * grouped on the doc id. Nothing is ever pairwise: like the
+    * MinHash/Jaccard paths, the self-similarity computation is keyed
+    * on span hashes, so cost tracks corpus + boilerplate volume.
+    * Returns (id, n_tokens, n_removed, scrubbed). */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int = 10, minDocs: Int = 3): DataFrame = {
+    val toksDf = docs.select(col(idCol).as("__id"),
+      graft.functions.TextFunctions.wsTokens(col(textCol)).as("toks"))
+    val sh = toksDf.select(col("__id"),
+      posexplode(
+        when(size(col("toks")) >= w,
+          transform(sequence(lit(0), size(col("toks")) - w), i =>
+            graft.functions.TextFunctions.hash56(
+              concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+          .otherwise(array().cast("array<bigint>")))
+        .as(Seq("pos", "sh")))
+    val boiler = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("__id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("sh"))
+    val covered = sh.join(boiler, Seq("sh"))
+      .select(col("__id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tp"))
+      .distinct()
+    val kept = toksDf
+      .select(col("__id"), posexplode(col("toks")).as(Seq("tp", "tok")))
+      .join(covered, Seq("__id", "tp"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            s => s.getField("tok")), " ").as("scrubbed"))
+    toksDf.select(col("__id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
   // ---- gate queries ------------------------------------------------------
 
   /** Injected five-line docs (the corpus text is single-line word
@@ -173,11 +227,73 @@ object Clean {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Injected corpus for q93: a global license header shared by EVERY
+    * doc (fully scrubbed: its windows have df = corpus size), a
+    * per-doc unique salad slice (kept: every window touching it has
+    * df 1), and a residue-class disclaimer shared by doc_id % 25
+    * (scrubbed: df = class size ≥ minDocs). Windows BRIDGING unique
+    * and shared tokens have df 1, so span boundaries are exercised on
+    * both sides. */
+  private def spanDocs: Column = concat(
+    lit("All rights reserved worldwide by the publisher and distributed " +
+      "strictly under license terms granted herein. "),
+    substring(col("text"), 1, 120),
+    lit(" Standard disclaimer block number "),
+    (col("doc_id") % 25).cast("string"),
+    lit(" applies to this category of documents without exception here."))
+
+  /** q93: cross-document span scrub over the injected corpus. */
+  def spanScrubGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scrubRepeatedSpans(
+        Tables(spark, dir, "documents").select($"doc_id", spanDocs.as("text")),
+        "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_removed",
+        md5($"scrubbed").as("scrubbed_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private val spanScrubOracle: String = {
+    val w = 10
+    val inj = "'All rights reserved worldwide by the publisher and distributed " +
+      "strictly under license terms granted herein. '" +
+      " || substr(text, 1, 120)" +
+      " || ' Standard disclaimer block number '" +
+      " || CAST(doc_id % 25 AS VARCHAR)" +
+      " || ' applies to this category of documents without exception here.'"
+    val spanKey = graft.functions.TextFunctions.hash56Sql(
+      s"list_aggregate(toks[u.i + 1 : u.i + $w], 'string_agg', ' ')")
+    s"""WITH inj AS (SELECT doc_id, $inj AS t FROM documents),
+       |tk AS (SELECT doc_id, ${graft.functions.TextFunctions.wsTokensSql("t")} AS toks FROM inj),
+       |sh AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos, $spanKey AS sh
+       |  FROM tk, unnest(range(0, greatest(len(toks) - $w + 1, 0))) u(i)),
+       |boiler AS (SELECT sh FROM (
+       |    SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY sh) b
+       |  WHERE df >= 3),
+       |cov AS (SELECT DISTINCT s.doc_id, s.pos + u.k AS tp
+       |  FROM sh s JOIN boiler USING (sh), unnest(range(0, $w)) u(k)),
+       |tokpos AS (SELECT doc_id, CAST(u.p - 1 AS BIGINT) AS tp, toks[u.p] AS tok
+       |  FROM tk, unnest(range(1, len(toks) + 1)) u(p)),
+       |kept AS (SELECT t.doc_id, t.tp, t.tok FROM tokpos t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tp = c.tp
+       |  WHERE c.tp IS NULL),
+       |g AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY tp) AS scrubbed
+       |  FROM kept GROUP BY doc_id)
+       |SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(tk.toks) - COALESCE(g.n_kept, 0) AS BIGINT) AS n_removed,
+       |  md5(COALESCE(g.scrubbed, '')) AS scrubbed_md5
+       |FROM tk LEFT JOIN g USING (doc_id)
+       |ORDER BY tk.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_line_clean" -> (lineCleanGate _),
-    "q81_line_dedup" -> (dedupLinesGate _))
+    "q81_line_dedup" -> (dedupLinesGate _),
+    "q93_span_scrub" -> (spanScrubGate _))
 
   val oracle: Map[String, String] = Map(
     "q80_line_clean" -> lineCleanOracle,
-    "q81_line_dedup" -> dedupLinesOracle)
+    "q81_line_dedup" -> dedupLinesOracle,
+    "q93_span_scrub" -> spanScrubOracle)
 }

@@ -63,4 +63,36 @@ class CleanSpec extends SparkSpec {
     // exactly one doc keeps the global boilerplate footer
     assert(dd.filter(col("n_kept") === 3).count() == 1)
   }
+
+  test("span scrub removes shared windows, keeps unique prose, respects minDocs") {
+    import spark.implicits._
+    // 3 docs share a 4-token header; each has unique prose; 2 docs
+    // (below minDocs=3) share a 4-token footer that must SURVIVE
+    val header = "common license header tokens"
+    val footer = "shared pair footer tokens"
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta $footer"),
+      (2L, s"$header epsilon zeta eta theta $footer"),
+      (3L, s"$header iota kappa lambda mu unique")).toDF("id", "text")
+    val out = Clean.scrubRepeatedSpans(docs, "id", "text", w = 4, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the header's single fully-shared window covers its 4 tokens in
+    // every doc; windows bridging into unique prose have df 1
+    assert(out(1L) == ((12L, 4L, s"alpha beta gamma delta $footer")), out(1L))
+    assert(out(2L) == ((12L, 4L, s"epsilon zeta eta theta $footer")), out(2L))
+    assert(out(3L) == ((9L, 4L, "iota kappa lambda mu unique")), out(3L))
+
+    // lowering minDocs to 2 scrubs the pair-shared footer too
+    val strict = Clean.scrubRepeatedSpans(docs, "id", "text", w = 4, minDocs = 2)
+      .filter($"id" === 1L).head()
+    assert(strict.getString(3) == "alpha beta gamma delta", strict.getString(3))
+
+    // a doc shorter than the window passes through untouched
+    val short = Clean.scrubRepeatedSpans(
+      Seq((9L, "only three tokens")).toDF("id", "text"), "id", "text",
+      w = 4, minDocs = 2).head()
+    assert(short.getLong(1) == 3L && short.getLong(2) == 0L &&
+      short.getString(3) == "only three tokens")
+  }
 }
