@@ -479,6 +479,80 @@ object Curation {
     docs.select(col(idCol), pplScore(col(toksCol)).as("ppl"),
       pplBucket(col(toksCol), t1, t2).as("bucket"))
 
+  // ---- Gopher document-quality rules --------------------------------------
+
+  /** The 8 required stopwords of the Gopher rule set (Rae et al. 2021,
+    * "Scaling Language Models", §A1.1) — a passing document must
+    * contain at least [[GopherMinStopHits]] of them. */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  private val BulletChars = Seq("-", "*", "•", "‣", "▪")
+
+  /** Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1) as
+    * one row-local column program — the standard pre-training corpus
+    * filter set, complementing the reference-derived quality metrics
+    * ([[graft.ingest.QualityAnalyzer]]) and the repetition signals
+    * ([[repetitionSignals]]):
+    *
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] chars;
+    *  - symbol-to-word ratio ('#' and ellipsis) ≤ 0.1;
+    *  - ≤ 90% of lines bullet-started, ≤ 30% ellipsis-ended;
+    *  - ≥ 80% of words contain an alphabetic character;
+    *  - ≥ 2 of the 8 required stopwords present.
+    *
+    * Zero shuffle, whole-stage codegen, linear in corpus bytes — the
+    * plan shape that holds at 100 TB (same class as [[pplBuckets]]).
+    * All ratios are rounded to 6 before the threshold comparisons so
+    * the keep verdict is bit-stable across engines. Returns every doc
+    * with its per-rule metrics plus the conjunctive `keep` flag;
+    * "drop" pipelines filter on `keep` at the scan. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("text"),
+      TextFunctions.wsTokens(col(textCol)).as("w"),
+      TextFunctions.wsTokens(lower(col(textCol))).as("lw"),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "").as("lines"))
+    val nw = size(col("w"))
+    val nwd = nw.cast("double")
+    val nl = size(col("lines")).cast("double")
+    def frac(cnt: Column, denom: Column): Column =
+      when(denom > 0, round(cnt.cast("double") / denom, 6)).otherwise(lit(0.0))
+    // occurrence counts via length deltas: '...' deltas are always a
+    // multiple of 3 (non-overlapping left-to-right replace in both
+    // engines), so the /3 is exact
+    val nHash = length(col("text")) - length(replace(col("text"), lit("#"), lit("")))
+    val nEll = ((length(col("text")) -
+        length(replace(col("text"), lit("..."), lit("")))) / 3).cast("long") +
+      (length(col("text")) - length(replace(col("text"), lit("…"), lit(""))))
+    val meanLen = frac(aggregate(col("w"), lit(0L), (a, x) => a + length(x)), nwd)
+    val bulletC = size(filter(col("lines"),
+      l => substring(l, 1, 1).isin(BulletChars: _*)))
+    val ellC = size(filter(col("lines"),
+      l => endswith(l, lit("...")) || endswith(l, lit("…"))))
+    val alphaC = size(filter(col("w"), x => x.rlike("[a-zA-Z]")))
+    val stopHits = size(filter(typedLit(GopherStops),
+      s => array_contains(col("lw"), s))).cast("long")
+    val m = base.select(col(idCol),
+      nw.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      frac(nHash + nEll, nwd).as("symbol_ratio"),
+      frac(bulletC, nl).as("bullet_frac"),
+      frac(ellC, nl).as("ellipsis_frac"),
+      frac(alphaC, nwd).as("alpha_frac"),
+      stopHits.as("stop_hits"))
+    m.withColumn("keep",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
+        col("stop_hits") >= GopherMinStopHits)
+  }
+
   // ---- gate queries ------------------------------------------------------
 
   private def docs(spark: SparkSession, dir: String) = Tables(spark, dir, "documents")
@@ -616,7 +690,16 @@ object Curation {
     "q82_pack_sequences" -> (sequences _),
     "q88_url_filter" -> (urlFilterGate _),
     "q89_ppl_bucket" -> (pplBucketGate _),
+    "q94_gopher_rules" -> (gopherGate _),
   )
+
+  /** q94: the Gopher rule set over the raw corpus — every rule metric
+    * plus the conjunctive keep verdict, per document. */
+  def gopherGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gopherRules(docs(spark, dir).select($"doc_id", $"text"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
 
   /** q88: deterministic URL fixture — domain cycles by doc_id % 5 (two
     * blocklisted), doc_id % 13 hosts become bare IP literals, doc_id %
@@ -785,5 +868,39 @@ object Curation {
          |SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY ngram
          |ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin
     },
+    // every ratio rounded to 6 BEFORE its threshold comparison,
+    // mirroring the Spark side, so the keep verdict is bit-stable
+    "q94_gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id, text, $wsSql AS w, $wsLowerSql AS lw,
+         |  list_filter(list_transform(regexp_split_to_array(text, '\n'), l -> trim(l)),
+         |    l -> l <> '') AS lines FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CASE WHEN len(w) > 0 THEN round(CAST(list_sum(
+         |    list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6)
+         |    ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN len(w) > 0 THEN round(CAST(
+         |      (length(text) - length(replace(text, '#', '')))
+         |    + (length(text) - length(replace(text, '...', ''))) // 3
+         |    + (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / len(w), 6)
+         |    ELSE 0.0 END AS symbol_ratio,
+         |  CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines,
+         |      l -> list_contains(['-', '*', '•', '‣', '▪'], substr(l, 1, 1)))) AS DOUBLE)
+         |      / len(lines), 6) ELSE 0.0 END AS bullet_frac,
+         |  CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines,
+         |      l -> ends_with(l, '...') OR ends_with(l, '…'))) AS DOUBLE)
+         |      / len(lines), 6) ELSE 0.0 END AS ellipsis_frac,
+         |  CASE WHEN len(w) > 0 THEN round(CAST(len(list_filter(w,
+         |      x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w), 6)
+         |    ELSE 0.0 END AS alpha_frac,
+         |  CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+         |    s -> list_contains(lw, s))) AS BIGINT) AS stop_hits
+         |  FROM base)
+         |SELECT *, (n_words BETWEEN 50 AND 100000)
+         |  AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |  AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         |  AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         |  AND stop_hits >= $GopherMinStopHits AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -243,4 +243,39 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("gopherRules: each rule fires on its designed violation") {
+    val good = ("the quick brown fox jumps over the lazy dog and then " +
+      "rests with a that have be to of friend nearby for a while longer " +
+      "until evening comes and everyone goes home to sleep soundly " +
+      "through the night before waking early with renewed energy for work " +
+      "on the next bright morning ahead of them all") // > 50 words, prose
+    val rows = Seq(
+      (1L, good),
+      (2L, "short doc"),                                     // word count < 50
+      (3L, ("## # # # # # # # # # # # # " * 10) + good),     // symbol ratio > 0.1
+      (4L, (1 to 12).map(i => s"- bullet item $i").mkString("\n")), // bullets
+      (5L, (1 to 10).map(i => s"trailing line $i...").mkString("\n")), // ellipses
+      (6L, good.split(" ").map(w => w + " 123 456 789").mkString(" ")), // alpha < 0.8
+      (7L, Seq.fill(60)("lorem ipsum dolor sit amet").mkString(" "))    // no stopwords
+    ).toDF("id", "text")
+    val out = Curation.gopherRules(rows, "id", "text")
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(!byId(2L).getAs[Boolean]("keep") && byId(2L).getAs[Long]("n_words") == 2L)
+    assert(!byId(3L).getAs[Boolean]("keep") &&
+      byId(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!byId(4L).getAs[Boolean]("keep") &&
+      byId(4L).getAs[Double]("bullet_frac") == 1.0)
+    assert(!byId(5L).getAs[Boolean]("keep") &&
+      byId(5L).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(!byId(6L).getAs[Boolean]("keep") &&
+      byId(6L).getAs[Double]("alpha_frac") < 0.8)
+    assert(!byId(7L).getAs[Boolean]("keep") && byId(7L).getAs[Long]("stop_hits") < 2)
+    // empty text: all-zero metrics, keep = false, no NaN/null leakage
+    val empty = Curation.gopherRules(Seq((9L, "")).toDF("id", "text"), "id", "text")
+      .collect().head
+    assert(!empty.getAs[Boolean]("keep") && empty.getAs[Double]("mean_word_len") == 0.0)
+  }
 }
