@@ -212,6 +212,29 @@ object RetrievalPack {
       .orderBy($"score".desc, $"vec_id")
   }
 
+  /** T2 scale path, HNSW variant (q95): per-shard navigable-small-world
+    * graphs ([[Hnsw]]) persisted one row per shard, reloaded, and
+    * searched at the serving beam — the graph-ANN layout closing the
+    * reference's HNSW role (`src/storage/vector_store.py:136-146`,
+    * m=16/ef_construct=100/hnsw_ef=128). At gate scale the ef=128 beam
+    * covers each ≤128-node shard exhaustively, so the exact scan is a
+    * sound oracle; the recall/ef knob at partial beams is pinned by
+    * HnswSpec. */
+  def hnswKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val idx = Hnsw.build(e, "vec_id", "embedding", shards = 4)
+    val tmp = TmpDirs.create("graft_q95_hnsw")
+    idx.write.mode("overwrite").parquet(tmp)
+    val loaded = spark.read.parquet(tmp).as[HnswShard]
+    val qv = e.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).collect()
+      .head.getSeq[Double](0).toArray
+    Hnsw.topK(loaded, qv, Limit)
+      .select($"id".as("vec_id"), $"score")
+      .orderBy($"score".desc, $"vec_id")
+  }
+
   /** V10 executed end-to-end (q49): enhanced search whose user filter
     * (lang = 'zz') empties the base result → confidence 0 →
     * no_results_fallback → keyword retry (still filtered ⇒ empty) +
@@ -378,6 +401,7 @@ object RetrievalPack {
     "q47_bm25_indexed" -> (bm25Indexed _),
     "q48_ann_knn" -> (annKnn _),
     "q55_ivf_knn" -> (ivfKnn _),
+    "q95_hnsw_knn" -> (hnswKnn _),
     "q49_enhanced_fallback" -> (enhancedFallback _),
     "q50_colpali_propagate" -> (colpaliPropagateGate _),
     "q84_hybrid_ann" -> (hybridAnn _),
@@ -435,6 +459,11 @@ object RetrievalPack {
          |SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
          |FROM pos ORDER BY score DESC, doc_id LIMIT ${Limit}""".stripMargin,
     "q24_dense_knn" ->
+      s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qe FROM qv)), 6) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id LIMIT ${Limit}""".stripMargin,
+    // exhaustive-beam HNSW == exact scan at gate scale (see hnswKnn)
+    "q95_hnsw_knn" ->
       s"""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qe FROM qv)), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id LIMIT ${Limit}""".stripMargin,
