@@ -479,6 +479,79 @@ object Curation {
     docs.select(col(idCol), pplScore(col(toksCol)).as("ppl"),
       pplBucket(col(toksCol), t1, t2).as("bucket"))
 
+  // ---- DSIR-style importance resampling -----------------------------------
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169), the hashed-n-gram variant: score every
+    * document by how much more likely its hashed-bigram profile is
+    * under a TARGET distribution (the high-quality subset you want
+    * more of) than under the RAW corpus distribution, then keep the
+    * top `frac` by Gumbel-perturbed weight — the Gumbel-top-k trick
+    * IS sampling-without-replacement proportional to the importance
+    * weights, made deterministic here by hashing the doc id into the
+    * uniform draw.
+    *
+    * Bigrams hash into `buckets` fixed buckets, so both distributions
+    * are B-cell histograms with add-one smoothing:
+    * `lr(b) = ln((tc_b+1)/(T+B)) − ln((rc_b+1)/(R+B))`, and a doc's
+    * log-weight is Σ n_db·lr(b) over its buckets. Per-bucket log
+    * ratios are rounded to 6 and the per-doc fold runs over the
+    * SORTED contribution list (the [[pplScore]] stance), so weights
+    * are bit-stable across engines.
+    *
+    * Scale: the bucket stats are two B-row tables (B ≈ 10⁴-10⁶ —
+    * broadcast); the corpus sees one explode + one (id,bucket) count
+    * — the same shuffle any tokenize-and-count pass pays; the final
+    * top-n is TakeOrdered (never a global row_number window over the
+    * corpus). At 100 TB, replace the exact top-n with a weight
+    * threshold from [[approxTokenQuantiles]]'s t-digest over `score`
+    * — the output contract (selected ≈ frac·N docs, weight-biased)
+    * is unchanged.
+    *
+    * Input: docs(id, toks, target boolean). Output: (id, logw,
+    * gumbel, score, selected), one row per input doc. */
+  def importanceResample(docs: DataFrame, idCol: String, toksCol: String,
+                         targetCol: String, buckets: Int = 1024,
+                         frac: Double = 0.2): DataFrame = {
+    val bg = docs.select(col(idCol).as("id"), col(targetCol).as("tgt"),
+        explode(TextFunctions.shingles(col(toksCol), 2)).as("sh"))
+      .select(col("id"), col("tgt"),
+        (TextFunctions.hash56(col("sh")) % buckets).as("b"))
+    val nd = bg.groupBy(col("id"), col("b")).agg(count(lit(1)).as("n_db"))
+    val rc = bg.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tc = bg.filter(col("tgt")).groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val tot = bg.agg(count(lit(1)).as("rtot"),
+      coalesce(sum(when(col("tgt"), 1L).otherwise(0L)), lit(0L)).as("ttot"))
+    val lr = rc.join(tc, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+            (col("ttot") + lit(buckets.toDouble))) -
+          log((col("rc") + lit(1.0)) / (col("rtot") + lit(buckets.toDouble))),
+          6).as("lr"))
+    val w = nd.join(broadcast(lr), "b")
+      .select(col("id"), (col("n_db") * col("lr")).as("c"))
+      .groupBy(col("id"))
+      .agg(round(aggregate(array_sort(collect_list(col("c"))), lit(0.0),
+        (acc, x) => acc + x), 6).as("logw"))
+    val scored = docs.select(col(idCol).as("id"))
+      .join(w, Seq("id"), "left")
+      .select(col("id"), coalesce(col("logw"), lit(0.0)).as("logw"))
+      .withColumn("u",
+        (TextFunctions.hash56(concat(lit("dsir:"), col("id").cast("string")))
+          % 1000000L + lit(0.5)) / lit(1000000.0))
+      .withColumn("gumbel", round(-log(-log(col("u"))), 6))
+      .withColumn("score", round(col("logw") + col("gumbel"), 6))
+      .drop("u")
+    // exact top-n marker: TakeOrdered on (score desc, id), then a
+    // broadcast membership join — n rows, never a corpus-wide window
+    val nTake = math.floor(frac * docs.count()).toInt
+    val sel = scored.orderBy(col("score").desc, col("id")).limit(nTake)
+      .select(col("id"), lit(true).as("sel"))
+    scored.join(broadcast(sel), Seq("id"), "left")
+      .select(col("id"), col("logw"), col("gumbel"), col("score"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
+
   // ---- Gopher document-quality rules --------------------------------------
 
   /** The 8 required stopwords of the Gopher rule set (Rae et al. 2021,
@@ -691,7 +764,22 @@ object Curation {
     "q88_url_filter" -> (urlFilterGate _),
     "q89_ppl_bucket" -> (pplBucketGate _),
     "q94_gopher_rules" -> (gopherGate _),
+    "q97_dsir_resample" -> (dsirGate _),
   )
+
+  /** q97: DSIR importance resampling with English docs as the target
+    * distribution (the corpus mixes languages, so the bigram-profile
+    * contrast is real), top 20% kept. */
+  def dsirGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    importanceResample(
+        graft.Tables(spark, dir, "documents").select($"doc_id",
+          TextFunctions.wsTokens(lower($"text")).as("toks"),
+          ($"lang" === "en").as("tgt")),
+        "doc_id", "toks", "tgt", buckets = 1024, frac = 0.2)
+      .select($"id".as("doc_id"), $"logw", $"gumbel", $"score", $"selected")
+      .orderBy($"doc_id")
+  }
 
   /** q94: the Gopher rule set over the raw corpus — every rule metric
     * plus the conjunctive keep verdict, per document. */
@@ -763,6 +851,35 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // DSIR replay: hashed-bigram histograms, add-one log ratios
+    // (rounded 6), sorted-fold doc weights, Gumbel-top-n membership
+    "q97_dsir_resample" -> {
+      val sh2 = TextFunctions.shinglesSql("toks", 2)
+      s"""WITH base AS (SELECT doc_id, (lang = 'en') AS tgt, $wsLowerSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, tgt, ${TextFunctions.hash56Sql("sh")} % 1024 AS b
+         |  FROM (SELECT doc_id, tgt, unnest($sh2) AS sh FROM base)),
+         |nd AS (SELECT doc_id, b, COUNT(*) AS n_db FROM bg GROUP BY doc_id, b),
+         |rc AS (SELECT b, COUNT(*) AS rc FROM bg GROUP BY b),
+         |tcx AS (SELECT b, COUNT(*) AS tc FROM bg WHERE tgt GROUP BY b),
+         |tot AS (SELECT COUNT(*) AS rtot,
+         |  COALESCE(SUM(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS ttot FROM bg),
+         |lr AS (SELECT rc.b,
+         |  round(ln((COALESCE(tcx.tc, 0) + 1.0) / (tot.ttot + 1024.0))
+         |      - ln((rc.rc + 1.0) / (tot.rtot + 1024.0)), 6) AS lr
+         |  FROM rc LEFT JOIN tcx ON tcx.b = rc.b CROSS JOIN tot),
+         |contrib AS (SELECT nd.doc_id, nd.n_db * lr.lr AS c FROM nd JOIN lr ON lr.b = nd.b),
+         |w AS (SELECT doc_id, round(list_sum(list_sort(list(c))), 6) AS logw FROM contrib GROUP BY doc_id),
+         |sc AS (SELECT d.doc_id, COALESCE(w.logw, 0.0) AS logw,
+         |    round(-ln(-ln((${TextFunctions.hash56Sql("'dsir:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 + 0.5) / 1000000.0)), 6) AS gumbel
+         |  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id),
+         |sc2 AS (SELECT doc_id, logw, gumbel, round(logw + gumbel, 6) AS score FROM sc),
+         |nt AS (SELECT CAST(floor(0.2 * COUNT(*)) AS BIGINT) AS k FROM documents),
+         |rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc2),
+         |sel AS (SELECT rk.doc_id FROM rk CROSS JOIN nt WHERE rk.rn <= nt.k)
+         |SELECT s.doc_id, s.logw, s.gumbel, s.score, (sel.doc_id IS NOT NULL) AS selected
+         |FROM sc2 s LEFT JOIN sel ON sel.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    },
     "q88_url_filter" ->
       """WITH u AS (SELECT doc_id,
         |  'https://www.' ||

@@ -385,4 +385,67 @@ object Dedup {
       .filter(col("score") >= tau)
       .distinct() // a pair may collide in several tables
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space and removing
+    * ε-similar neighbors WITHIN each cluster — the technique that
+    * scales pairwise semantic comparison to web corpora by never
+    * comparing across clusters.
+    *
+    * Deterministic variant (engine-reproducible, so the DuckDB oracle
+    * can replay it exactly):
+    *   - centroids = the `k` corpus vectors with the smallest
+    *     `md5(id)` (a hash-random sample; no Lloyd iterations whose
+    *     float accumulation order could diverge between engines);
+    *   - assignment = argmax of the 6-rounded cosine, ties to the
+    *     smallest centroid id;
+    *   - removal rule = a vector is dropped iff SOME same-cluster
+    *     vector with a smaller id is ε-similar (keep-first at pair
+    *     granularity; the paper keeps one random member per ε-group —
+    *     min-id is the deterministic stand-in, same cardinality
+    *     behavior on transitive groups of exact copies).
+    *
+    * Scale: the centroid table is k rows — broadcast; assignment is
+    * one map-side pass (k·d flops per row, zero shuffle on the corpus
+    * side); the verification join shuffles on `cluster_id` only and
+    * its fan-out is bounded by the cluster size — pick k ∝ n (the
+    * paper's own stance: clusters sized so within-cluster pairwise
+    * work fits a worker). Reference role: the embedding near-dup pass
+    * of a curation pipeline (complements [[cosinePairsLsh]], which
+    * finds pairs; this one makes keep/drop decisions).
+    *
+    * Input: (id, vec). Output: (id, cluster_id, keep). */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+               k: Int, eps: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // k-row frame: the global window after limit(k) is tiny by
+    // construction (never a corpus-wide single-partition sort)
+    val cents = e
+      .select(col("id").as("sid"), col("vec").as("cvec"),
+        md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h"), col("sid")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("h"), col("sid"))).cast("long"))
+      .select(col("cid"), col("cvec"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"), col("vec"),
+        round(VectorFunctions.cosine(col("vec"), col("cvec")), 6).as("s"))
+    // argmax via max(struct): highest score, then lowest cid — a
+    // partial-aggregable reduction, no per-id window
+    val assigned = scored
+      .groupBy(col("id"))
+      .agg(max(struct(col("s"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("id"), (-col("m.ncid")).as("cluster_id"))
+    val av = assigned.join(e, "id")
+    val removed = av.as("a").join(av.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.id") < col("b.id"))
+      .filter(round(VectorFunctions.cosine(col("a.vec"), col("b.vec")), 6)
+        >= eps)
+      .select(col("b.id").as("id")).distinct()
+    av.join(removed.withColumn("rm", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster_id"), col("rm").isNull.as("keep"))
+  }
 }

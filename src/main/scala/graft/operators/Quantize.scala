@@ -79,6 +79,43 @@ object Quantize {
       .limit(k)
   }
 
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    * via the database-friendly sign matrix of Achlioptas 2001): project
+    * a d-dim embedding onto `outDim` pseudo-random ±1 hyperplanes and
+    * rescale by 1/√outDim, preserving pairwise distances to within
+    * O(√(ln n / outDim)) — the cheap embedding-compression step before
+    * storage or coarse clustering when even int8 at full d is too wide.
+    *
+    * The projection matrix is never materialized: sign s(i,j) comes
+    * from the SAME multiplicative-hash family as the LSH hyperplanes
+    * ([[graft.functions.VectorFunctions.hyperplaneBuckets]]), computed
+    * inline per element — deterministic across engines, partitionings,
+    * and reruns. The fold over vector elements runs left-to-right in
+    * both engines (Spark `aggregate` HOF / DuckDB `list_dot_product`),
+    * so 6-rounded components are engine-stable (the q24 dot-score
+    * precedent). Row-local, zero shuffle, linear in corpus bytes.
+    *
+    * Output: one (id, dim_j, val) row per projected component —
+    * long-form so downstream stores can re-pack at whatever width
+    * they want. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int): DataFrame = {
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(outDim - 1)), j =>
+          round(
+            aggregate(
+              zip_with(col("__v"),
+                sequence(lit(0), size(col("__v")) - 1),
+                (x, i) => x *
+                  (shiftright((j + 1) * lit(2654435761L) + (i + 1) * lit(40503L),
+                    13).bitwiseAND(1) * 2 - 1).cast("double")),
+              lit(0.0), (acc, x) => acc + x) * inv,
+            6))).as(Seq("__pos", "val")))
+      .select(col("id"), col("__pos").cast("long").as("dim_j"), col("val"))
+  }
+
   // ---- gate --------------------------------------------------------------
 
   /** q83: int8-quantized kNN against the vec_id=0 query over the
@@ -121,11 +158,31 @@ object Quantize {
       |SELECT vec_id AS id, score FROM d
       |ORDER BY score DESC, id LIMIT 20""".stripMargin
 
+  /** q98: 64→16 random projection of the embeddings table, long-form.
+    * outDim 16 makes the 1/√outDim rescale exactly 0.25 — the literal
+    * both engines multiply by (a division would differ in ulps). */
+  def randomProjectGate(spark: SparkSession, dir: String): DataFrame =
+    randomProject(Tables(spark, dir, "embeddings"), "vec_id", "embedding", 16)
+      .select(col("id").as("vec_id"), col("dim_j"), col("val"))
+      .orderBy(col("vec_id"), col("dim_j"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_quantized_knn" -> (quantizedKnn _),
-    "q85_quantized_store" -> (quantizedStoreKnn _))
+    "q85_quantized_store" -> (quantizedStoreKnn _),
+    "q98_random_project" -> (randomProjectGate _))
 
   val oracle: Map[String, String] = Map(
+    // same ±1 hash family as the LSH hyperplanes; list_dot_product's
+    // left-to-right fold matches the Spark aggregate's order
+    "q98_random_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT vec_id, list_transform(range(16), j ->
+        |  round(list_dot_product(emb, list_transform(range(64), i ->
+        |    CAST(((((j+1)*2654435761 + (i+1)*40503) >> 13) & 1)*2 - 1 AS DOUBLE))) * 0.25, 6)) AS proj FROM e)
+        |SELECT vec_id, dim_j, val FROM (
+        |  SELECT vec_id, unnest(list_transform(proj, (x, i) ->
+        |    {'dim_j': CAST(i - 1 AS BIGINT), 'val': x}), recursive := true) FROM p) u
+        |ORDER BY vec_id, dim_j""".stripMargin,
     "q83_quantized_knn" -> quantOracle,
     // identical arithmetic to q83 BY DESIGN: the persisted tinyint
     // round-trip must be lossless, so the store-path result equals the

@@ -127,6 +127,21 @@ object TextPack {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** q96: SemDeDup over the embeddings table ∪ exact copies (vec_id %
+    * 11, +[[PerturbOffset]]) — the copies are guaranteed ε-groups, so
+    * the keep-first removal demonstrably fires; cluster count 8 keeps
+    * the within-cluster pair joins gate-sized. */
+  def semDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select($"vec_id", $"embedding")
+    val copies = e.filter($"vec_id" % 11 === 0)
+      .select(($"vec_id" + PerturbOffset).as("vec_id"), $"embedding")
+    Dedup.semDedup(e.unionByName(copies), "vec_id", "embedding",
+        k = 8, eps = 0.95)
+      .select($"id".as("vec_id"), $"cluster_id", $"keep")
+      .orderBy($"vec_id")
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     docs(spark, dir)
@@ -231,6 +246,7 @@ object TextPack {
     "q42_multimodal_meta" -> (multimodalMeta _),
     "q51_graph_chain" -> (graphChain _),
     "q56_dedup_clusters" -> (dedupClusters _),
+    "q96_semdedup" -> (semDedupGate _),
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -319,6 +335,29 @@ object TextPack {
          |$jaccardCtes
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
          |WHERE round(jaccard, 6) >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup replay: hash-sampled centroids, argmax-cosine assignment
+    // (ties to min cid), remove-iff-smaller-id-ε-neighbor — every step
+    // the deterministic construction semDedup documents
+    "q96_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $PerturbOffset, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 11 = 0),
+         |cents AS (SELECT row_number() OVER (ORDER BY h, sid) AS cid, cvec FROM (
+         |  SELECT vec_id AS sid, emb AS cvec, md5(CAST(vec_id AS VARCHAR)) AS h
+         |  FROM e ORDER BY h, sid LIMIT 8)),
+         |scored AS (SELECT e.vec_id, c.cid, round(list_cosine_similarity(e.emb, c.cvec), 6) AS s
+         |  FROM e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM scored) t
+         |  WHERE rn = 1),
+         |av AS (SELECT a.vec_id, a.cluster_id, e.emb FROM asg a JOIN e ON e.vec_id = a.vec_id),
+         |rm AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
+         |  ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.95)
+         |SELECT av.vec_id, av.cluster_id, (rm.vec_id IS NULL) AS keep
+         |FROM av LEFT JOIN rm ON rm.vec_id = av.vec_id
+         |ORDER BY av.vec_id""".stripMargin,
     "q34_cosine_dups" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

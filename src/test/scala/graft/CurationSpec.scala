@@ -278,4 +278,67 @@ class CurationSpec extends SparkSpec {
       .collect().head
     assert(!empty.getAs[Boolean]("keep") && empty.getAs[Double]("mean_word_len") == 0.0)
   }
+
+  test("semDedup: removes the non-canonical member of every ε-group") {
+    // two identical pairs in orthogonal directions: whatever vectors
+    // the hash-sample picks as centroids, each pair shares a cluster
+    // (identical vectors score identically, ties break identically),
+    // so exactly the min-id member of each pair survives
+    val e = Seq(
+      (1L, Seq(1.0, 0.01, 0.0)), (2L, Seq(1.0, 0.01, 0.0)),
+      (5L, Seq(0.0, 1.0, 0.01)), (6L, Seq(0.0, 1.0, 0.01))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(e, "vec_id", "embedding", k = 2, eps = 0.95)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L, 6L))
+    val keep = out.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    assert(keep == Set(1L, 5L))
+    // cluster ids come from the k-row hash sample
+    assert(out.forall(r => { val c = r.getAs[Long]("cluster_id"); c >= 1 && c <= 2 }))
+    // orthogonal groups are never ε-similar even inside one cluster
+    val out1 = Dedup.semDedup(e, "vec_id", "embedding", k = 1, eps = 0.95)
+      .collect().filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    assert(out1 == Set(1L, 5L)) // single cluster: same survivors
+  }
+
+  test("semDedup is deterministic across reruns") {
+    val e = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val a = Dedup.semDedup(e, "vec_id", "embedding", k = 4, eps = 0.9)
+      .orderBy("id").collect().toSeq
+    val b = Dedup.semDedup(e, "vec_id", "embedding", k = 4, eps = 0.9)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // every vector is assigned and decided
+    assert(a.size == e.count())
+  }
+
+  test("importanceResample: target-profile docs outscore off-target ones") {
+    // target distribution = english-looking bigrams; doc 10 matches it,
+    // doc 11 matches the off-target profile, doc 12 is too short to
+    // have bigrams at all
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the rug", true),
+      (3L, "le chien dort sur le tapis", false),
+      (4L, "le chat dort sur le lit", false),
+      (10L, "the cat sat on the rug", false),   // english-profile probe
+      (11L, "le chien dort sur le lit", false), // french-profile probe
+      (12L, "solo", false)
+    ).toDF("id", "text", "tgt")
+      .select(col("id"), TextFunctions.wsTokens(lower(col("text"))).as("toks"),
+        col("tgt"))
+    val out = Curation.importanceResample(docs, "id", "toks", "tgt",
+        buckets = 256, frac = 0.5)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(10L).getAs[Double]("logw") > byId(11L).getAs[Double]("logw"))
+    assert(byId(12L).getAs[Double]("logw") == 0.0)
+    // exact top-n membership: floor(0.5 * 7) = 3 selected
+    assert(out.count(_.getAs[Boolean]("selected")) == 3)
+    // deterministic across reruns (hash gumbel, no RNG)
+    val again = Curation.importanceResample(docs, "id", "toks", "tgt",
+      buckets = 256, frac = 0.5).orderBy("id").collect()
+    assert(out.toSeq == again.toSeq)
+  }
 }

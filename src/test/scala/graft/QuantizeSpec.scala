@@ -68,4 +68,30 @@ class QuantizeSpec extends SparkSpec {
     val recall = (exact & quant).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall@10 = $recall")
   }
+
+  test("randomProject: deterministic, and JL-preserves pairwise distances") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings").limit(40).cache()
+    val p = Quantize.randomProject(e, "vec_id", "embedding", 16)
+    val a = p.orderBy("id", "dim_j").collect().toSeq
+    assert(a == Quantize.randomProject(e, "vec_id", "embedding", 16)
+      .orderBy("id", "dim_j").collect().toSeq)
+    assert(a.size == 40 * 16)
+    // JL property at 16 dims: squared-distance ratios concentrate
+    // around 1 — check the median ratio lands in a generous band
+    // (distortion bounds are probabilistic, the MEDIAN is stable)
+    val orig = e.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val proj = a.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray).toMap
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      o = d2(orig(ids(i)), orig(ids(j))) if o > 1e-9
+    } yield d2(proj(ids(i)).toSeq, proj(ids(j)).toSeq) / o
+    val med = ratios.sorted.apply(ratios.size / 2)
+    assert(med > 0.5 && med < 1.5, s"median distance ratio = $med")
+  }
 }
