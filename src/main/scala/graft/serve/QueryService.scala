@@ -352,17 +352,17 @@ class QueryService(
           .select(col("document_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
     }
-    if (fresh.isEmpty) 0L
-    else {
-      val delta = Pipeline.ingest(fresh, embedder, orgCol = Some("org"))
-      val n = delta.chunks.count()
-      persistInsert(delta)
-      // ingest caches the chunk table for its consumers; release it
-      // once persisted or a long-lived service accumulates one dead
-      // cache entry per ingest (the read path reloads from parquet)
-      delta.chunks.unpersist()
-      n
-    }
+    // no separate emptiness probe on `fresh`: the chunk count below is
+    // the materializing action either way, and an all-duplicate batch
+    // just runs the (cheap, cached) ingest plan to an empty frame
+    val delta = Pipeline.ingest(fresh, embedder, orgCol = Some("org"))
+    val n = delta.chunks.count()
+    if (n > 0) persistInsert(delta)
+    // ingest caches the chunk table for its consumers; release it
+    // once persisted or a long-lived service accumulates one dead
+    // cache entry per ingest (the read path reloads from parquet)
+    delta.chunks.unpersist()
+    n
   }
 
   /** Streaming/bulk ingest seam: a docs-shaped DataFrame (`filename`,
@@ -390,12 +390,10 @@ class QueryService(
           substring(md5(col("text").cast("binary")), 1, 12)).as("doc_id"),
         col("text"), col("organization_id").as("org"))
       .dropDuplicates("doc_id")
-    if (keyed.isEmpty) 0L
-    else {
-      val orgs = keyed.select(col("org")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      ingestNew(keyed, orgs)
-    }
+    // one action covers both the emptiness check and the org set
+    val orgs = keyed.select(col("org")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (orgs.isEmpty) 0L else ingestNew(keyed, orgs)
   }
 
   /** Upsert merge, used only on the COMPACTION path (segment-count

@@ -155,6 +155,32 @@ object SegmentedStore {
     }
   }
 
+  // Per-base-generation quantizer memo: PQ coarse centroids + codebook
+  // are PINNED at the base by contract (segments encode against them,
+  // compaction retrains), so loading them once per generation instead
+  // of twice per micro-batch is free of staleness by construction.
+  // Bounded (8 generations) and keyed by absolute base dir — distinct
+  // stores never collide; a recompacted store has a NEW base dir name
+  // (monotonic seq), never a reused key.
+  private val quantizerMemo =
+    new java.util.LinkedHashMap[String, (DataFrame, PqKnn.Codebook)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (DataFrame, PqKnn.Codebook)]): Boolean =
+        size() > 8
+    }
+
+  private def pinnedQuantizer(spark: SparkSession,
+                              base: String): (DataFrame, PqKnn.Codebook) =
+    quantizerMemo.synchronized {
+      Option(quantizerMemo.get(base)).getOrElse {
+        val cents = TableStore.loadPqCentroids(spark, base)
+        val (_, cb) = TableStore.loadPq(spark, base)
+        val v = (cents, cb)
+        quantizerMemo.put(base, v)
+        v
+      }
+    }
+
   /** Append one delta segment and roll the derived tables forward;
     * returns the manifest to install. Writes are O(delta) for every
     * data table (chunks, postings, LSH, int8, PQ codes — partitioned
@@ -174,10 +200,12 @@ object SegmentedStore {
       delta.postings.withColumn("term_blk", TableStore.termBlock(col("term")))
         .write.mode("overwrite").partitionBy("term_blk").parquet(s"$seg/postings")
 
-    // dense sidecars from the just-written delta chunk files (column-
-    // pruned read-back, the same stance as the full persist); quantizer
-    // state stays pinned at the base
-    val emb = spark.read.parquet(s"$seg/chunks")
+    // dense sidecars from the delta bundle itself — `delta.chunks` is
+    // cached by Pipeline.ingest, so this is a column-pruned cache read
+    // (a parquet read-back of the just-written files costs one extra
+    // job per sidecar for identical bytes); quantizer state stays
+    // pinned at the base
+    val emb = delta.chunks
       .filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("organization_id"))
     if (!emb.isEmpty) {
@@ -194,8 +222,7 @@ object SegmentedStore {
         .write.mode("overwrite").parquet(s"$seg/quantized")
       val base = s"$root/${m.base}"
       if (exists(s"$base/pq_centroids") && exists(s"$base/pq_codebook")) {
-        val cents = TableStore.loadPqCentroids(spark, base)
-        val (_, cb) = TableStore.loadPq(spark, base)
+        val (cents, cb) = pinnedQuantizer(spark, base)
         PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb)
           .select(col("cid"), col("id"),
             TableStore.packPidCodes(col("codes")).as("codes"))
@@ -211,7 +238,10 @@ object SegmentedStore {
       else {
         val derName = s"derived$seq"
         val der = s"$root/$derName"
-        val segPost = spark.read.parquet(s"$seg/postings")
+        // same rows as the just-written segment postings: the lineage
+        // hangs off the cached delta chunks, so recomputing it is
+        // cheaper than a parquet read-back of identical bytes
+        val segPost = delta.postings
         val mergedDf = spark.read.parquet(s"$root/${m.derived}/docfreq")
           .drop("term_blk")
           .select(col("term"), col("df").as("df_old"))
@@ -221,12 +251,20 @@ object SegmentedStore {
             (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
               .as("df"))
         val statsDf = rolledStats(spark, root, m, segPost)
-        mergedDf.withColumn("term_blk", TableStore.termBlock(col("term")))
-          .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/docfreq")
-        BM25.idfTable(mergedDf, statsDf)
-          .withColumn("term_blk", TableStore.termBlock(col("term")))
-          .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/idf")
-        statsDf.coalesce(1).write.mode("overwrite").parquet(s"$der/stats")
+        // the merge is consumed twice (docfreq write + idfTable, whose
+        // ε-floor needs a GLOBAL avg-idf pass — the reason derived
+        // maintenance is O(vocab) and not O(delta): every term's idf0
+        // shifts when n_docs does, so the floor can't roll forward);
+        // cache it so the old-docfreq scan + merge join run once
+        mergedDf.cache()
+        try {
+          mergedDf.withColumn("term_blk", TableStore.termBlock(col("term")))
+            .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/docfreq")
+          BM25.idfTable(mergedDf, statsDf)
+            .withColumn("term_blk", TableStore.termBlock(col("term")))
+            .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/idf")
+          statsDf.coalesce(1).write.mode("overwrite").parquet(s"$der/stats")
+        } finally mergedDf.unpersist()
         derName
       }
 
