@@ -82,6 +82,39 @@ object TextFunctions {
   def wsTokensSql(col: String): String =
     s"list_filter(regexp_split_to_array(trim($col), '\\s+'), t -> length(t) > 0)"
 
+  /** Unicode NFC canonical composition (codegen kernel; DuckDB twin is
+    * the built-in `nfc_normalize`). */
+  def nfcNormalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c.cast("string"))))
+
+  /** C4/CCNet-style text normalization as a deterministic regex chain
+    * over the NFC form — the step a multilingual pre-training pipeline
+    * runs BEFORE any tokenize/hash stage so that byte-level variants of
+    * the same text (decomposed accents, CRLF, control noise, tab runs)
+    * collapse to one canonical form and downstream dedup keys agree:
+    *   1. NFC compose;  2. CR/CRLF → LF;  3. strip C0/C1-ish control
+    *   chars (keep \n, \t);  4. collapse space/tab runs to one space;
+    *   5. trim spaces around newlines and at both ends.
+    * Every step is a char-class regex with identical semantics in Java
+    * regex and RE2, so the DuckDB twin ([[normalizeTextSql]]) is the
+    * same chain verbatim. Row-local, zero shuffle. */
+  def normalizeText(c: Column): Column = {
+    val nfc = nfcNormalize(c)
+    val lf = regexp_replace(nfc, "\\r\\n?", "\n")
+    val ctrl = regexp_replace(lf, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val sp = regexp_replace(ctrl, "[ \\t]+", " ")
+    val nl = regexp_replace(sp, " ?\\n ?", "\n")
+    trim(nl, " \n")
+  }
+
+  /** DuckDB twin of [[normalizeText]] — same chain, same regexes. */
+  def normalizeTextSql(col: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |nfc_normalize($col), '\\r\\n?', chr(10), 'g'),
+       |'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |'[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g'), ' ' || chr(10))"""
+      .stripMargin.replaceAll("\n", "")
+
   // ---- portable hashing -------------------------------------------------
 
   /** 56-bit stable hash: first 14 hex digits of md5, as a BIGINT. The

@@ -116,3 +116,36 @@ case class LangId(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unicode NFC kernel: canonical composition via the JDK's
+  * `java.text.Normalizer` — both the JVM and DuckDB's `nfc_normalize`
+  * implement the Unicode-conformant NFC transform, so outputs are
+  * byte-identical for any valid input (the parity foundation for the
+  * text-normalization operator, [[graft.operators.Clean]]). The
+  * already-normalized fast path (`isNormalized`, a scan without
+  * allocation) matters because real corpora are overwhelmingly NFC. */
+object NfcKernel {
+  def eval(in: UTF8String): UTF8String = {
+    val s = in.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) in
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** nfc_normalize(text): string — see [[NfcKernel]]. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(in: Any): Any =
+    NfcKernel.eval(in.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NfcKernel.eval($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

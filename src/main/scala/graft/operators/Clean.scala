@@ -287,13 +287,58 @@ object Clean {
        |ORDER BY tk.doc_id""".stripMargin
   }
 
+  /** Injected byte-noise for q99: decomposed accents (e + combining
+    * acute), CRLF line breaks, a BEL control char, tab runs and double
+    * spaces — the byte-level variant classes NFC + the regex chain must
+    * collapse; built identically in both engines. */
+  private def noisyText: Column = concat(
+    substring(col("text"), 1, 50),
+    lit(" Cafe\u0301 menu"), // decomposed e+acute; NFC composes it
+    lit("\r\nline two\ttab  runs"), // CRLF + tab + double space
+    lit("\rbell "),           // bare CR + control char + trailing space
+    substring(col("text"), 51, 30))
+
+  /** q99: text normalization over the injected noisy corpus — the
+    * canonical form plus before/after byte lengths (the shrink is the
+    * observable). */
+  def normalizeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", noisyText.as("raw"))
+      .select($"doc_id",
+        octet_length($"raw").cast("long").as("n_bytes_raw"),
+        graft.functions.TextFunctions.normalizeText($"raw").as("norm"))
+      .select($"doc_id", $"n_bytes_raw",
+        octet_length($"norm").cast("long").as("n_bytes_norm"),
+        md5($"norm").as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private val normalizeOracle: String = {
+    val inj = "substr(text, 1, 50) || ' Cafe' || chr(769) || ' menu'" +
+      " || chr(13) || chr(10) || 'line two' || chr(9) || 'tab  runs'" +
+      " || chr(13) || chr(7) || 'bell '" +
+      " || substr(text, 51, 30)"
+    val norm = graft.functions.TextFunctions.normalizeTextSql("raw")
+    s"""WITH inj AS (SELECT doc_id, $inj AS raw FROM documents),
+       |n AS (SELECT doc_id,
+       |  CAST(octet_length(encode(raw)) AS BIGINT) AS n_bytes_raw,
+       |  $norm AS norm FROM inj)
+       |SELECT doc_id, n_bytes_raw,
+       |  CAST(octet_length(encode(norm)) AS BIGINT) AS n_bytes_norm,
+       |  md5(norm) AS norm_md5
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_line_clean" -> (lineCleanGate _),
     "q81_line_dedup" -> (dedupLinesGate _),
-    "q93_span_scrub" -> (spanScrubGate _))
+    "q93_span_scrub" -> (spanScrubGate _),
+    "q99_normalize_text" -> (normalizeGate _))
 
   val oracle: Map[String, String] = Map(
     "q80_line_clean" -> lineCleanOracle,
     "q81_line_dedup" -> dedupLinesOracle,
-    "q93_span_scrub" -> spanScrubOracle)
+    "q93_span_scrub" -> spanScrubOracle,
+    "q99_normalize_text" -> normalizeOracle)
 }

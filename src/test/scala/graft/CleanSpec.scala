@@ -95,4 +95,24 @@ class CleanSpec extends SparkSpec {
     assert(short.getLong(1) == 3L && short.getLong(2) == 0L &&
       short.getString(3) == "only three tokens")
   }
+  test("normalizeText: NFC composes, control/CRLF/space noise collapses") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "Cafe\u0301"),                      // decomposed -> composed
+      (2L, "a\r\nb\rc"),                     // CRLF and bare CR -> LF
+      (3L, "x\u0007y\u0000z"),                // control chars stripped
+      (4L, "a \t b   c"),                      // tab/space runs -> one space
+      (5L, "  line \n  next  \n"),            // spaces around newlines + ends
+      (6L, "already clean")
+    ).toDF("id", "text")
+    val out = cases
+      .select($"id", graft.functions.TextFunctions.normalizeText($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Caf\u00e9")
+    assert(out(2L) == "a\nb\nc")
+    assert(out(3L) == "xyz")
+    assert(out(4L) == "a b c")
+    assert(out(5L) == "line\nnext")
+    assert(out(6L) == "already clean")
+  }
 }
