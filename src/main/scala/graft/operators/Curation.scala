@@ -479,6 +479,76 @@ object Curation {
     docs.select(col(idCol), pplScore(col(toksCol)).as("ppl"),
       pplBucket(col(toksCol), t1, t2).as("bucket"))
 
+  // ---- stupid-backoff bigram language model -------------------------------
+
+  /** Distributed bigram language model with stupid backoff (Brants et
+    * al. 2007, "Large Language Models in Machine Translation", §3) —
+    * the real CCNet-shape perplexity filter that [[pplBuckets]]'s
+    * row-local surrogate stands in for. Training IS two groupBy
+    * counting passes (the paper's distributed estimation, verbatim);
+    * scoring joins the exploded corpus bigrams against the counts:
+    *
+    *   p(w2|w1) = c(w1,w2) / c(w1·)      when the bigram was seen,
+    *            = α·(c(w2)+1) / (N+V)    otherwise (α = 0.4; add-one
+    *                                     unigram so OOV is defined)
+    *
+    * with c(w1·) = Σ_w2 c(w1,w2) derived FROM the (possibly pruned)
+    * bigram table, so the conditional stays self-consistent under
+    * `minCount` pruning. Per-position log10 p is rounded to 6 and the
+    * per-doc sum folds over the SORTED contribution list (the
+    * [[pplScore]] stance), so logp — and ppl = 10^(−logp/n) — is
+    * bit-stable across engines.
+    *
+    * Scale: the model is two aggregated token-keyed tables —
+    * Zipf-bounded, orders of magnitude smaller than the corpus, and
+    * `minCount` pruning (standard LM practice) caps them to a
+    * broadcastable size at 100 TB; scoring pays the tokenize-explode
+    * shuffle every counting pass pays, plus hash joins whose build
+    * sides are the count tables (1 row per key — probe-side skew is
+    * the AQE class, never a row-multiplying join). Docs with < 2
+    * tokens get n_scored = 0, ppl = 1. */
+  def lmPerplexity(train: DataFrame, docs: DataFrame, idCol: String,
+                   toksCol: String, alpha: Double = 0.4,
+                   minCount: Long = 1L): DataFrame = {
+    // (w1, w2) per adjacent position; the size >= 2 guard is
+    // load-bearing — sequence(1, 0) would DESCEND, not come up empty
+    def bigrams(df: DataFrame, keep: String*): DataFrame =
+      df.filter(size(col(toksCol)) >= 2)
+        .select(keep.map(col) :+ explode(transform(
+          sequence(lit(1), size(col(toksCol)) - 1),
+          i => struct(element_at(col(toksCol), i).as("w1"),
+            element_at(col(toksCol), i + 1).as("w2")))).as("p"): _*)
+        .select(keep.map(col) :+ col("p.w1") :+ col("p.w2"): _*)
+    val bi = bigrams(train).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cb")).filter(col("cb") >= minCount)
+    val ctx = bi.groupBy("w1").agg(sum("cb").as("cctx"))
+    val uni = train.select(explode(col(toksCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("nn"), count(lit(1)).as("vv"))
+    val lp = bigrams(docs.withColumn("id", col(idCol)), "id")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("id"), round(log10(
+        when(col("cb").isNotNull, col("cb") / col("cctx"))
+          .otherwise(lit(alpha) * (coalesce(col("cu2"), lit(0L)) + lit(1.0)) /
+            (col("nn") + col("vv")))), 6).as("lp"))
+    val agg = lp.groupBy("id").agg(
+      count(lit(1)).as("n_scored"),
+      round(aggregate(array_sort(collect_list(col("lp"))), lit(0.0),
+        (acc, x) => acc + x), 6).as("logp"))
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("logp"), lit(0.0)).as("logp"),
+        when(col("n_scored").isNotNull,
+          round(pow(lit(10.0), -col("logp") / col("n_scored")), 4))
+          .otherwise(lit(1.0)).as("ppl"))
+  }
+
   // ---- DSIR-style importance resampling -----------------------------------
 
   /** Data Selection via Importance Resampling (Xie et al. 2023,
@@ -765,7 +835,19 @@ object Curation {
     "q89_ppl_bucket" -> (pplBucketGate _),
     "q94_gopher_rules" -> (gopherGate _),
     "q97_dsir_resample" -> (dsirGate _),
+    "q100_lm_ppl" -> (lmPplGate _),
   )
+
+  /** q100: stupid-backoff bigram LM trained on the corpus itself,
+    * scoring every document — the self-perplexity form of the CCNet
+    * filter (a held-out or reference LM plugs in as `train`). */
+  def lmPplGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = toksDf(spark, dir)
+    lmPerplexity(t, t, "doc_id", "toks")
+      .select($"id".as("doc_id"), $"n_scored", $"logp", $"ppl")
+      .orderBy($"doc_id")
+  }
 
   /** q97: DSIR importance resampling with English docs as the target
     * distribution (the corpus mixes languages, so the bigram-profile
@@ -851,6 +933,33 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // stupid-backoff replay: same counts, same add-one backoff, same
+    // rounded-log10 sorted-fold sums
+    "q100_lm_ppl" ->
+      s"""WITH t AS (SELECT doc_id, $wsLowerSql AS toks FROM documents),
+         |big AS (SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+         |    toks[CAST(i AS INT) + 1] AS w2
+         |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+         |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+         |ctx AS (SELECT w1, SUM(cb) AS cctx FROM bi GROUP BY w1),
+         |unic AS (SELECT w, COUNT(*) AS cu FROM
+         |  (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |tot AS (SELECT SUM(cu) AS nn, COUNT(*) AS vv FROM unic),
+         |lp AS (SELECT big.doc_id, round(log10(
+         |    CASE WHEN bi.cb IS NOT NULL THEN CAST(bi.cb AS DOUBLE) / ctx.cctx
+         |      ELSE 0.4 * (COALESCE(u2.cu, 0) + 1.0) / (tot.nn + tot.vv) END), 6) AS lp
+         |  FROM big LEFT JOIN bi ON bi.w1 = big.w1 AND bi.w2 = big.w2
+         |  LEFT JOIN ctx ON ctx.w1 = big.w1
+         |  LEFT JOIN unic u2 ON u2.w = big.w2
+         |  CROSS JOIN tot),
+         |ag AS (SELECT doc_id, COUNT(*) AS n_scored,
+         |  round(list_sum(list_sort(list(lp))), 6) AS logp FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(ag.n_scored, 0) AS n_scored,
+         |  COALESCE(ag.logp, 0.0) AS logp,
+         |  CASE WHEN ag.n_scored IS NOT NULL
+         |    THEN round(pow(10.0, -ag.logp / ag.n_scored), 4) ELSE 1.0 END AS ppl
+         |FROM documents d LEFT JOIN ag ON ag.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // DSIR replay: hashed-bigram histograms, add-one log ratios
     // (rounded 6), sorted-fold doc weights, Gumbel-top-n membership
     "q97_dsir_resample" -> {

@@ -341,4 +341,32 @@ class CurationSpec extends SparkSpec {
       buckets = 256, frac = 0.5).orderBy("id").collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("lmPerplexity: hand-computed stupid-backoff scores") {
+    import spark.implicits._
+    // train counts: bi (a,b)=2 (b,a)=1 (a,c)=1; ctx a=3 b=1;
+    // uni a=3 b=2 c=1 x=1 -> N=7 V=4
+    val train = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("id", "text")
+      .select(col("id"), TextFunctions.wsTokens(col("text")).as("toks"))
+    val score = train.unionByName(
+      Seq((4L, "a z")).toDF("id", "text") // (a,z) unseen, z OOV
+        .select(col("id"), TextFunctions.wsTokens(col("text")).as("toks")))
+    val out = Curation.lmPerplexity(train, score, "id", "toks")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc1: lp(a,b)=round(log10(2/3),6)=-0.176091 twice, lp(b,a)=0
+    assert(out(1L) == ((3L, -0.352182, 1.3104)))
+    // doc2: lp(a,c)=round(log10(1/3),6)
+    assert(out(2L) == ((1L, -0.477121, 3.0)))
+    // doc3: single token -> unscored
+    assert(out(3L) == ((0L, 0.0, 1.0)))
+    // doc4: backoff 0.4*(0+1)/(7+4), OOV z
+    assert(out(4L) == ((1L, -1.439333, 27.5)))
+    // deterministic across reruns (sorted fold, no RNG)
+    val again = Curation.lmPerplexity(train, score, "id", "toks")
+      .orderBy("id").collect()
+    assert(again.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap == out)
+  }
 }
