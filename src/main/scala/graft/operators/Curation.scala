@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Training-data curation operators beyond the dedup family: eval-set
   * decontamination, repetition-based quality signals (Gopher-style),
@@ -479,6 +479,44 @@ object Curation {
     docs.select(col(idCol), pplScore(col(toksCol)).as("ppl"),
       pplBucket(col(toksCol), t1, t2).as("bucket"))
 
+  // ---- semantic (embedding) decontamination -------------------------------
+
+  /** Embedding-space eval-set decontamination — the semantic
+    * complement of [[contamination]]: an n-gram check misses
+    * paraphrased or reformatted benchmark leakage, so each corpus
+    * vector is scored against EVERY eval vector by cosine and flagged
+    * when the max meets `tau` (the near-duplicate decontamination
+    * stance of Yang et al. 2023, "Rethinking Benchmark and
+    * Contamination", arXiv:2311.04850 — embedding similarity as the
+    * paraphrase-robust detector).
+    *
+    * Scale: eval sets are benchmark-sized (10³-10⁵ rows) — the eval
+    * side broadcasts; scoring is one map-side pass over the corpus
+    * (|eval|·d flops per row, zero corpus shuffle before the per-id
+    * partial-agg max, which reduces map-side to one row per corpus
+    * vector — the [[graft.operators.Dedup.semDedup]] assignment
+    * shape). The argmax is max(struct) — partial-aggregable, never a
+    * per-id window over the corpus.
+    *
+    * Output: (id, near_eval_id, max_cos, contaminated), one row per
+    * corpus vector; cosines rounded to 6 (ties → smallest eval id) so
+    * the verdict is engine-stable. */
+  def semanticContamination(corpus: DataFrame, evalE: DataFrame,
+                            idCol: String, vecCol: String,
+                            tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val ev = evalE.select(col(idCol).as("eid"),
+      col(vecCol).cast("array<double>").as("evec"))
+    c.crossJoin(broadcast(ev))
+      .select(col("id"), col("eid"),
+        round(VectorFunctions.cosine(col("vec"), col("evec")), 6).as("s"))
+      .groupBy(col("id"))
+      .agg(max(struct(col("s"), (-col("eid")).as("ne"))).as("m"))
+      .select(col("id"), (-col("m.ne")).as("near_eval_id"),
+        col("m.s").as("max_cos"), (col("m.s") >= tau).as("contaminated"))
+  }
+
   // ---- stupid-backoff bigram language model -------------------------------
 
   /** Distributed bigram language model with stupid backoff (Brants et
@@ -836,7 +874,25 @@ object Curation {
     "q94_gopher_rules" -> (gopherGate _),
     "q97_dsir_resample" -> (dsirGate _),
     "q100_lm_ppl" -> (lmPplGate _),
+    "q101_semantic_decontam" -> (semDecontamGate _),
   )
+
+  /** q101: semantic decontamination — the eval set is a deterministic
+    * ±0.001 per-element perturbation of every 23rd corpus vector (a
+    * "paraphrase" the n-gram check cannot see), so its near-copies in
+    * the corpus must flag at τ = 0.99 while unrelated high-dim vectors
+    * stay far below. */
+  def semDecontamGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = graft.Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val ev = e.filter($"vec_id" % 23 === 0)
+      .select($"vec_id", transform($"vec",
+        (x, i) => x + lit(0.001) * ((i % 3) - lit(1))).as("vec"))
+    semanticContamination(e, ev, "vec_id", "vec", tau = 0.99)
+      .select($"id".as("vec_id"), $"near_eval_id", $"max_cos", $"contaminated")
+      .orderBy($"vec_id")
+  }
 
   /** q100: stupid-backoff bigram LM trained on the corpus itself,
     * scoring every document — the self-perplexity form of the CCNet
@@ -933,6 +989,22 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // same perturbed eval set, same rounded cosines, same min-id
+    // tie-break on the argmax
+    "q101_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |ev AS (SELECT vec_id AS eid, list_transform(range(len(emb)),
+        |    i -> emb[CAST(i AS INT) + 1] + 0.001 * ((i % 3) - 1)) AS evec
+        |  FROM e WHERE vec_id % 23 = 0),
+        |sc AS (SELECT e.vec_id, ev.eid,
+        |  round(list_cosine_similarity(e.emb, ev.evec), 6) AS s
+        |  FROM e CROSS JOIN ev),
+        |mx AS (SELECT vec_id, eid AS near_eval_id, s AS max_cos FROM (
+        |  SELECT vec_id, eid, s,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, eid ASC) AS rn
+        |  FROM sc) t WHERE rn = 1)
+        |SELECT vec_id, near_eval_id, max_cos, max_cos >= 0.99 AS contaminated
+        |FROM mx ORDER BY vec_id""".stripMargin,
     // stupid-backoff replay: same counts, same add-one backoff, same
     // rounded-log10 sorted-fold sums
     "q100_lm_ppl" ->

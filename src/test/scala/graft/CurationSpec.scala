@@ -342,6 +342,26 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("semanticContamination: flags cosine-near eval vectors, min-id ties") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), // exact copy of eval 10
+      (2L, Seq(0.0, 1.0, 0.0)), // orthogonal to all eval
+      (3L, Seq(0.8, 0.0, 0.6))  // cos 0.8 vs eval 10 — below tau
+    ).toDF("id", "vec")
+    val ev = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)),
+      (11L, Seq(1.0, 0.0, 0.0)) // duplicate eval vec: tie -> min eid
+    ).toDF("id", "vec")
+    val out = Curation.semanticContamination(corpus, ev, "id", "vec", 0.99)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((10L, 1.0, true)))  // tie between 10/11 -> 10
+    assert(out(2L)._3 == false && out(2L)._2 == 0.0)
+    assert(out(3L) == ((10L, 0.8, false)))
+  }
+
   test("lmPerplexity: hand-computed stupid-backoff scores") {
     import spark.implicits._
     // train counts: bi (a,b)=2 (b,a)=1 (a,c)=1; ctx a=3 b=1;
