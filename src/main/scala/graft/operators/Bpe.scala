@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding vocabulary learning and subword tokenization
+  * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+  * with Subword Units", §3.2) — the tokenizer-training stage of an
+  * LLM data pipeline, in its scale-correct distributed form:
+  *
+  *  - the ONLY corpus-sized pass is the word-type histogram (one
+  *    groupBy — the same shuffle any counting pass pays). BPE itself
+  *    runs on word TYPES weighted by frequency (Sennrich's own
+  *    formulation), and the type table is Zipf-bounded: at 100 TB the
+  *    corpus has billions of tokens but only millions of alphabetic
+  *    types, capped here to the top `vocabTypes` by (count, word) —
+  *    deterministic, and the standard practice (rare types cannot win
+  *    a merge anyway);
+  *  - each merge step is one tiny aggregation over the type table
+  *    (pair counts → argmax) plus a single-row driver collect — the
+  *    bounded-scalar pattern of [[Dedup.clusters]]' convergence
+  *    checks, `nMerges` of them, never a corpus action;
+  *  - encoding applies the learned merge list in priority order as a
+  *    chain of literal string replaces over sentinel-delimited
+  *    character sequences — row-local, zero shuffle, broadcastable
+  *    merge list.
+  *
+  * Determinism contract (what makes the DuckDB oracle replay the
+  * whole training loop): word types are prefiltered to `^[a-z]+$`
+  * (so one regex char = one codepoint in both engines), the argmax
+  * tie-break is (count DESC, left ASC, right ASC), and a merge step
+  * rewrites via non-overlapping left-to-right literal replacement of
+  * `SEP a SEP b SEP` — both engines' `replace` resumes AFTER the
+  * replacement, so runs like `a a a` merge at alternate positions
+  * identically (a documented variant of the run-parity edge case
+  * that real BPE implementations also disagree on among themselves).
+  * No end-of-word marker (documented simplification).
+  */
+object Bpe {
+
+  /** Token separator inside a word's working string: a control char
+    * that the `^[a-z]+$` prefilter guarantees never appears in data. */
+  val Sep = "\u0001"
+
+  case class Merge(step: Int, left: String, right: String, cnt: Long)
+
+  /** Corpus pass: lowercase alphabetic word-type histogram, top
+    * `vocabTypes` by (count DESC, word ASC). */
+  def wordHistogram(docs: DataFrame, textCol: String,
+                    vocabTypes: Int): DataFrame =
+    docs.select(explode(TextFunctions.wsTokens(lower(col(textCol)))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabTypes)
+
+  /** A word as its sentinel-delimited character sequence:
+    * `cat` → `␁c␁a␁t␁`. */
+  private def seqString(word: Column): Column =
+    concat(lit(Sep), regexp_replace(word, "(.)", "$1" + Sep))
+
+  /** Adjacent (left, right) token pairs of a working string, weighted
+    * by the type count — the per-step statistic BPE maximizes. */
+  private def pairCounts(h: DataFrame): DataFrame =
+    h.select(col("cnt"),
+        filter(split(col("ws"), Sep), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("left"),
+          element_at(col("toks"), i + 1).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Learn `nMerges` merges from a (word, cnt) histogram. Each step:
+    * pair counts over the type table, argmax, rewrite — `nMerges`
+    * small jobs + single-row collects, nothing corpus-sized. */
+  def learnMerges(hist: DataFrame, nMerges: Int): Seq[Merge] = {
+    var h = hist.select(seqString(col("word")).as("ws"), col("cnt"))
+      .cache()
+    val merges = Seq.newBuilder[Merge]
+    try {
+      for (step <- 1 to nMerges) {
+        val top = pairCounts(h)
+          .orderBy(col("c").desc, col("left"), col("right"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (a, b, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += Merge(step, a, b, c)
+          val next = h.select(replace(col("ws"),
+              lit(Sep + a + Sep + b + Sep),
+              lit(Sep + a + b + Sep)).as("ws"), col("cnt"))
+            .cache()
+          next.count() // materialize before dropping the parent
+          h.unpersist(false)
+          h = next
+        }
+      }
+    } finally h.unpersist(false)
+    merges.result()
+  }
+
+  /** The learned-merge rewrite chain over one word's working string,
+    * in priority order — composes as nested literal replaces, stays
+    * inside whole-stage codegen. */
+  private def applyMerges(ws: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(ws) { (acc, m) =>
+      replace(acc, lit(Sep + m.left + Sep + m.right + Sep),
+        lit(Sep + m.left + m.right + Sep))
+    }
+
+  /** Encode: per document, the alphabetic word stream re-tokenized by
+    * the learned merges. Output (id, n_words, n_bpe): BPE token count
+    * vs word count — the compression the vocabulary buys. Row-local. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val words = filter(TextFunctions.wsTokens(lower(col(textCol))),
+      w => w.rlike("^[a-z]+$"))
+    val perWord = transform(words, w =>
+      size(filter(split(applyMerges(seqString(w), merges), Sep),
+        x => x =!= "")))
+    docs.select(col(idCol).as("id"),
+      size(words).cast("long").as("n_words"),
+      aggregate(perWord, lit(0L), (acc, n) => acc + n).as("n_bpe"))
+  }
+
+  // ---- gate queries ------------------------------------------------------
+
+  /** Gate-scale knobs: enough types/steps to exercise multi-char
+    * merges, small enough that the unrolled oracle stays readable. */
+  val GateTypes = 500
+  val GateMerges = 8
+
+  /** q102: the full training loop — histogram → 8 merge steps — as a
+    * (step, left, right, cnt) table. */
+  def trainGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = wordHistogram(
+      graft.Tables(spark, dir, "documents"), "text", GateTypes)
+    learnMerges(hist, GateMerges)
+      .map(m => (m.step.toLong, m.left, m.right, m.cnt))
+      .toDF("step", "left", "right", "cnt")
+      .orderBy($"step")
+  }
+
+  /** q103: the corpus re-tokenized with the q102 vocabulary. */
+  def encodeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    val merges = learnMerges(wordHistogram(docs, "text", GateTypes),
+      GateMerges)
+    encode(docs, "doc_id", "text", merges)
+      .select($"id".as("doc_id"), $"n_words", $"n_bpe")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_bpe_train" -> (trainGate _),
+    "q103_bpe_encode" -> (encodeGate _))
+
+  // ---- oracle SQL (programmatically unrolled merge loop) -----------------
+
+  private val wsLowerSql = TextFunctions.wsTokensSql("lower(text)")
+
+  /** Shared training CTE chain: h (histogram), s0 (seq strings), then
+    * per step i: p_i (pair counts), m_i (argmax), s_i (rewrite). */
+  private def trainCtes(steps: Int): String = {
+    val base =
+      s"""h AS (SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($wsLowerSql) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+${"$"}')
+         |  GROUP BY word ORDER BY cnt DESC, word LIMIT $GateTypes),
+         |s0 AS (SELECT chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS ws, cnt FROM h)""".stripMargin
+    val perStep = (1 to steps).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (SELECT t.l AS left_t, t.r AS right_t, SUM(t.cnt) AS c FROM (
+         |    SELECT cnt, toks[CAST(i AS INT)] AS l, toks[CAST(i AS INT) + 1] AS r
+         |    FROM (SELECT cnt, list_filter(string_split(ws, chr(1)), x -> x <> '') AS toks FROM $prev),
+         |      unnest(range(1, len(toks))) AS u(i)
+         |  ) t GROUP BY t.l, t.r),
+         |m$i AS (SELECT left_t, right_t, c FROM p$i ORDER BY c DESC, left_t, right_t LIMIT 1),
+         |s$i AS (SELECT replace(ws, chr(1) || m.left_t || chr(1) || m.right_t || chr(1),
+         |    chr(1) || m.left_t || m.right_t || chr(1)) AS ws, cnt
+         |  FROM $prev CROSS JOIN m$i m)""".stripMargin
+    }
+    (base +: perStep).mkString(",\n")
+  }
+
+  private def trainOracle: String = {
+    val rows = (1 to GateMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, left_t AS \"left\", right_t AS \"right\", c AS cnt FROM m$i")
+    s"WITH ${trainCtes(GateMerges)}\n${rows.mkString("\nUNION ALL ")}\nORDER BY step"
+  }
+
+  private def encodeOracle: String = {
+    // the merge chain applied in priority order to each word of each
+    // document — the m_i scalars come from the SAME independent replay
+    val rep = (1 to GateMerges).foldLeft("chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g')") {
+      (acc, i) =>
+        s"replace($acc, chr(1) || m$i.left_t || chr(1) || m$i.right_t || chr(1), chr(1) || m$i.left_t || m$i.right_t || chr(1))"
+    }
+    val crossMs = (1 to GateMerges).map(i => s"m$i").mkString(" CROSS JOIN ")
+    s"""WITH ${trainCtes(GateMerges)},
+       |dw AS (SELECT doc_id, list_filter($wsLowerSql, w -> regexp_matches(w, '^[a-z]+${"$"}')) AS words FROM documents),
+       |enc AS (SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(words,
+       |      w -> len(list_filter(string_split($rep, chr(1)), x -> x <> '')))), 0) AS BIGINT) AS n_bpe
+       |  FROM dw CROSS JOIN $crossMs)
+       |SELECT doc_id, n_words, n_bpe FROM enc ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q102_bpe_train" -> trainOracle,
+    "q103_bpe_encode" -> encodeOracle)
+}
