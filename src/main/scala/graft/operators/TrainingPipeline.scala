@@ -54,7 +54,14 @@ object TrainingPipeline {
       // perplexity-surrogate bucket gate (q89, CCNet shape): docs whose
       // bucket is not in keepPplBuckets drop after line dedup
       pplThresholds: Option[(Double, Double)] = None,
-      keepPplBuckets: Set[String] = Set("head", "middle"))
+      keepPplBuckets: Set[String] = Set("head", "middle"),
+      // real LM perplexity gate (q100, stupid-backoff bigram LM):
+      // docs whose self-perplexity exceeds the cap drop after the
+      // cheap surrogate gate; an external reference corpus (id, toks)
+      // substitutes for self-training when provided (the CCNet shape
+      // — score the crawl under a clean-corpus LM)
+      lmPplMax: Option[Double] = None,
+      lmTrainDocs: Option[DataFrame] = None)
 
   /** Pipeline output: the curated documents (id, stratum, toks — what
     * a tokenizer-side consumer reads), the packed sequence spans, and
@@ -79,6 +86,7 @@ object TrainingPipeline {
       nAfterLineClean: Long,
       nAfterLineDedup: Long,
       nAfterPplGate: Long,
+      nAfterLmGate: Long,
       nAfterNearDedup: Long,
       nAfterDecontam: Long,
       nSampled: Long,
@@ -170,6 +178,22 @@ object TrainingPipeline {
     val nPpl =
       if (!withReport || cfg.pplThresholds.isEmpty) -1L else stageCount(pplGated)
 
+    // 4.6: real LM perplexity gate (q100) — two counting shuffles over
+    // the survivors (still cheaper than minhash signatures), trained
+    // on the survivors themselves unless a reference corpus is given
+    val lmGated = cfg.lmPplMax match {
+      case Some(maxPpl) =>
+        val scored = pplGated.select(col("id"),
+          graft.functions.TextFunctions.wsTokens(lower(col("text"))).as("toks"))
+        val train = cfg.lmTrainDocs.getOrElse(scored)
+        val keep = Curation.lmPerplexity(train, scored, "id", "toks")
+          .filter(col("ppl") <= maxPpl).select(col("id"))
+        staged(pplGated.join(keep, Seq("id"), "left_semi"))
+      case None => pplGated
+    }
+    val nLm =
+      if (!withReport || cfg.lmPplMax.isEmpty) -1L else stageCount(lmGated)
+
     // 5: near-dedup — minhash → banded LSH → verified Jaccard →
     // clusters → canonical-only
     // cached in BOTH modes: three consumers (signatures, Jaccard
@@ -177,7 +201,7 @@ object TrainingPipeline {
     // would each re-run the tokenize lineage otherwise; in lazy mode
     // this is the one deliberate cache (the spans lineage still
     // references it — LRU-evictable, recompute-safe)
-    val toks = pplGated.select(col("id"), col("stratum"),
+    val toks = lmGated.select(col("id"), col("stratum"),
       col("text"), TextFunctions.tokenize(col("text")).as("toks"))
       .cache()
     val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK)
@@ -230,7 +254,7 @@ object TrainingPipeline {
     val retained =
       if (withReport) Seq(sampled, spans) else Seq(toks)
     Output(sampled, spans,
-      Report(nInput, nUrl, nExact, nClean, nLineDedup, nPpl, nNear,
+      Report(nInput, nUrl, nExact, nClean, nLineDedup, nPpl, nLm, nNear,
         nDecontam, nSampled, nSeq, nTok),
       retained)
   }

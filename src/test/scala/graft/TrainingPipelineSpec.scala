@@ -88,6 +88,37 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(off.report.nAfterLineDedup == 3L, off.report.toString)
   }
 
+  test("LM perplexity gate drops reference-LM-implausible docs") {
+    import spark.implicits._
+    // reference corpus (the CCNet shape: score the crawl under a
+    // clean-corpus LM) — self-training would score unique-bigram
+    // gibberish 1/1 per context, so the reference LM is the config
+    // that makes the gate discriminative
+    val ref = Seq(
+      "the cat sat on the mat and the dog sat on the rug",
+      "the dog ran to the cat and the cat ran to the mat",
+      "a cat and a dog sat on a mat in the sun")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.wsTokens(lower($"text")).as("toks"))
+      .withColumn("id", monotonically_increasing_id())
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat and the dog ran to the sun.\nthe dog sat on the rug and the cat ran to the mat."),
+      (2L, "en", "zqx vbn wrt plk mnb qwe asd zxc rty uio ghj bnm.\nvbn zqx plk wrt qwe mnb zxc asd uio rty bnm ghj."))
+      .toDF("id", "lang", "text")
+    val eval = Seq("completely unrelated evaluation text").toDF("text")
+    val out = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0,
+        lmPplMax = Some(50.0), lmTrainDocs = Some(ref)))
+    assert(out.report.nAfterLmGate == 1, out.report.toString)
+    val ids = out.docs.select($"id").as[Long].collect().toSet
+    assert(ids == Set(1L), ids.toString)
+    // gate disabled → -1 sentinel, both docs survive
+    val off = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0))
+    assert(off.report.nAfterLmGate == -1L)
+    assert(off.report.nAfterLineDedup == 2L, off.report.toString)
+  }
+
   test("pipeline is deterministic end-to-end") {
     import spark.implicits._
     val eval = graft.Tables(spark, sf0001, "documents")
