@@ -479,6 +479,64 @@ object Curation {
     docs.select(col(idCol), pplScore(col(toksCol)).as("ppl"),
       pplBucket(col(toksCol), t1, t2).as("bucket"))
 
+  // ---- mixture planning (token budget × source weights) -------------------
+
+  /** Data-mixture planning — the per-source epochs table of a
+    * pre-training run (the published LLaMA / Gopher recipe shape:
+    * "CommonCrawl 0.67 epochs, Wikipedia 2.45 epochs, ..."): given
+    * per-source token inventories, target mixture weights, and a
+    * total token budget, compute each source's target tokens and the
+    * implied epochs (>1 = upsampling, <1 = subsampling).
+    *
+    * One aggregation over the corpus (the per-source token totals);
+    * everything else is arithmetic on the |sources|-row result.
+    * `target = floor(budget·w + 0.5)` (half-up rounds identically
+    * across engines), `epochs = round(target/tokens, 6)`, 0 for an
+    * empty or unweighted source. */
+  def mixturePlan(docs: DataFrame, sourceCol: String, nTokensCol: String,
+                  weights: Map[String, Double],
+                  budgetTokens: Long): DataFrame = {
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, wt)) =>
+      when(col("source") === s, wt).otherwise(acc)
+    }
+    docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).cast("long").as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        w.as("weight"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        floor(lit(budgetTokens) * col("weight") + lit(0.5))
+          .cast("long").as("target_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("target_tokens") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("epochs"))
+  }
+
+  /** Deterministic realization of a mixture plan: each doc of source s
+    * is emitted `floor(epochs_s)` times plus one more with probability
+    * `frac(epochs_s)` via the [[stratifiedSample]] hash-Bernoulli —
+    * reproducible replication/subsampling in one row-local pass (the
+    * plan broadcasts; the explode writes exactly the budgeted volume).
+    * Output: (id, source, copy), copy = 1..n_copies. */
+  def realizeMixture(docs: DataFrame, idCol: String, sourceCol: String,
+                     plan: DataFrame, salt: String): DataFrame = {
+    val p = plan.select(col("source"), col("epochs"))
+    val full = floor(col("epochs")).cast("int")
+    val fracPpm = floor((col("epochs") - floor(col("epochs"))) * 1000000L
+      + lit(0.5)).cast("long")
+    val extra = when(
+      TextFunctions.hash56(concat(col("id").cast("string"), lit(":" + salt)))
+        % 1000000L < fracPpm, 1).otherwise(0)
+    docs.select(col(idCol).as("id"), col(sourceCol).as("source"))
+      .join(broadcast(p), Seq("source"))
+      .select(col("id"), col("source"), (full + extra).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+  }
+
   // ---- semantic (embedding) decontamination -------------------------------
 
   /** Embedding-space eval-set decontamination — the semantic
@@ -875,7 +933,36 @@ object Curation {
     "q97_dsir_resample" -> (dsirGate _),
     "q100_lm_ppl" -> (lmPplGate _),
     "q101_semantic_decontam" -> (semDecontamGate _),
+    "q104_mixture_plan" -> (mixturePlanGate _),
+    "q105_mixture_realize" -> (mixtureRealizeGate _),
   )
+
+  /** Gate mixture: six weighted sources (the rest get weight 0 and
+    * drop at realization) against a 100k-token budget — small enough
+    * that some sources subsample while others upsample past one
+    * epoch, so both paths execute at every SF. */
+  val MixWeights: Map[String, Double] =
+    Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.15, "src3" -> 0.15,
+      "src4" -> 0.1, "src5" -> 0.1)
+  val MixBudget = 100000L
+
+  private def mixPlanDf(spark: SparkSession, dir: String): DataFrame =
+    mixturePlan(
+      docs(spark, dir).select(col("source"),
+        size(TextFunctions.wsTokens(col("text"))).cast("long").as("n")),
+      "source", "n", MixWeights, MixBudget)
+
+  /** q104: the per-source epochs plan. */
+  def mixturePlanGate(spark: SparkSession, dir: String): DataFrame =
+    mixPlanDf(spark, dir).orderBy(col("source"))
+
+  /** q105: the realized mixture — per-doc copy rows under the q104
+    * plan (hash-Bernoulli fractional epoch, salt m42). */
+  def mixtureRealizeGate(spark: SparkSession, dir: String): DataFrame =
+    realizeMixture(docs(spark, dir), "doc_id", "source",
+        mixPlanDf(spark, dir), "m42")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("copy"))
 
   /** q101: semantic decontamination — the eval set is a deterministic
     * ±0.001 per-element perturbation of every 23rd corpus vector among
@@ -991,7 +1078,40 @@ object Curation {
        |FROM hits h JOIN sz s USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared q104/q105 plan CTEs (weights + budget mirror the gate). */
+  private val mixPlanCte: String = {
+    val wCase = MixWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    s"""t AS (SELECT source, CAST(len($wsSql) AS BIGINT) AS n FROM documents),
+       |a AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY source),
+       |w AS (SELECT source, n_docs, n_tokens,
+       |  CASE source $wCase ELSE 0.0 END AS weight FROM a),
+       |pl AS (SELECT source, n_docs, n_tokens, weight,
+       |    CAST(floor($MixBudget * weight + 0.5) AS BIGINT) AS target_tokens,
+       |    CASE WHEN n_tokens > 0
+       |      THEN round(CAST(floor($MixBudget * weight + 0.5) AS DOUBLE) / n_tokens, 6)
+       |      ELSE 0.0 END AS epochs
+       |  FROM w)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q104_mixture_plan" ->
+      s"""WITH $mixPlanCte
+         |SELECT source, n_docs, n_tokens, weight, target_tokens, epochs
+         |FROM pl ORDER BY source""".stripMargin,
+    "q105_mixture_realize" ->
+      s"""WITH $mixPlanCte,
+         |r AS (SELECT d.doc_id, d.source,
+         |    CAST(floor(pl.epochs) AS INT)
+         |    + (CASE WHEN ${TextFunctions.hash56Sql("(d.doc_id::VARCHAR || ':m42')")} % 1000000
+         |        < CAST(floor((pl.epochs - floor(pl.epochs)) * 1000000 + 0.5) AS BIGINT)
+         |      THEN 1 ELSE 0 END) AS n_copies
+         |  FROM documents d JOIN pl ON pl.source = d.source)
+         |SELECT doc_id, source, CAST(u.c AS INT) AS copy
+         |FROM r, unnest(range(1, n_copies + 1)) AS u(c)
+         |WHERE n_copies > 0
+         |ORDER BY doc_id, copy""".stripMargin,
     // same perturbed eval set, same rounded cosines, same min-id
     // tie-break on the argmax
     "q101_semantic_decontam" ->

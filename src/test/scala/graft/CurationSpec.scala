@@ -342,6 +342,34 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("mixturePlan/realizeMixture: epochs math, up/down-sampling, zero-weight drop") {
+    import spark.implicits._
+    // A: 20 tokens over 2 docs; B: 10 tokens; C unweighted
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "B", 10L), (4L, "C", 10L))
+      .toDF("id", "source", "n")
+    val plan = Curation.mixturePlan(docs, "source", "n",
+      Map("A" -> 0.75, "B" -> 0.25), budgetTokens = 60L)
+    val p = plan.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    assert(p("A") == ((2L, 20L, 0.75, 45L, 2.25))) // upsample: 2.25 epochs
+    assert(p("B") == ((1L, 10L, 0.25, 15L, 1.5)))
+    assert(p("C") == ((1L, 10L, 0.0, 0L, 0.0)))    // unweighted
+    val out = Curation.realizeMixture(docs, "id", "source", plan, "t1")
+      .collect().groupBy(_.getLong(0))
+    // every A doc gets 2 or 3 copies (frac 0.25), B doc 1 or 2, C none
+    assert(Seq(1L, 2L).forall(id => Set(2, 3).contains(out(id).length)))
+    assert(Set(1, 2).contains(out(3L).length))
+    assert(!out.contains(4L))
+    // copies are numbered 1..n and the realization is deterministic
+    assert(out(1L).map(_.getInt(2)).sorted.toSeq == (1 to out(1L).length))
+    val again = Curation.realizeMixture(docs, "id", "source", plan, "t1")
+      .collect().groupBy(_.getLong(0))
+    assert(out.view.mapValues(_.length).toMap ==
+      again.view.mapValues(_.length).toMap)
+  }
+
   test("semanticContamination: flags cosine-near eval vectors, min-id ties") {
     import spark.implicits._
     val corpus = Seq(
