@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * `ingestion/document_processor.py:310-399`): raw file bytes in,
   * ingestable text out, so the engine can be pointed at a directory of
   * REAL files — not only pre-extracted text. Deterministic
-  * implementations ship for txt / md / html (+ tsv/csv routed through
-  * the delimiter-inference table path); PDF/DOCX/OCR stay behind the
-  * same trait for a parser backed by a real extraction library (the
-  * sanctioned out-of-scope surface — this container has no such lib,
-  * and a fake extractor would pin wrong semantics).
+  * implementations ship for txt / md / html / xlsx / docx / pdf
+  * (+ tsv/csv routed through the delimiter-inference table path), all
+  * pure-JDK. OCR / scanned-image layout (the reference's `hi_res`
+  * unstructured strategy) stays behind the same trait for a parser
+  * backed by a real vision model — the sanctioned out-of-scope
+  * surface; the PDF path here is the text-layer `strategy="fast"`
+  * role.
   *
   * Scale shape: parsing is a row-local flatMap over Spark's
   * `binaryFile` source — no shuffle, no driver loop; a 100 TB document
@@ -106,7 +108,7 @@ object DocumentParser {
     private val MaxEntryBytes = 64 * 1024 * 1024
 
     def parse(bytes: Array[Byte]): Parsed = {
-      val entries = readZip(bytes)
+      val entries = readZipEntries(bytes)
       val shared = entries.get("xl/sharedStrings.xml")
         .map(parseSharedStrings).getOrElse(Vector.empty)
       val names = entries.get("xl/workbook.xml")
@@ -121,7 +123,7 @@ object DocumentParser {
       Parsed(blocks.mkString("\n\n").trim, "table")
     }
 
-    private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    private[ingest] def readZipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
       val zin = new java.util.zip.ZipInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val out = Map.newBuilder[String, Array[Byte]]
@@ -144,7 +146,7 @@ object DocumentParser {
       out.result()
     }
 
-    private def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
+    private[ingest] def xmlReader(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
       val f = javax.xml.stream.XMLInputFactory.newInstance()
       // no DTDs / external entities on untrusted input
       f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
@@ -257,10 +259,271 @@ object DocumentParser {
     }
   }
 
+  /** Native DOCX scan (the reference accepts `.docx` via
+    * `unstructured.partition`, `document_processor.py:376-380,473`):
+    * a .docx is a zip whose `word/document.xml` holds the body — both
+    * readable with the JDK alone. Paragraph styles `Heading1..6` /
+    * `Title` render as markdown `#` prefixes (structure survives for
+    * the hierarchical chunker, same convention as [[HtmlParser]]);
+    * tables render as TSV blocks feeding [[TableExtractor]]'s
+    * delimiter-inference path; `<w:tab/>` → TAB, `<w:br/>` → newline.
+    * Formatting/images/footnotes are out of scope — the reference's
+    * partition keeps text content too. */
+  object DocxParser extends Parser {
+    def accepts(f: String): Boolean = f.endsWith(".docx")
+
+    def parse(bytes: Array[Byte]): Parsed = {
+      val entries = XlsxParser.readZipEntries(bytes)
+      val doc = entries.getOrElse("word/document.xml",
+        throw new IllegalArgumentException("docx: no word/document.xml"))
+      Parsed(extractBody(doc), "docx")
+    }
+
+    private def headingPrefix(style: String): String = style match {
+      case "Title" => "# "
+      case s if s.startsWith("Heading") && s.length == 8 && s.charAt(7).isDigit =>
+        ("#" * (s.charAt(7) - '0')) + " "
+      case _ => ""
+    }
+
+    private def extractBody(bytes: Array[Byte]): String = {
+      import javax.xml.stream.XMLStreamConstants._
+      val r = XlsxParser.xmlReader(bytes)
+      val blocks = Vector.newBuilder[String]
+      // paragraph state (also used for paragraphs nested in table cells)
+      var para: StringBuilder = null
+      var paraStyle = ""
+      var inT = false
+      // table state: one level (word nests tables rarely; inner tables
+      // flatten into the enclosing cell, which keeps output total)
+      var tableDepth = 0
+      var rows: scala.collection.mutable.ArrayBuffer[String] = null
+      var cells: scala.collection.mutable.ArrayBuffer[String] = null
+      var cellParas: scala.collection.mutable.ArrayBuffer[String] = null
+      def endPara(): Unit = if (para != null) {
+        val text = headingPrefix(paraStyle) + para.toString.trim
+        if (cellParas != null) { if (text.nonEmpty) cellParas += text }
+        else if (text.nonEmpty) blocks += text
+        para = null; paraStyle = ""
+      }
+      while (r.hasNext) {
+        r.next() match {
+          case START_ELEMENT =>
+            r.getLocalName match {
+              case "p" => para = new StringBuilder; paraStyle = ""
+              case "pStyle" if para != null =>
+                paraStyle = Option(r.getAttributeValue(null, "val")).getOrElse("")
+              case "t" => inT = true
+              case "tab" if para != null => para.append('\t')
+              case "br" if para != null => para.append('\n')
+              case "tbl" =>
+                tableDepth += 1
+                if (tableDepth == 1)
+                  rows = scala.collection.mutable.ArrayBuffer.empty[String]
+              case "tr" if tableDepth == 1 =>
+                cells = scala.collection.mutable.ArrayBuffer.empty[String]
+              case "tc" if tableDepth == 1 =>
+                cellParas = scala.collection.mutable.ArrayBuffer.empty[String]
+              case _ =>
+            }
+          case CHARACTERS if inT && para != null => para.append(r.getText)
+          case END_ELEMENT =>
+            r.getLocalName match {
+              case "p" => endPara()
+              case "t" => inT = false
+              case "tc" if tableDepth == 1 =>
+                if (cells != null && cellParas != null)
+                  cells += cellParas.mkString(" ")
+                cellParas = null
+              case "tr" if tableDepth == 1 =>
+                if (rows != null && cells != null) rows += cells.mkString("\t")
+                cells = null
+              case "tbl" =>
+                if (tableDepth == 1 && rows != null) {
+                  blocks += rows.mkString("\n"); rows = null
+                }
+                tableDepth = math.max(0, tableDepth - 1)
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      blocks.result().mkString("\n\n").trim
+    }
+  }
+
+  /** Minimal native PDF text extraction (the reference routes `.pdf`
+    * through `partition_pdf`, `document_processor.py:337-367`; its
+    * hi-res OCR/layout model is the sanctioned out-of-scope surface —
+    * this is the `strategy="fast"` text-layer role): PDF objects are
+    * scanned from the raw bytes, page content streams are located via
+    * each page's `/Contents` reference, FlateDecode streams inflate
+    * with `java.util.zip.Inflater` (the only filter emitted by the
+    * dominant text-PDF producers; other filters are skipped, not
+    * guessed at), and text shows as the concatenation of `Tj`/`TJ`/
+    * `'` operator strings in content order with `Td/TD/T*` treated as
+    * line breaks. Octal/backslash escapes and hex strings decode;
+    * bytes are read as Latin-1 (single-byte text PDFs — CID/Type0
+    * composite fonts would need the font's CMap, out of scope).
+    * Deterministic: same bytes, same text, no fallback heuristics. */
+  object PdfParser extends Parser {
+    def accepts(f: String): Boolean = f.endsWith(".pdf")
+
+    private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    private val MaxInflatedBytes = 64 * 1024 * 1024
+
+    def parse(bytes: Array[Byte]): Parsed = {
+      val raw = new String(bytes, Latin1) // 1:1 byte↔char, offsets align
+      // object table: "N G obj ... endobj" → (num → body span)
+      val objRe = java.util.regex.Pattern.compile(
+        "(?s)(\\d+)\\s+\\d+\\s+obj\\b(.*?)endobj")
+      val m = objRe.matcher(raw)
+      val objs = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+      while (m.find()) objs.getOrElseUpdate(m.group(1).toInt, m.group(2))
+      // pages in object order (a full page-tree walk needs /Kids
+      // recursion; object order matches authoring order for the
+      // single-producer PDFs this targets)
+      val pages = objs.toSeq.filter(_._2.contains("/Type /Page")).filterNot(_._2.contains("/Pages"))
+      val contentsRe = java.util.regex.Pattern.compile(
+        "/Contents\\s+(\\d+)\\s+\\d+\\s+R")
+      val texts = pages.flatMap { case (_, body) =>
+        val cm = contentsRe.matcher(body)
+        val refs = Iterator.continually(cm).takeWhile(_.find()).map(_.group(1).toInt).toSeq
+        refs.flatMap(n => objs.get(n)).map(streamData).map(extractTextOps)
+      }
+      Parsed(texts.map(_.trim).filter(_.nonEmpty).mkString("\n\n").trim, "pdf")
+    }
+
+    /** Stream object body → decoded bytes-as-latin1 (inflating
+      * FlateDecode; raw passthrough when no filter). */
+    private def streamData(body: String): String = {
+      val si = body.indexOf("stream")
+      if (si < 0) return ""
+      var start = si + "stream".length
+      if (start < body.length && body.charAt(start) == '\r') start += 1
+      if (start < body.length && body.charAt(start) == '\n') start += 1
+      val end = body.indexOf("endstream", start)
+      if (end < 0) return ""
+      val data = body.substring(start, end).getBytes(Latin1)
+      if (!body.substring(0, si).contains("/FlateDecode"))
+        return new String(data, Latin1)
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) return "" // truncated/dict-needed
+          if (out.size + n > MaxInflatedBytes)
+            throw new IllegalArgumentException("pdf stream exceeds inflate cap")
+          out.write(buf, 0, n)
+        }
+        new String(out.toByteArray, Latin1)
+      } catch {
+        case _: java.util.zip.DataFormatException => ""
+      } finally inf.end()
+    }
+
+    /** Content stream → visible text: literal `(…)` and hex `<…>`
+      * strings feeding Tj / ' / TJ, with Td/TD/T* as line breaks. */
+    private def extractTextOps(content: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      val n = content.length
+      var lastString: String = null
+      def readLiteral(): String = { // content(i) == '('
+        val sb = new StringBuilder
+        var depth = 1; i += 1
+        while (i < n && depth > 0) {
+          val c = content.charAt(i)
+          if (c == '\\' && i + 1 < n) {
+            val e = content.charAt(i + 1)
+            e match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case '(' => sb.append('('); i += 2
+              case ')' => sb.append(')'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case d if d >= '0' && d <= '7' =>
+                var j = i + 1; var v = 0
+                while (j < n && j < i + 4 && content.charAt(j) >= '0' && content.charAt(j) <= '7') {
+                  v = v * 8 + (content.charAt(j) - '0'); j += 1
+                }
+                sb.append(v.toChar); i = j
+              case _ => i += 1 // line-continuation and unknown escapes drop
+            }
+          } else {
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            if (depth > 0) sb.append(c)
+            i += 1
+          }
+        }
+        sb.toString
+      }
+      def readHex(): String = { // content(i) == '<'
+        val close = content.indexOf('>', i)
+        if (close < 0) { i = n; return "" }
+        val hex = content.substring(i + 1, close).replaceAll("\\s", "")
+        i = close + 1
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        val sb = new StringBuilder
+        var k = 0
+        while (k + 2 <= padded.length) {
+          try sb.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
+          catch { case _: NumberFormatException => }
+          k += 2
+        }
+        sb.toString
+      }
+      while (i < n) {
+        val c = content.charAt(i)
+        if (c == '(') lastString = readLiteral()
+        else if (c == '<' && i + 1 < n && content.charAt(i + 1) != '<') lastString = readHex()
+        else if (c == '<') i += 2 // dict open "<<"
+        else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
+          // read an operator token
+          val start = i
+          i += 1
+          while (i < n && !content.charAt(i).isWhitespace &&
+            content.charAt(i) != '(' && content.charAt(i) != '<' &&
+            content.charAt(i) != '[' && content.charAt(i) != ']' &&
+            content.charAt(i) != ')') i += 1
+          content.substring(start, i) match {
+            case "Tj" | "TJ" | "'" | "\"" =>
+              if (lastString != null) { out.append(lastString); lastString = null }
+            case "Td" | "TD" | "T*" => out.append('\n')
+            case "ET" => out.append('\n')
+            case _ =>
+          }
+        } else if (c == '[') {
+          // TJ array: collect every string element in order
+          i += 1
+          val arr = new StringBuilder
+          var closed = false
+          while (i < n && !closed) {
+            val ac = content.charAt(i)
+            if (ac == '(') arr.append(readLiteral())
+            else if (ac == '<' && i + 1 < n && content.charAt(i + 1) != '<') arr.append(readHex())
+            else if (ac == ']') { closed = true; i += 1 }
+            else i += 1
+          }
+          lastString = arr.toString
+        } else i += 1
+      }
+      // collapse intra-line runs, drop blank lines
+      out.toString.split('\n').map(_.trim).filter(_.nonEmpty).mkString("\n")
+    }
+  }
+
   /** Default parser chain, first-accept-wins (the reference's
     * extension dispatch). */
   val defaultParsers: Seq[Parser] =
-    Seq(TextParser, HtmlParser, DelimitedParser, XlsxParser)
+    Seq(TextParser, HtmlParser, DelimitedParser, XlsxParser, DocxParser,
+      PdfParser)
 
   /** Parse one file; None when no parser claims it (the caller's
     * quarantine / 400 decision, mirroring the reference's
