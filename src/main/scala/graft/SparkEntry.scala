@@ -36,11 +36,13 @@ object SparkEntry {
     Relational.queries ++ RetrievalPack.queries ++ TextPack.queries ++
       Analytics.queries ++ Curation.queries ++ Pii.queries ++
       IngestGates.queries ++ QueryGates.queries ++ StoreGates.queries ++
-      Clean.queries ++ Quantize.queries ++ PqKnn.queries ++ Bpe.queries
+      Clean.queries ++ Quantize.queries ++ PqKnn.queries ++ Bpe.queries ++
+      Classifier.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ RetrievalPack.oracle ++ TextPack.oracle ++
       Analytics.oracle ++ Curation.oracle ++ Pii.oracle ++
       IngestGates.oracle ++ QueryGates.oracle ++ StoreGates.oracle ++
-      Clean.oracle ++ Quantize.oracle ++ PqKnn.oracle ++ Bpe.oracle
+      Clean.oracle ++ Quantize.oracle ++ PqKnn.oracle ++ Bpe.oracle ++
+      Classifier.oracle
 }

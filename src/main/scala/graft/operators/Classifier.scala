@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Trained quality classifier — the FineWeb-Edu / fastText stage of an
+  * LLM data pipeline: distill an expensive labeler (LLM annotations,
+  * human ratings) into a cheap linear model over hashed bag-of-words
+  * features, then score and filter the whole corpus with it. The
+  * model here is a linear classifier trained by the batch perceptron
+  * rule (Rosenblatt's criterion, full-batch form: one update per
+  * epoch from the sum of misclassified feature vectors) — chosen
+  * deliberately over logistic regression because every quantity in
+  * play (counts, margins, weights) is an INTEGER, so training is
+  * bit-exact across engines and the DuckDB oracle replays the entire
+  * loop, epoch by epoch, like the BPE oracle replays merge steps.
+  *
+  * Scale shape (what survives 100 TB):
+  *  - feature extraction is row-local (words → hash56 % B bins → a
+  *    dense B+1 count vector with a bias slot) — no shuffle, and the
+  *    vector stays O(B) per doc. B is a knob: at the gate's B=64 the
+  *    per-doc build is a trivial fold; at fastText-scale B (2M) the
+  *    dense form gives way to the sparse (id, bin, cnt) layout and
+  *    the same algebra — documented, not implemented twice;
+  *  - each epoch is ONE aggregation: misclassified docs (margin test
+  *    against the BROADCAST weight literal, row-local) explode their
+  *    vectors and partial-aggregate map-side into B+1 gradient rows —
+  *    the bounded-scalar collect pattern of [[Bpe.learnMerges]].
+  *    `epochs` small jobs, never a corpus-sized driver action;
+  *  - scoring is a pure map pass: margin = fold(feats ⊙ w), with w a
+  *    broadcast literal. Rank/filter the corpus by margin downstream
+  *    ([[Curation.stratifiedSample]] on the predicted tier, etc.);
+  *  - at 100 TB one trains on a deterministic hash-sample of the
+  *    labeled pool ([[Curation.stratifiedSample]] provides it) —
+  *    full-batch epochs over the sample, broadcast weights over the
+  *    full corpus for scoring.
+  *
+  * The seed labels come from a deterministic weak-supervision rule
+  * (stopword-density fluency proxy, integer arithmetic only) — the
+  * stand-in seam for the reference-world annotation table, exactly as
+  * [[graft.functions.FeatureHashEmbed]] stands in for the dense
+  * embedding model (SURVEY §2.8 I9). Swap the `y` column for real
+  * labels and nothing else changes.
+  */
+object Classifier {
+
+  /** Gate-scale knobs: feature space small enough that the unrolled
+    * oracle stays readable, epochs enough to see weights move. */
+  val Bins = 64
+  val Epochs = 4
+
+  /** Weak-labeler stopword list (fluency proxy): a doc is "good"
+    * (y=+1) when ≥10% of its alphabetic words are these function
+    * words and it has ≥5 words — integer-exact in both engines. */
+  val LabelStops: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "for", "that", "with")
+
+  private def wordsCol(textCol: String): Column =
+    filter(TextFunctions.wsTokens(lower(col(textCol))),
+      w => w.rlike("^[a-z]+$"))
+
+  private def labelCol(words: Column): Column = {
+    val stops = array(LabelStops.map(lit): _*)
+    val nStop = size(filter(words, w => array_contains(stops, w)))
+    when(size(words) >= 5 && nStop * 10 >= size(words), 1L).otherwise(-1L)
+  }
+
+  /** Dense hashed feature vector: slots 0..B-1 are word-bin counts
+    * (hash56 % B — hash56 is nonnegative, so `%` agrees across
+    * engines), slot B is the bias (always 1). Row-local. */
+  private def featsCol(words: Column): Column = {
+    val bins = transform(words, w => TextFunctions.hash56(w) % Bins)
+    concat(
+      transform(sequence(lit(0), lit(Bins - 1)),
+        b => size(filter(bins, x => x === b)).cast("long")),
+      array(lit(1L)))
+  }
+
+  /** (id, y, feats) — the cached training frame. */
+  def labeled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), wordsCol(textCol).as("words"))
+      .select(col("id"), labelCol(col("words")).as("y"),
+        featsCol(col("words")).as("feats"))
+
+  /** Integer margin of a doc under weights `w` — a row-local fold
+    * against the broadcast literal. */
+  private def marginCol(w: Array[Long]): Column =
+    aggregate(zip_with(col("feats"), array(w.map(lit): _*), _ * _),
+      lit(0L), _ + _)
+
+  /** Batch-perceptron training: w ← w + Σ_misclassified y·x per
+    * epoch, starting from w = 0. Each epoch is one aggregation over
+    * the labeled frame; the gradient is B+1 rows. Returns the final
+    * weight vector (length Bins+1, bias last). */
+  def train(labeled: DataFrame, epochs: Int = Epochs): Array[Long] = {
+    val w = Array.fill(Bins + 1)(0L)
+    val cached = labeled.cache()
+    try {
+      for (_ <- 1 to epochs) {
+        val grad = cached
+          .filter(col("y") * marginCol(w) <= 0)
+          .select(col("y"), posexplode(col("feats")).as(Seq("bin", "v")))
+          .groupBy("bin").agg(sum(col("y") * col("v")).as("g"))
+          .collect()
+        grad.foreach(r => w(r.getAs[Int]("bin")) += r.getAs[Long]("g"))
+      }
+    } finally cached.unpersist(false)
+    w
+  }
+
+  /** Score a corpus under trained weights: margin + predicted label —
+    * one map pass, weights broadcast as a literal. */
+  def score(labeled: DataFrame, w: Array[Long]): DataFrame =
+    labeled.select(col("id"), col("y"), marginCol(w).as("margin"))
+      .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+
+  // ---- gate queries ------------------------------------------------------
+
+  /** q106: the full training loop — 4 epochs over the documents table
+    * — as the final (bin, weight) table. */
+  def trainGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = train(labeled(graft.Tables(spark, dir, "documents"),
+      "doc_id", "text"))
+    w.zipWithIndex.toSeq.map { case (v, b) => (b.toLong, v) }
+      .toDF("bin", "weight").orderBy($"bin")
+  }
+
+  /** q107: the corpus scored by the q106 model (label, margin,
+    * prediction per doc). */
+  def scoreGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lab = labeled(graft.Tables(spark, dir, "documents"),
+      "doc_id", "text")
+    score(lab, train(lab))
+      .select($"id".as("doc_id"), $"y", $"margin", $"pred")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_classifier_train" -> (trainGate _),
+    "q107_classifier_score" -> (scoreGate _))
+
+  // ---- oracle SQL (programmatically unrolled training loop) --------------
+
+  private val wsLowerSql = TextFunctions.wsTokensSql("lower(text)")
+  private val stopsSql = LabelStops.map(s => s"'$s'").mkString(", ")
+
+  /** Shared CTE chain: lab (words+label), f (sparse features + bias),
+    * w0 (zeros), then per epoch i: m_i (margins), g_i (gradient),
+    * w_i (update). The sparse layout is the natural SQL form; it is
+    * algebraically identical to the engine's dense fold. */
+  private def trainCtes(epochs: Int): String = {
+    val base =
+      s"""lab AS (SELECT doc_id AS id, words,
+         |    CASE WHEN len(words) >= 5 AND 10 * len(list_filter(words,
+         |      w -> w IN ($stopsSql))) >= len(words)
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM (SELECT doc_id, list_filter($wsLowerSql,
+         |    w -> regexp_matches(w, '^[a-z]+${"$"}')) AS words FROM documents)),
+         |f AS (SELECT id, y, fb.bin AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         |    FROM lab, unnest(list_transform(words,
+         |      w -> ${TextFunctions.hash56Sql("w")} % $Bins)) AS fb(bin)
+         |    GROUP BY id, y, fb.bin
+         |  UNION ALL SELECT id, y, $Bins, CAST(1 AS BIGINT) FROM lab),
+         |w0 AS (SELECT CAST(unnest(range(0, ${Bins + 1})) AS INT) AS bin,
+         |  CAST(0 AS BIGINT) AS w)""".stripMargin
+    val perEpoch = (1 to epochs).map { i =>
+      val prev = s"w${i - 1}"
+      s"""m$i AS (SELECT f.id, max(f.y) AS y,
+         |    CAST(SUM(f.cnt * w.w) AS BIGINT) AS margin
+         |    FROM f JOIN $prev w USING(bin) GROUP BY f.id),
+         |g$i AS (SELECT f.bin, CAST(SUM(m.y * f.cnt) AS BIGINT) AS g
+         |    FROM f JOIN m$i m ON f.id = m.id AND m.y * m.margin <= 0
+         |    GROUP BY f.bin),
+         |w$i AS (SELECT w.bin, w.w + COALESCE(g.g, 0) AS w
+         |    FROM $prev w LEFT JOIN g$i g USING(bin))""".stripMargin
+    }
+    (base +: perEpoch).mkString(",\n")
+  }
+
+  private def trainOracle: String =
+    s"""WITH ${trainCtes(Epochs)}
+       |SELECT CAST(bin AS BIGINT) AS bin, w AS weight FROM w$Epochs
+       |ORDER BY bin""".stripMargin
+
+  private def scoreOracle: String =
+    s"""WITH ${trainCtes(Epochs)},
+       |sc AS (SELECT f.id, max(f.y) AS y,
+       |  CAST(SUM(f.cnt * w.w) AS BIGINT) AS margin
+       |  FROM f JOIN w$Epochs w USING(bin) GROUP BY f.id)
+       |SELECT id AS doc_id, y, margin,
+       |  CASE WHEN margin > 0 THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(-1 AS BIGINT) END AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q106_classifier_train" -> trainOracle,
+    "q107_classifier_score" -> scoreOracle)
+}
