@@ -67,22 +67,29 @@ object Classifier {
     when(size(words) >= 5 && nStop * 10 >= size(words), 1L).otherwise(-1L)
   }
 
-  /** Dense hashed feature vector: slots 0..B-1 are word-bin counts
-    * (hash56 % B — hash56 is nonnegative, so `%` agrees across
-    * engines), slot B is the bias (always 1). Row-local. */
-  private def featsCol(words: Column): Column = {
-    val bins = transform(words, w => TextFunctions.hash56(w) % Bins)
-    concat(
-      transform(sequence(lit(0), lit(Bins - 1)),
-        b => size(filter(bins, x => x === b)).cast("long")),
-      array(lit(1L)))
-  }
-
-  /** (id, y, feats) — the cached training frame. */
-  def labeled(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), wordsCol(textCol).as("words"))
+  /** (id, y, feats) — the training frame. feats is the dense hashed
+    * vector: slots 0..B-1 are word-bin counts (hash56 % B — hash56 is
+    * nonnegative, so `%` agrees across engines), slot B the bias
+    * (always 1). Built as explode → B conditional partial-agg sums:
+    * a word-count-shaped shuffle (map-side combine reduces each doc
+    * to one 65-long row before the exchange), NOT a per-doc
+    * O(B·n_words) HOF scan — the naive row-local filter-per-bin form
+    * measured 30× slower at sf0.1. Empty docs survive via
+    * explode_outer (bias-only vector). */
+  def labeled(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), wordsCol(textCol).as("words"))
       .select(col("id"), labelCol(col("words")).as("y"),
-        featsCol(col("words")).as("feats"))
+        transform(col("words"), w => TextFunctions.hash56(w) % Bins).as("bins"))
+    val aggs = (0 until Bins).map(b =>
+      coalesce(sum(when(col("bin") === b, 1L)), lit(0L)).as(s"c$b"))
+    base.select(col("id"), col("y"), explode_outer(col("bins")).as("bin"))
+      .groupBy("id", "y")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), col("y"),
+        concat(array((0 until Bins).map(b => col(s"c$b")): _*),
+          array(lit(1L))).as("feats"))
+  }
 
   /** Integer margin of a doc under weights `w` — a row-local fold
     * against the broadcast literal. */
