@@ -433,4 +433,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(top.collect().head.getLong(0) == 0L)
   }
+
+  test("classifier: feature build partial-aggregates map-side; scoring is shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Classifier
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // one exchange total (the per-doc groupBy), with map-side combine
+    // reducing each doc's words to a single 65-long row before it
+    val pFeats = plan(Classifier.labeled(docs, "doc_id", "text"))
+    assert(pFeats.contains("partial_sum"), pFeats.take(1500))
+    val exchanges = pFeats.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges == 1, s"$exchanges exchanges:\n${pFeats.take(2000)}")
+
+    // scoring a materialized labeled frame = pure map pass (margin is
+    // a row-local fold against the broadcast weight literal)
+    import spark.implicits._
+    val lab = Seq(("a", 1L, Seq.fill(Classifier.Bins + 1)(1L)))
+      .toDF("id", "y", "feats")
+    val pScore = plan(Classifier.score(lab, Array.fill(Classifier.Bins + 1)(1L)))
+    assert(!pScore.contains("Exchange"), pScore.take(1500))
+  }
+
+  test("hll: sketch is one map pass + grouped max, partial-agg'd map-side") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Hll
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("source"), col("text"))
+    val p = plan(Hll.sketch(docs, col("source"), col("text")))
+    assert(p.contains("partial_max"), p.take(1500))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges == 1, s"$exchanges exchanges:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
