@@ -11,7 +11,8 @@ import graft.functions.TextFunctions
   *
   *   URL/domain filter (when a URL column exists) → PII scrub →
   *   exact dedup → line clean → cross-doc line dedup →
-  *   perplexity-bucket gate → MinHash near-dedup (keep canonical) →
+  *   perplexity-bucket gate → LM-perplexity gate →
+  *   trained-classifier gate → MinHash near-dedup (keep canonical) →
   *   eval-set decontamination → stratified sampling → fixed-length
   *   sequence packing
   *
@@ -61,7 +62,17 @@ object TrainingPipeline {
       // substitutes for self-training when provided (the CCNet shape
       // — score the crawl under a clean-corpus LM)
       lmPplMax: Option[Double] = None,
-      lmTrainDocs: Option[DataFrame] = None)
+      lmTrainDocs: Option[DataFrame] = None,
+      // trained quality-classifier gate (q106/q107, the FineWeb-Edu
+      // shape): a hashed-bag-of-words perceptron trained on
+      // clsTrainDocs (an (id, text) labeled pool — weak labels are
+      // derived by the classifier's rule; swap in real annotations by
+      // training outside and filtering yourself) or, when None, on
+      // the survivors themselves; docs with margin < clsMinMargin
+      // drop. Scoring is one map pass under broadcast weights.
+      clsMinMargin: Option[Long] = None,
+      clsEpochs: Int = 4,
+      clsTrainDocs: Option[DataFrame] = None)
 
   /** Pipeline output: the curated documents (id, stratum, toks — what
     * a tokenizer-side consumer reads), the packed sequence spans, and
@@ -87,6 +98,7 @@ object TrainingPipeline {
       nAfterLineDedup: Long,
       nAfterPplGate: Long,
       nAfterLmGate: Long,
+      nAfterClsGate: Long,
       nAfterNearDedup: Long,
       nAfterDecontam: Long,
       nSampled: Long,
@@ -194,6 +206,25 @@ object TrainingPipeline {
     val nLm =
       if (!withReport || cfg.lmPplMax.isEmpty) -1L else stageCount(lmGated)
 
+    // 4.7: trained-classifier quality gate (q106/q107) — training is
+    // a handful of 65-row aggregations over the (cheap) labeled pool;
+    // scoring the survivors is a pure map pass against the broadcast
+    // weight literal, so this sits with the other pre-minhash gates
+    val clsGated = cfg.clsMinMargin match {
+      case Some(minMargin) =>
+        val pool = cfg.clsTrainDocs.getOrElse(lmGated)
+        val w = Classifier.train(
+          Classifier.labeled(pool, "id", "text"), cfg.clsEpochs)
+        val keep = Classifier
+          .score(Classifier.labeled(lmGated, "id", "text"), w)
+          .filter(col("margin") >= minMargin).select(col("id"))
+        staged(lmGated.join(keep, Seq("id"), "left_semi"))
+      case None => lmGated
+    }
+    val nCls =
+      if (!withReport || cfg.clsMinMargin.isEmpty) -1L
+      else stageCount(clsGated)
+
     // 5: near-dedup — minhash → banded LSH → verified Jaccard →
     // clusters → canonical-only
     // cached in BOTH modes: three consumers (signatures, Jaccard
@@ -201,7 +232,7 @@ object TrainingPipeline {
     // would each re-run the tokenize lineage otherwise; in lazy mode
     // this is the one deliberate cache (the spans lineage still
     // references it — LRU-evictable, recompute-safe)
-    val toks = lmGated.select(col("id"), col("stratum"),
+    val toks = clsGated.select(col("id"), col("stratum"),
       col("text"), TextFunctions.tokenize(col("text")).as("toks"))
       .cache()
     val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK)
@@ -254,7 +285,7 @@ object TrainingPipeline {
     val retained =
       if (withReport) Seq(sampled, spans) else Seq(toks)
     Output(sampled, spans,
-      Report(nInput, nUrl, nExact, nClean, nLineDedup, nPpl, nLm, nNear,
+      Report(nInput, nUrl, nExact, nClean, nLineDedup, nPpl, nLm, nCls, nNear,
         nDecontam, nSampled, nSeq, nTok),
       retained)
   }

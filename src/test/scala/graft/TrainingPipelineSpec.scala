@@ -119,6 +119,32 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(off.report.nAfterLineDedup == 2L, off.report.toString)
   }
 
+  test("classifier gate drops junk the perceptron separates; off → -1 sentinel") {
+    import spark.implicits._
+    val fluent =
+      "the terms of the agreement are set out in a schedule that is agreed for the parties with care."
+    val junk = "xj9 qq zz kk vv bb asdfgh jklzxc qwerty uiopas dfghjk lzxcvb " * 3
+    // labeled pool: enough separable docs for the weak labeler +
+    // perceptron to converge (distinct suffixes dodge exact dedup)
+    val pool = ((1 to 15).map(i => (100L + i, s"$fluent clause$i")) ++
+      (1 to 15).map(i => (200L + i, s"$junk nois$i")))
+      .toDF("id", "text")
+    val docs = Seq(
+      (1L, "en", fluent + " signed here."),
+      (2L, "en", junk + " more sludge.")).toDF("id", "lang", "text")
+    val eval = Seq("completely unrelated evaluation text").toDF("text")
+    val out = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0,
+        clsMinMargin = Some(1L), clsEpochs = 12,
+        clsTrainDocs = Some(pool)))
+    assert(out.report.nAfterClsGate == 1, out.report.toString)
+    assert(out.docs.select($"id").as[Long].collect().toSet == Set(1L))
+    val off = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0))
+    assert(off.report.nAfterClsGate == -1L)
+    assert(off.report.nAfterLineDedup == 2L, off.report.toString)
+  }
+
   test("pipeline is deterministic end-to-end") {
     import spark.implicits._
     val eval = graft.Tables(spark, sf0001, "documents")
