@@ -466,4 +466,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges exchanges:\n${p.take(2000)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("cms: register build partial-aggregates; estimates broadcast the sketch") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Cms
+    import spark.implicits._
+    val items = (1 to 100).map(i => s"t$i").toDF("v")
+    val sk = Cms.sketch(items, col("v"))
+    val pSk = plan(sk)
+    assert(pSk.contains("partial_count"), pSk.take(1500))
+    assert(pSk.linesIterator.count(_.trim.startsWith("+- Exchange")) == 1)
+    val pEst = plan(Cms.estimate(sk, items, "v"))
+    assert(pEst.contains("BroadcastHashJoin"), pEst.take(1500))
+    assert(!pEst.contains("SortMergeJoin"))
+  }
 }
