@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CurationStream
+
+/** Incremental curation ingest: cross-batch exact + near dedup with
+  * keep-first-across-time semantics, append-only state (no rewrite of
+  * prior batches' files), the streaming front end, determinism. */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseText =
+    "the service agreement covers payment terms and renewal options for the client.\n" +
+      "all invoices are due within thirty days of the billing date as agreed.\n" +
+      "either party may terminate the contract with ninety days written notice."
+  private def nearDup(tag: String) = baseText + s"\nappendix note $tag."
+  private def unique(i: Int) =
+    s"document number $i describes an entirely different topic about subject $i.\n" +
+      s"it contains its own distinct second line with material unique to item $i.\n" +
+      s"a third line keeps it past the minimum word count for the line cleaner $i."
+
+  private def tmp() =
+    Files.createTempDirectory("graft_curation_stream").toString
+
+  private def listFiles(dir: String): Set[String] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Set.empty
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).map[String](_.toString)
+        .toArray.map(_.toString).toSet
+      finally s.close()
+    }
+  }
+
+  test("cross-batch exact and near dups drop; keep-first across time; state appends only") {
+    val state = tmp()
+    // batch 1: two uniques + the base doc
+    val n1 = CurationStream.curateBatch(
+      Seq((1L, baseText), (2L, unique(2)), (3L, unique(3)))
+        .toDF("id", "text"), state)
+    assert(n1 == 3L, s"batch1 survivors $n1")
+    val filesAfter1 = listFiles(state)
+
+    // batch 2: exact dup of doc 1 (id 10), near-dup of doc 1 (id 11),
+    // intra-batch near pair (12 < 13 — 13 drops), one unique (14)
+    val n2 = CurationStream.curateBatch(
+      Seq((10L, baseText), (11L, nearDup("x")),
+        (12L, unique(12) + "\nshared tail line for the pair here okay."),
+        (13L, unique(12) + "\nshared tail line for the pair here yes."),
+        (14L, unique(14)))
+        .toDF("id", "text"), state)
+    assert(n2 == 2L, s"batch2 survivors $n2") // 12 and 14
+    // batch 1's files were not rewritten
+    assert(filesAfter1.subsetOf(listFiles(state)))
+
+    // batch 3: near-dup of the batch-2 survivor 12 — still caught
+    val n3 = CurationStream.curateBatch(
+      Seq((20L, unique(12) + "\nshared tail line for the pair here now."))
+        .toDF("id", "text"), state)
+    assert(n3 == 0L, s"batch3 survivors $n3")
+
+    val ids = spark.read.parquet(s"$state/docs").select($"id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 12L, 14L), ids.toString)
+  }
+
+  test("the streaming front drains a JSONL directory through the same path") {
+    val state = tmp(); val in = tmp(); val ckpt = tmp()
+    def jesc(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    def dropJ(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(s"$in/$name"), rows.map { case (i, t) =>
+        s"""{"id": $i, "text": ${jesc(t)}}"""
+      }.mkString("\n"))
+
+    dropJ("b1.jsonl", Seq((1L, baseText), (2L, unique(2))))
+    CurationStream.curateStream(
+      CurationStream.readDocs(spark, in), state, ckpt)
+      .start().awaitTermination()
+    dropJ("b2.jsonl", Seq((10L, baseText), (11L, unique(11))))
+    CurationStream.curateStream(
+      CurationStream.readDocs(spark, in), state, ckpt)
+      .start().awaitTermination()
+
+    val ids = spark.read.parquet(s"$state/docs").select($"id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L), ids.toString)
+  }
+
+  test("deterministic: same batches, same survivors and state keys") {
+    def run(): Set[(Long, String)] = {
+      val state = tmp()
+      CurationStream.curateBatch(
+        Seq((1L, baseText), (2L, unique(2))).toDF("id", "text"), state)
+      CurationStream.curateBatch(
+        Seq((10L, nearDup("q")), (11L, unique(11))).toDF("id", "text"), state)
+      spark.read.parquet(s"$state/keys")
+        .as[(Long, String)].collect().toSet
+    }
+    assert(run() == run())
+  }
+}
