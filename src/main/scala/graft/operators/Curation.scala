@@ -468,16 +468,55 @@ object Curation {
   }
 
   /** Bucket label as a bare Column (pipelines filter the scan with it
-    * row-locally — no join, no shuffle). */
+    * row-locally — no join, no shuffle). NOTE: [[pplScore]]'s
+    * filter-per-distinct histogram is O(distinct·n) per doc — fine for
+    * short fields; for corpus text use [[withPplScore]], the staged
+    * linear form (same rounded score bit-for-bit). */
   def pplBucket(toks: Column, t1: Double, t2: Double): Column = {
     val ppl = pplScore(toks)
     when(ppl < t1, "head").when(ppl < t2, "middle").otherwise("tail")
   }
 
+  /** The scale form of the perplexity surrogate: token histogram via
+    * sorted-run boundaries — O(n log n) per doc instead of
+    * [[pplScore]]'s O(distinct·n) filter-per-distinct — staged as
+    * intermediate COLUMNS so no HOF lambda ever references an
+    * expression (attribute reads are free; re-evaluated expressions
+    * are the q58/q109 trap). The count multiset and its ascending
+    * fold order are identical to [[pplScore]]'s, so the rounded score
+    * (and the q89 oracle) is bit-for-bit unchanged. Appends `out`;
+    * `greatest(i-1, 1)` keeps element_at off index 0 under ANSI. */
+  def withPplScore(df: DataFrame, toksCol: String,
+                   out: String = "ppl"): DataFrame = {
+    val (s, b, cs) = ("__ppl_s", "__ppl_b", "__ppl_c")
+    val emptyI = array().cast("array<int>")
+    df.withColumn(s, array_sort(col(toksCol)))
+      .withColumn(b, filter(
+        when(size(col(s)) > 0, sequence(lit(1), size(col(s))))
+          .otherwise(emptyI),
+        i => (i === 1) ||
+          (element_at(col(s), i) =!=
+            element_at(col(s), greatest(i - 1, lit(1))))))
+      .withColumn(cs, array_sort(
+        when(size(col(b)) > 0, transform(sequence(lit(1), size(col(b))),
+          j => (coalesce(try_element_at(col(b), j + 1), size(col(s)) + 1)
+            - element_at(col(b), j)).cast("double")))
+          .otherwise(array().cast("array<double>"))))
+      .withColumn(out,
+        when(size(col(s)) > 0,
+          round(exp(log(size(col(s)).cast("double"))
+            - aggregate(col(cs), lit(0.0), (a, c) => a + c * log(c))
+              / size(col(s)).cast("double")), 4))
+          .otherwise(lit(1.0)))
+      .drop(s, b, cs)
+  }
+
   def pplBuckets(docs: DataFrame, idCol: String, toksCol: String,
                  t1: Double, t2: Double): DataFrame =
-    docs.select(col(idCol), pplScore(col(toksCol)).as("ppl"),
-      pplBucket(col(toksCol), t1, t2).as("bucket"))
+    withPplScore(docs.select(col(idCol), col(toksCol)), toksCol)
+      .select(col(idCol), col("ppl"),
+        when(col("ppl") < t1, "head").when(col("ppl") < t2, "middle")
+          .otherwise("tail").as("bucket"))
 
   // ---- mixture planning (token budget × source weights) -------------------
 

@@ -180,10 +180,17 @@ object TrainingPipeline {
     // signatures; CCNet keeps head+middle by default
     val pplGated = cfg.pplThresholds match {
       case Some((t1, t2)) =>
-        val kept = staged(lineDeduped.filter(
-          Curation.pplBucket(
-            graft.functions.TextFunctions.wsTokens(lower(col("text"))), t1, t2)
-            .isin(cfg.keepPplBuckets.toSeq: _*)))
+        // tokens staged as a column, score via the linear sorted-run
+        // form — inlining the tokenizer into the scorer's lambdas
+        // re-evaluates it per element (the q58/q109 no-CSE trap)
+        val kept = staged(Curation.withPplScore(
+            lineDeduped.withColumn("__toks",
+              graft.functions.TextFunctions.wsTokens(lower(col("text")))),
+            "__toks")
+          .filter(
+            when(col("ppl") < t1, "head").when(col("ppl") < t2, "middle")
+              .otherwise("tail").isin(cfg.keepPplBuckets.toSeq: _*))
+          .drop("__toks", "ppl"))
         kept
       case None => lineDeduped
     }
