@@ -48,12 +48,37 @@ class DocumentParserSpec extends SparkSpec {
     drop("page.html", "<h2>Handbook</h2><p>Policy text.</p>".getBytes("UTF-8"))
     drop("table.tsv", "a\tb\n1\t2".getBytes("UTF-8"))
     drop("image.bin", Array[Byte](0, 1, 2, 3)) // no parser claims it
+    // a real (minimal) docx: zip + word/document.xml
+    locally {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      z.write(("""<?xml version="1.0"?><w:document """ +
+        """xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        """<w:body><w:p><w:r><w:t>Contract body from word.</w:t></w:r></w:p>""" +
+        """</w:body></w:document>""").getBytes("UTF-8"))
+      z.closeEntry(); z.close()
+      drop("contract.docx", bos.toByteArray)
+    }
+    // a real (minimal) pdf: one page, raw content stream
+    locally {
+      val content = "BT 72 720 Td (Invoice text from pdf.) Tj ET"
+      drop("invoice.pdf", ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${content.length} >> stream\n" + content +
+        "\nendstream endobj\n%%EOF\n").getBytes("ISO-8859-1"))
+    }
     val rows = DocumentParser.scanDirectory(spark, dir, "org_x")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(rows.keySet == Set("notes.md", "plain.txt", "page.html", "table.tsv"))
+    assert(rows.keySet == Set("notes.md", "plain.txt", "page.html",
+      "table.tsv", "contract.docx", "invoice.pdf"))
     assert(rows("notes.md").startsWith("# Notes"))
     assert(rows("page.html").contains("## Handbook"))
     assert(rows("page.html").contains("Policy text."))
+    assert(rows("contract.docx") == "Contract body from word.")
+    assert(rows("invoice.pdf") == "Invoice text from pdf.")
   }
 
   test("a directory of real files ingests over HTTP and is searchable") {
