@@ -46,7 +46,10 @@ object CurationStream {
       minhashK: Int = 16,
       bands: Int = 4,
       rows: Int = 4,
-      jaccardThreshold: Double = 0.8)
+      jaccardThreshold: Double = 0.8,
+      // optional Gopher quality gate (q94) applied before any state
+      // write — junk never enters the store or the band table
+      gopherWordBounds: Option[(Int, Int)] = None)
 
   private val keysSchema = StructType(Seq(
     StructField("id", LongType), StructField("text_md5", StringType)))
@@ -80,9 +83,20 @@ object CurationStream {
       .select(col("id"), col("cleaned").as("text"),
         md5(col("cleaned")).as("text_md5"))
 
+    // 1.5: optional Gopher quality gate (row-local verdict; the
+    // batch-sized keep set broadcasts back onto the batch)
+    val gated = cfg.gopherWordBounds match {
+      case Some((minW, maxW)) =>
+        val keep = graft.operators.Curation
+          .gopherRules(cleaned, "id", "text", minW, maxW)
+          .filter(col("keep")).select("id")
+        cleaned.join(broadcast(keep), Seq("id"), "left_semi")
+      case None => cleaned
+    }
+
     // 2: within-batch exact keep-first (min id per md5)
-    val exactB = cleaned.join(
-      cleaned.groupBy("text_md5").agg(min(col("id")).as("id")),
+    val exactB = gated.join(
+      gated.groupBy("text_md5").agg(min(col("id")).as("id")),
       Seq("text_md5", "id"), "left_semi")
 
     // 3: cross-batch exact — the seen-key store scans, the batch's

@@ -91,6 +91,22 @@ class CurationStreamSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 11L), ids.toString)
   }
 
+  test("gopher gate drops junk before any state write") {
+    val state = tmp()
+    val junk = "zz xx qq ww " * 4 // short, no stopwords, symbol-free junk
+    val n = CurationStream.curateBatch(
+      Seq((1L, baseText), (2L, junk)).toDF("id", "text"), state,
+      CurationStream.Cfg(gopherWordBounds = Some((20, 100000))))
+    assert(n == 1L)
+    val ids = spark.read.parquet(s"$state/docs").select($"id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L))
+    // the rejected doc's bands never entered the state either
+    val bandIds = spark.read.parquet(s"$state/bands").select($"id")
+      .as[Long].collect().toSet
+    assert(bandIds == Set(1L))
+  }
+
   test("deterministic: same batches, same survivors and state keys") {
     def run(): Set[(Long, String)] = {
       val state = tmp()
