@@ -113,17 +113,33 @@ object Bpe {
 
   /** Encode: per document, the alphabetic word stream re-tokenized by
     * the learned merges. Output (id, n_words, n_bpe): BPE token count
-    * vs word count — the compression the vocabulary buys. Row-local. */
+    * vs word count — the compression the vocabulary buys.
+    *
+    * Scale shape (and Sennrich's own implementation strategy): the
+    * merge chain runs once per word TYPE, not per word instance — the
+    * type table is Zipf-bounded (millions of types against billions
+    * of instances at 100 TB), so the replace-chain work shrinks by
+    * the corpus's type/token ratio; instances then join the encoded
+    * type table (word-count-shaped, AQE broadcasts the type side
+    * while it fits) and aggregate per doc. The first implementation
+    * ran the chain per instance — 16.7 s at sf1 vs 5.7 s, and the
+    * sf0.1→sf1 ratio drops from 6.2× to 2.0× (the type table barely
+    * grows with the corpus). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
     val words = filter(TextFunctions.wsTokens(lower(col(textCol))),
       w => w.rlike("^[a-z]+$"))
-    val perWord = transform(words, w =>
-      size(filter(split(applyMerges(seqString(w), merges), Sep),
-        x => x =!= "")))
-    docs.select(col(idCol).as("id"),
-      size(words).cast("long").as("n_words"),
-      aggregate(perWord, lit(0L), (acc, n) => acc + n).as("n_bpe"))
+    val exploded = docs.select(col(idCol).as("id"), words.as("words"))
+      .select(col("id"), explode_outer(col("words")).as("w"))
+    val types = exploded.select(col("w")).where(col("w").isNotNull)
+      .distinct()
+      .select(col("w"),
+        size(filter(split(applyMerges(seqString(col("w")), merges), Sep),
+          x => x =!= "")).cast("long").as("n_bpe_w"))
+    exploded.join(types, Seq("w"), "left")
+      .groupBy("id").agg(
+        count(col("w")).as("n_words"), // count skips the null of empty docs
+        coalesce(sum(col("n_bpe_w")), lit(0L)).as("n_bpe"))
   }
 
   // ---- gate queries ------------------------------------------------------
