@@ -206,7 +206,7 @@ object Bpe {
 
   private def trainOracle: String = {
     val rows = (1 to GateMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, left_t AS \"left\", right_t AS \"right\", c AS cnt FROM m$i")
+      s"SELECT CAST($i AS BIGINT) AS step, left_t AS \"left\", right_t AS \"right\", CAST(c AS BIGINT) AS cnt FROM m$i")
     s"WITH ${trainCtes(GateMerges)}\n${rows.mkString("\nUNION ALL ")}\nORDER BY step"
   }
 

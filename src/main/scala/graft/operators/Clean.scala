@@ -295,7 +295,7 @@ object Clean {
     substring(col("text"), 1, 50),
     lit(" Cafe\u0301 menu"), // decomposed e+acute; NFC composes it
     lit("\r\nline two\ttab  runs"), // CRLF + tab + double space
-    lit("\rbell "),           // bare CR + control char + trailing space
+    lit("\r\u0007bell "),       // bare CR + BEL (escaped: survives tooling) + trailing space
     substring(col("text"), 51, 30))
 
   /** q99: text normalization over the injected noisy corpus — the

@@ -159,24 +159,38 @@ object SegmentedStore {
   // are PINNED at the base by contract (segments encode against them,
   // compaction retrains), so loading them once per generation instead
   // of twice per micro-batch is free of staleness by construction.
-  // Bounded (8 generations) and keyed by absolute base dir — distinct
-  // stores never collide; a recompacted store has a NEW base dir name
-  // (monotonic seq), never a reused key.
+  // Bounded (8 generations). The key carries three staleness guards:
+  // the owning SparkSession (a restarted session in the same JVM must
+  // never be handed a DataFrame bound to a stopped one), the absolute
+  // base dir (distinct stores never collide), and the base's on-disk
+  // generation token (mtime of the centroid table's _SUCCESS marker —
+  // a wiped-and-reseeded store at the same root restarts its seq, so
+  // the dir NAME can repeat but the token cannot).
+  private final case class QuantizerKey(session: SparkSession, base: String,
+                                        generation: Long)
+
   private val quantizerMemo =
-    new java.util.LinkedHashMap[String, (DataFrame, PqKnn.Codebook)](16, 0.75f, true) {
+    new java.util.LinkedHashMap[QuantizerKey, (DataFrame, PqKnn.Codebook)](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (DataFrame, PqKnn.Codebook)]): Boolean =
+          e: java.util.Map.Entry[QuantizerKey, (DataFrame, PqKnn.Codebook)]): Boolean =
         size() > 8
     }
+
+  private def baseGeneration(base: String): Long = {
+    val marker = new java.io.File(s"$base/pq_centroids/_SUCCESS")
+    if (marker.exists()) marker.lastModified()
+    else new java.io.File(s"$base/pq_centroids").lastModified()
+  }
 
   private def pinnedQuantizer(spark: SparkSession,
                               base: String): (DataFrame, PqKnn.Codebook) =
     quantizerMemo.synchronized {
-      Option(quantizerMemo.get(base)).getOrElse {
+      val key = QuantizerKey(spark, base, baseGeneration(base))
+      Option(quantizerMemo.get(key)).getOrElse {
         val cents = TableStore.loadPqCentroids(spark, base)
         val (_, cb) = TableStore.loadPq(spark, base)
         val v = (cents, cb)
-        quantizerMemo.put(base, v)
+        quantizerMemo.put(key, v)
         v
       }
     }

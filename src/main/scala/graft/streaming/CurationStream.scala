@@ -115,8 +115,15 @@ object CurationStream {
     val cands = Dedup
       .lshCandidatesDelta(sigs, corpusBands, cfg.bands, cfg.rows)
       .toDF("id_a", "id_b") // id_a = batch doc; id_b = corpus OR batch
+    // Verification must touch ONLY candidate docs: shingling the whole
+    // curated store would be O(corpus) per batch. Semi-join the token
+    // store down to the candidate id set (bounded by the LSH pair
+    // count) before the shingle explode.
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id"))).distinct()
     val allToks = toks.select("id", "toks")
       .unionByName(readOrEmpty(spark, s"$stateDir/toks", toksSchema))
+      .join(broadcast(candIds), Seq("id"), "left_semi")
     val verified = Dedup.jaccardVerify(cands, allToks, "id", "toks")
       .filter(col("jaccard") >= cfg.jaccardThreshold)
     // corpus partner → the newcomer (id_a) drops; batch partner
