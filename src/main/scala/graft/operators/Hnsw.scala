@@ -27,6 +27,25 @@ case class HnswShard(
     adj: Seq[Seq[Seq[Int]]],
     entry: Int)
 
+/** Serving-store wrapper around [[HnswShard]]: chunk ids are STRINGS
+  * (`org::filename_md5#n`), so each shard carries a sorted per-shard
+  * id dictionary and the graph's node ids are the dictionary INDEXES
+  * (0..n-1) — the id↔node mapping travels with the graph row and
+  * search needs no join to translate back. `organization_id` is the
+  * tenant-first shard key half (one tenant never shares a graph with
+  * another), written as the parquet partition column so the F3 tenant
+  * filter prunes to the tenant's graph files before any row is read —
+  * the same layout stance as the LSH sidecar. */
+case class HnswServing(
+    organization_id: String,
+    pid: Int,
+    dim: Int,
+    sids: Array[String],
+    vecs: Array[Byte],
+    levels: Array[Int],
+    adj: Seq[Seq[Seq[Int]]],
+    entry: Int)
+
 /** Navigable-small-world ANN (Malkov & Yashunin 2016) — the index
   * structure the reference runs inside Qdrant (`vector_store.py:136-146`,
   * m=16 / ef_construct=100 / hnsw_ef=128), re-expressed for Spark's
@@ -235,5 +254,62 @@ object Hnsw {
       .toDF("id", "score")
       .orderBy(col("score").desc, col("id"))
       .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // serving-store layer (string chunk ids, tenant-first shards)
+  // ------------------------------------------------------------------
+
+  /** Shard-count heuristic for a serving build: one graph per
+    * ~`target` vectors, capped — a shard is the sequential-insert unit
+    * and must fit one task's memory (~n·(4d + 8m·levels) bytes), so at
+    * cluster scale raise the cap with executor count, not shard size. */
+  def shardsFor(n: Long, target: Long = 4096L, cap: Int = 64): Int =
+    math.max(1L, math.min(cap.toLong, (n + target - 1) / target)).toInt
+
+  /** Build the serving index: shard key = (org, hash(id) mod shards);
+    * within a shard, rows sort by string id and the graph is built over
+    * the dictionary indexes — so levels, insertion order, and therefore
+    * the whole graph are deterministic functions of the shard's
+    * content, independent of task placement. */
+  def buildServing(data: DataFrame, idCol: String, vecCol: String,
+                   orgCol: String, shards: Int,
+                   m: Int = DefaultM,
+                   efConstruction: Int = DefaultEfConstruction): Dataset[HnswServing] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    data
+      .select(col(orgCol).cast("string").as("org"),
+        col(idCol).cast("string").as("sid"),
+        col(vecCol).cast("array<double>").as("vec"),
+        pmod(xxhash64(col(idCol).cast("string")), lit(shards)).cast("int").as("pid"))
+      .as[(String, String, Seq[Double], Int)]
+      .groupByKey(t => (t._1, t._4))
+      .mapGroups { (key, it) =>
+        val (org, pid) = key
+        val rows = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+        val nodes = Array.tabulate(rows.length)(i => (i.toLong, rows(i)._2))
+        val sh = buildShard(pid, nodes, m, efConstruction)
+        HnswServing(org, pid, sh.dim, rows.map(_._1), sh.vecs, sh.levels,
+          sh.adj, sh.entry)
+      }
+  }
+
+  /** Per-shard beam candidates over the serving index, ≤ ef rows per
+    * shard as (string id, round6 dot). The caller applies its scope
+    * semi-join and final top-k — same contract as the LSH candidate
+    * path. No shuffle touches the corpus: one flatMap over shard rows,
+    * translation back to string ids via the row's own dictionary. */
+  def servingCandidates(index: Dataset[HnswServing], queryVec: Array[Double],
+                        ef: Int = DefaultEfSearch): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queryVec
+    index.flatMap { s =>
+      val sh = HnswShard(s.pid, s.dim,
+        Array.tabulate(s.sids.length)(_.toLong), s.vecs, s.levels, s.adj,
+        s.entry)
+      searchShard(sh, q, ef).map { case (j, sc) => (s.sids(j.toInt), sc) }
+    }.toDF("id", "score")
   }
 }

@@ -1,12 +1,12 @@
 package graft.retrieval
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{EmbedFunctions, Embedder, FeatureHashEmbedder, TextFunctions, VectorFunctions}
 import graft.model.{Filters, TenantContext}
-import graft.operators.{AnnKnn, BM25, DenseKnn, Fusion, PqKnn, Quantize}
+import graft.operators.{AnnKnn, BM25, DenseKnn, Fusion, Hnsw, HnswServing, PqKnn, Quantize}
 
 /** Hybrid retrieval façade (V5, reference
   * `src/retrieval/hybrid_search.py:219-430`): tenant scope → per-method
@@ -68,6 +68,14 @@ object HybridSearch {
         raw: DataFrame,
         nProbe: Int = 4,
         refine: Int = 3) extends DenseMode
+    /** Graph ANN over the serving HNSW sidecar
+      * ([[graft.operators.Hnsw.servingCandidates]]): per-shard beam
+      * search, id translation inside the shard row, scope semi-join on
+      * the candidates, global top-fetch. Pre-filter the Dataset on
+      * organization_id for the partition-pruned tenant scan. */
+    final case class Hnsw(
+        index: Dataset[HnswServing],
+        ef: Int = graft.operators.Hnsw.DefaultEfSearch) extends DenseMode
   }
 
   case class Config(
@@ -198,6 +206,13 @@ object HybridSearch {
           .select(col("id"),
             round(Quantize.dotI8(col("codes"), col("scale"),
               typedLit(qcodes.toSeq), lit(qscale)), 6).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(fetch)
+      case DenseMode.Hnsw(index, ef) =>
+        // beam wide enough to survive the scope cut (same over-fetch
+        // stance as the LSH candidate path); ≤ shards·ef candidate
+        // rows, so the semi-join and sort are tiny
+        scopeIds(Hnsw.servingCandidates(index, qvec, math.max(ef, fetch)))
           .orderBy(col("score").desc, col("id"))
           .limit(fetch)
       case DenseMode.IvfPq(codes, centroids, cb, raw, nProbe, refine) =>

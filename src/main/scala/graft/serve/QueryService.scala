@@ -94,6 +94,13 @@ class QueryService(
       "id", "embedding", AnnKnn.ServingTables, AnnKnn.ServingBits,
       keepCols = Seq("organization_id")), dir)
     TableStore.saveQuantized(emb, "id", "embedding", dir)
+    // HNSW sidecar (the reference's serving index role,
+    // `vector_store.py:136-146`): per-(tenant, shard) graphs sized to
+    // the corpus; compaction lands here too, folding segment graphs
+    // back into base-sized ones
+    val embOrg = written.chunks.filter(col("embedding").isNotNull)
+      .select(col("id"), col("embedding"), col("organization_id"))
+    SegmentedStore.writeHnsw(embOrg, embOrg.count(), dir)
     // IVF-PQ sidecar: hash-sampled coarse centroids (string chunk
     // ids) and the PRODUCTION-SHAPE sub-codebook — k=256 entries per
     // subspace (full byte codes, stored offset-binary) hash-sampled
@@ -477,9 +484,18 @@ class QueryService(
         HybridSearch.DenseMode.IvfPq(codes, cents, cb,
           b.chunks.filter(col("embedding").isNotNull)
             .select(col("id"), col("embedding").cast("array<double>").as("vec")))
+      case "hnsw" =>
+        // tenant filter composed INTO the graph scan: the sidecar is
+        // partitioned by organization_id, so this is a directory prune
+        // — only the tenant's (complete, self-contained) graph rows
+        // are read and searched
+        val idx = sidecar("hnsw",
+          SegmentedStore.hnswView(spark, storeRoot, requireManifest))
+        HybridSearch.DenseMode.Hnsw(
+          idx.filter(col("organization_id") === ctx.organizationId))
       case other =>
         throw ServiceError(400,
-          s"dense_mode must be exact|ann|quantized|ivfpq, got '$other'")
+          s"dense_mode must be exact|ann|quantized|ivfpq|hnsw, got '$other'")
     }
     val cfg = HybridSearch.Config(limit = limit, embedder = embedder,
       weights = weights, dense = dense)

@@ -1,12 +1,12 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.{parseJson, Serialization}
 
 import graft.ingest.Pipeline.IndexBundle
-import graft.operators.{AnnKnn, BM25, PqKnn, Quantize}
+import graft.operators.{AnnKnn, BM25, Hnsw, PqKnn, Quantize}
 
 /** Incremental (LSM-style) layout for the serving store: a **base
   * generation** (full snapshot, as written by [[TableStore.save]] plus
@@ -139,6 +139,30 @@ object SegmentedStore {
       .map(_.select(col("id"), col("codes").cast("array<double>").as("codes"),
         col("scale")))
 
+  /** HNSW sidecar view (base + segment graphs, each a complete
+    * per-(tenant, shard) row): search unions the base's large graphs
+    * with each delta segment's small ones — bounded by MaxSegments,
+    * folded back into base-sized graphs at compaction. Filtering on
+    * `organization_id` BEFORE this Dataset is consumed prunes to the
+    * tenant's partition directories (tenant-first layout). */
+  def hnswView(spark: SparkSession, root: String,
+               m: Manifest): Option[Dataset[graft.operators.HnswServing]] = {
+    import spark.implicits._
+    readUnion(spark, m.dataDirs.map(d => s"$root/$d/hnsw"))
+      .map(_.as[graft.operators.HnswServing])
+  }
+
+  /** Build + write the HNSW sidecar for one dir's embeddings: complete
+    * per-(tenant, shard) graph rows, partitioned by tenant so the F3
+    * filter becomes a directory prune. `nEmb` sizes the shard count
+    * (callers already have it from their emptiness check — no extra
+    * job). */
+  def writeHnsw(emb: DataFrame, nEmb: Long, dir: String): Unit =
+    Hnsw.buildServing(emb, "id", "embedding", "organization_id",
+        Hnsw.shardsFor(nEmb))
+      .write.mode("overwrite").partitionBy("organization_id")
+      .parquet(s"$dir/hnsw")
+
   /** IVF-PQ view: code union across base + segments; centroids and
     * codebook come from the BASE only (segments encoded against them —
     * the pinned-quantizer contract). */
@@ -222,7 +246,10 @@ object SegmentedStore {
     val emb = delta.chunks
       .filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("organization_id"))
-    if (!emb.isEmpty) {
+    // count doubles as the emptiness probe AND the HNSW shard sizer —
+    // same single job the old isEmpty check cost
+    val nEmb = emb.count()
+    if (nEmb > 0) {
       // same (tables, bits) and the same tenant-first layout as the
       // base sidecar — the probe set is a static partition filter, so
       // write and read configs must agree
@@ -234,6 +261,9 @@ object SegmentedStore {
         .select(col("id"), col("codes").cast("array<tinyint>").as("codes"),
           col("scale"))
         .write.mode("overwrite").parquet(s"$seg/quantized")
+      // per-segment HNSW graphs: small delta-sized shards; search
+      // unions them with the base's, compaction folds them back in
+      writeHnsw(emb, nEmb, seg)
       val base = s"$root/${m.base}"
       if (exists(s"$base/pq_centroids") && exists(s"$base/pq_codebook")) {
         val (cents, cb) = pinnedQuantizer(spark, base)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DenseKnn, Hnsw, HnswShard}
+import graft.operators.{DenseKnn, Hnsw, HnswServing, HnswShard}
 
 /** Sharded HNSW ANN: exact-recall parity at full-beam settings,
   * build determinism, degree invariants, and the parquet round-trip
@@ -69,5 +69,33 @@ class HnswSpec extends SparkSpec {
     val got = Hnsw.topK(loaded, qvec, 20).collect().map(r => (r.getLong(0), r.getDouble(1)))
     val direct = Hnsw.topK(idx, qvec, 20).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == direct.toSeq)
+  }
+
+  test("serving layer: recall@10 at the serving config, tenant-pruned scan") {
+    // string ids + two tenants, sharded per (org, hash) — the serving
+    // store shape QueryService writes. Recall is measured against the
+    // per-tenant exact scan at the DEFAULT serving beam (ef=128).
+    val sEmb = emb.select(
+      concat(lit("org_"), (pmod($"vec_id", lit(2))).cast("string"),
+        lit("::doc_"), $"vec_id".cast("string")).as("id"),
+      $"embedding",
+      concat(lit("org_"), pmod($"vec_id", lit(2)).cast("string"))
+        .as("organization_id"))
+    val idx = Hnsw.buildServing(sEmb, "id", "embedding", "organization_id",
+      shards = Hnsw.shardsFor(sEmb.count()))
+    val tmp = graft.operators.TmpDirs.create("graft_hnsw_serving")
+    idx.write.mode("overwrite").partitionBy("organization_id").parquet(tmp)
+    val loaded = spark.read.parquet(tmp).as[HnswServing]
+      .filter($"organization_id" === "org_1")
+
+    val got = Hnsw.servingCandidates(loaded, qvec, ef = Hnsw.DefaultEfSearch)
+      .orderBy($"score".desc, $"id").limit(10)
+      .collect().map(_.getString(0)).toSet
+    val want = DenseKnn.topK(
+        sEmb.filter($"organization_id" === "org_1"), "id", "embedding",
+        emb.filter($"vec_id" === 0).select($"embedding"), "embedding", 10)
+      .collect().map(_.getString(0)).toSet
+    assert(got.forall(_.startsWith("org_1::")), "tenant leak in candidates")
+    assert((got & want).size >= 9, s"serving recall ${(got & want).size}/10")
   }
 }

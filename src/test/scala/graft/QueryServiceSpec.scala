@@ -122,9 +122,9 @@ class QueryServiceSpec extends SparkSpec {
     call(s"""{"op":"delete","organization_id":"org_a","document_id":"$idA"}""")
   }
 
-  test("dense_mode ann / quantized serve the same top hit as exact") {
-    // the sidecar stores are written at every persist, so all three
-    // dense modes are selectable per request; on a tiny corpus the
+  test("dense_mode ann / quantized / ivfpq / hnsw serve the same top hit as exact") {
+    // the sidecar stores are written at every persist, so every index-
+    // backed dense mode is selectable per request; on a tiny corpus the
     // clear-match query must surface the same document first in each
     def top(mode: String): String = {
       val r = call(s"""{"op":"search","organization_id":"org_b","query":"flour dough bake","limit":3,"dense_mode":"$mode"}""")
@@ -135,8 +135,9 @@ class QueryServiceSpec extends SparkSpec {
     assert(top("ann") == exact)
     assert(top("quantized") == exact)
     assert(top("ivfpq") == exact)
+    assert(top("hnsw") == exact)
     // unknown mode is the client's error
-    assert((call("""{"op":"search","organization_id":"org_b","query":"x","dense_mode":"hnsw"}""")
+    assert((call("""{"op":"search","organization_id":"org_b","query":"x","dense_mode":"flat"}""")
       \ "status").extract[Int] == 400)
   }
 
@@ -229,7 +230,7 @@ class QueryServiceSpec extends SparkSpec {
 
     // dense sidecars were rebuilt by the streaming path too: every
     // index-backed dense mode agrees with the exact scan
-    for (mode <- Seq("exact", "ann", "quantized", "ivfpq")) {
+    for (mode <- Seq("exact", "ann", "quantized", "ivfpq", "hnsw")) {
       val r = sCall(s"""{"op":"search","organization_id":"org_a","query":"hybrid retrieval snapshots","dense_mode":"$mode","limit":3}""")
       assert((r \ "total_results").extract[Int] > 0, mode)
     }
