@@ -84,43 +84,46 @@ class QueryService(
     // complete. Incremental ingest appends per-segment sidecars
     // instead (SegmentedStore.writeSegment).
     val written = TableStore.load(spark, dir)
-    val emb = written.chunks.filter(col("embedding").isNotNull)
-      .select(col("id"), col("embedding"))
-    // tenant-first LSH layout (org/tbl/bucket): the F3 tenant filter
-    // composes INTO the probe read as a leading partition filter
-    TableStore.saveAnn(AnnKnn.index(
-      written.chunks.filter(col("embedding").isNotNull)
-        .select(col("id"), col("embedding"), col("organization_id")),
-      "id", "embedding", AnnKnn.ServingTables, AnnKnn.ServingBits,
-      keepCols = Seq("organization_id")), dir)
-    TableStore.saveQuantized(emb, "id", "embedding", dir)
-    // HNSW sidecar (the reference's serving index role,
-    // `vector_store.py:136-146`): per-(tenant, shard) graphs sized to
-    // the corpus; compaction lands here too, folding segment graphs
-    // back into base-sized ones
     val embOrg = written.chunks.filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("organization_id"))
-    SegmentedStore.writeHnsw(embOrg, embOrg.count(), dir)
-    // IVF-PQ sidecar: hash-sampled coarse centroids (string chunk
-    // ids) and the PRODUCTION-SHAPE sub-codebook — k=256 entries per
-    // subspace (full byte codes, stored offset-binary) hash-sampled
-    // from the corpus and Lloyd-refined (VERDICT r4 ask #4; the gates
-    // keep the k=16 sampled config as their replayable toy shape).
-    // m-byte codes partition by cid; refine reads raw embeddings back
-    // from the chunk store by id, so no extra float sidecar is
-    // written. Compaction retrains centroids AND codebook on the
-    // grown corpus — the pinned-quantizer refresh point for the
-    // segments written after it.
-    val cents = PqKnn.hashSampledCentroids(emb, "id", "embedding")
-    val centRows = cents.orderBy(col("cid"))
-      .select(col("cvec")).collect().map(_.getSeq[Double](0)).toSeq
-    if (centRows.nonEmpty) {
-      val cb = PqKnn.refineCodebook(emb, "embedding",
-        PqKnn.codebookFrom(PqKnn.hashSampledRows(emb, "id", "embedding", 256)),
-        iters = 1)
-      TableStore.savePq(PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb),
-        cb, dir, centroids = Some(cents))
-    }
+    val emb = embOrg.select(col("id"), col("embedding"))
+    // sidecars are mutually independent reads of the just-written
+    // chunk files — land them concurrently (same collapse of the
+    // fixed per-job floor as writeSegment)
+    SegmentedStore.awaitAll(Seq(
+      // tenant-first LSH layout (org/tbl/bucket): the F3 tenant filter
+      // composes INTO the probe read as a leading partition filter
+      () => TableStore.saveAnn(AnnKnn.index(embOrg,
+        "id", "embedding", AnnKnn.ServingTables, AnnKnn.ServingBits,
+        keepCols = Seq("organization_id")), dir),
+      () => TableStore.saveQuantized(emb, "id", "embedding", dir),
+      // HNSW sidecar (the reference's serving index role,
+      // `vector_store.py:136-146`): per-(tenant, shard) graphs sized to
+      // the corpus; compaction lands here too, folding segment graphs
+      // back into base-sized ones
+      () => SegmentedStore.writeHnsw(embOrg, embOrg.count(), dir),
+      // IVF-PQ sidecar: hash-sampled coarse centroids (string chunk
+      // ids) and the PRODUCTION-SHAPE sub-codebook — k=256 entries per
+      // subspace (full byte codes, stored offset-binary) hash-sampled
+      // from the corpus and Lloyd-refined (VERDICT r4 ask #4; the gates
+      // keep the k=16 sampled config as their replayable toy shape).
+      // m-byte codes partition by cid; refine reads raw embeddings back
+      // from the chunk store by id, so no extra float sidecar is
+      // written. Compaction retrains centroids AND codebook on the
+      // grown corpus — the pinned-quantizer refresh point for the
+      // segments written after it.
+      () => {
+        val cents = PqKnn.hashSampledCentroids(emb, "id", "embedding")
+        val centRows = cents.orderBy(col("cid"))
+          .select(col("cvec")).collect().map(_.getSeq[Double](0)).toSeq
+        if (centRows.nonEmpty) {
+          val cb = PqKnn.refineCodebook(emb, "embedding",
+            PqKnn.codebookFrom(PqKnn.hashSampledRows(emb, "id", "embedding", 256)),
+            iters = 1)
+          TableStore.savePq(PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb),
+            cb, dir, centroids = Some(cents))
+        }
+      }))
     val next = Manifest(genName, Nil, genName, seq,
       Some(AnnKnn.ServingTables), Some(AnnKnn.ServingBits))
     SegmentedStore.writeManifest(storeRoot, next)
@@ -138,7 +141,9 @@ class QueryService(
       throw new IllegalStateException("delta persist needs a base generation"))
     val next = SegmentedStore.writeSegment(spark, storeRoot, m, delta)
     SegmentedStore.writeManifest(storeRoot, next)
-    bundle = Some(SegmentedStore.loadView(spark, storeRoot, next))
+    // schema-hinted reload: the old view's schemas are the store's
+    // schemas, so the refresh fires zero inference jobs
+    bundle = Some(SegmentedStore.loadView(spark, storeRoot, next, hint = bundle))
     manifest = Some(next)
     retire(
       if (m.derived != next.derived && m.derived != m.base) Seq(m.derived)
@@ -331,9 +336,14 @@ class QueryService(
     // the shared postings and persist duplicate chunk rows (the case
     // Pipeline.ingest's docstring warns about, reachable only here)
     import spark.implicits._
+    // partition the delta to its size: a request-sized batch on the
+    // session default (32 mostly-empty partitions) makes every
+    // downstream job a 32-task job that fills the scheduler and
+    // serializes the concurrent segment writes
     val df = docs.toDF("doc_id", "text", "org")
+      .coalesce(deltaPartitions(docs.length))
     val nChunks = updateLock.synchronized {
-      ingestNew(df, Seq(ctx.organizationId))
+      ingestNew(df, Seq(ctx.organizationId), knownIds = Some(docs.map(_._1)))
     }
     JObject(
       "status" -> JString("completed"),
@@ -351,10 +361,26 @@ class QueryService(
     * the world; the existence probe prunes to the delta's tenant
     * partitions. Returns new chunk count (0 when everything was
     * already present — no write at all). */
-  private def ingestNew(df: DataFrame, orgs: Seq[String]): Long = {
-    val fresh = bundle match {
-      case None => df
-      case Some(old) =>
+  private def ingestNew(df: DataFrame, orgs: Seq[String],
+                        knownIds: Option[Seq[String]] = None): Long = {
+    val fresh = (bundle, knownIds) match {
+      case (None, _) => df
+      case (Some(old), Some(ids)) =>
+        // interactive-size batch with driver-known ids: probe the
+        // store with a pushed-down id filter (tenant partition prune +
+        // row-group stats) and subtract on the driver — keeps the
+        // whole delta lineage JOIN-FREE, which collapses the count
+        // query from ~6 sequential AQE broadcast stages to one narrow
+        // job. Bulk batches (ids unknown/unbounded) keep the
+        // distributed anti-join below.
+        val existing = old.chunks
+          .filter(col("organization_id").isin(orgs: _*) &&
+            col("document_id").isin(ids: _*))
+          .select(col("document_id")).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (existing.isEmpty) df
+        else df.filter(!col("doc_id").isin(existing.toSeq: _*))
+      case (Some(old), None) =>
         df.join(old.chunks.filter(col("organization_id").isin(orgs: _*))
           .select(col("document_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
@@ -397,11 +423,33 @@ class QueryService(
           substring(md5(col("text").cast("binary")), 1, 12)).as("doc_id"),
         col("text"), col("organization_id").as("org"))
       .dropDuplicates("doc_id")
-    // one action covers both the emptiness check and the org set
-    val orgs = keyed.select(col("org")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (orgs.isEmpty) 0L else ingestNew(keyed, orgs)
+    // one bounded action covers the emptiness check, the org set, AND
+    // — for interactive-size batches — the id set that lets ingestNew
+    // run join-free with a right-sized delta. Past the bound (bulk
+    // loads) only orgs are collected and the distributed paths engage.
+    val probe = keyed.select(col("doc_id"), col("org"))
+      .limit(IdProbeBound + 1).collect()
+    if (probe.isEmpty) 0L
+    else if (probe.length <= IdProbeBound) {
+      val orgs = probe.map(_.getString(1)).distinct.toSeq
+      ingestNew(keyed.coalesce(deltaPartitions(probe.length)), orgs,
+        knownIds = Some(probe.map(_.getString(0)).toSeq))
+    } else {
+      val orgs = keyed.select(col("org")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      ingestNew(keyed, orgs)
+    }
   }
+
+  /** Bound on the driver-side id probe: batches at or under this ride
+    * the join-free pushed-filter path; bigger ones stay distributed. */
+  private val IdProbeBound = 2048
+
+  /** Right-size a small delta's partition count (~100 docs/partition,
+    * ≥1): tiny batches on the session default would make every
+    * downstream job as wide as the cluster. */
+  private def deltaPartitions(nDocs: Int): Int =
+    math.max(1, math.min(32, nDocs / 100))
 
   /** Upsert merge, used only on the COMPACTION path (segment-count
     * overflow folds base + segments + delta into a fresh generation):

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types
 import org.apache.spark.sql.functions._
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.{parseJson, Serialization}
@@ -109,22 +110,45 @@ object SegmentedStore {
   }
 
   /** Union of the existing dirs among `dirs` (missing ones — e.g. a
-    * segment whose delta had no embeddings — simply don't contribute). */
-  private def readUnion(spark: SparkSession, dirs: Seq[String]): Option[DataFrame] =
-    dirs.filter(exists).map(spark.read.parquet(_))
+    * segment whose delta had no embeddings — simply don't contribute).
+    * With a `schema` the reads skip footer-based inference entirely —
+    * schema inference fires one small driver job PER DIR, so an
+    * inference-free reload is what keeps the post-flip view refresh
+    * flat in segment count. */
+  private def readUnion(spark: SparkSession, dirs: Seq[String],
+                        schema: Option[types.StructType] = None): Option[DataFrame] =
+    dirs.filter(exists)
+      .map(d => schema.fold(spark.read)(s => spark.read.schema(s)).parquet(d))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
+
+  /** The stored shape of an in-memory table: partitioned writes move
+    * `term_blk` into the directory structure, so the read schema needs
+    * it appended when the hint came from a pre-write DataFrame. */
+  private def withTermBlk(s: types.StructType): types.StructType =
+    if (s.fieldNames.contains("term_blk")) s
+    else s.add("term_blk", types.LongType)
 
   /** The serving read view: chunk/posting unions across base +
     * segments (each scan keeps its own partition pruning), derived
-    * tables from the manifest's current derived dir. */
-  def loadView(spark: SparkSession, root: String, m: Manifest): IndexBundle = {
+    * tables from the manifest's current derived dir. `hint` supplies
+    * the known schemas of an existing view (every dir of one store
+    * shares them) so the reload runs ZERO schema-inference jobs — the
+    * per-flip refresh cost would otherwise grow with segment count. */
+  def loadView(spark: SparkSession, root: String, m: Manifest,
+               hint: Option[IndexBundle] = None): IndexBundle = {
     val dirs = m.dataDirs.map(d => s"$root/$d")
+    def read(path: String, s: Option[types.StructType]): DataFrame =
+      s.fold(spark.read)(spark.read.schema).parquet(path)
     IndexBundle(
-      chunks = readUnion(spark, dirs.map(_ + "/chunks")).get,
-      postings = readUnion(spark, dirs.map(_ + "/postings")).get,
-      docFreq = spark.read.parquet(s"$root/${m.derived}/docfreq"),
-      idf = spark.read.parquet(s"$root/${m.derived}/idf"),
-      stats = spark.read.parquet(s"$root/${m.derived}/stats"))
+      chunks = readUnion(spark, dirs.map(_ + "/chunks"),
+        hint.map(_.chunks.schema)).get,
+      postings = readUnion(spark, dirs.map(_ + "/postings"),
+        hint.map(h => withTermBlk(h.postings.schema))).get,
+      docFreq = read(s"$root/${m.derived}/docfreq",
+        hint.map(h => withTermBlk(h.docFreq.schema))),
+      idf = read(s"$root/${m.derived}/idf",
+        hint.map(h => withTermBlk(h.idf.schema))),
+      stats = read(s"$root/${m.derived}/stats", hint.map(_.stats.schema)))
   }
 
   /** LSH sidecar view (base + segments), None when the base was built
@@ -219,100 +243,141 @@ object SegmentedStore {
       }
     }
 
+  /** Await a set of independent driver-side write tasks; the first
+    * failure propagates (the caller never flips its manifest, and the
+    * partial dirs are startup-GC'd as crash orphans). The writes
+    * share one SparkSession — concurrent jobs from multiple driver
+    * threads are a supported Spark pattern, and overlapping them
+    * collapses the fixed per-job floor (driver planning + commit
+    * latency × ~40 small jobs was the measured warm-ingest cost, not
+    * data volume). */
+  private[graft] def awaitAll(tasks: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+  }
+
   /** Append one delta segment and roll the derived tables forward;
     * returns the manifest to install. Writes are O(delta) for every
-    * data table (chunks, postings, LSH, int8, PQ codes — partitioned
-    * exactly like their base counterparts) plus O(vocab) for the
-    * docfreq/idf rewrite; nothing outside the new `seg{seq}` /
-    * `derived{seq}` dirs is touched. */
+    * data table (chunks, postings, LSH, int8, PQ codes, HNSW shards —
+    * partitioned exactly like their base counterparts) plus O(vocab)
+    * for the docfreq/idf rewrite; nothing outside the new `seg{seq}` /
+    * `derived{seq}` dirs is touched. All sinks derive from the CACHED
+    * delta (materialized by the caller's chunk count), so every write
+    * below is independent of the others and they run CONCURRENTLY —
+    * the wall clock is the slowest write, not the sum of ~10 small
+    * driver jobs. */
   def writeSegment(spark: SparkSession, root: String, m: Manifest,
                    delta: IndexBundle): Manifest = {
     val seq = m.seq + 1
     val segName = s"seg$seq"
     val seg = s"$root/$segName"
 
-    delta.chunks.write.mode("overwrite")
-      .partitionBy("organization_id").parquet(s"$seg/chunks")
-    val hasPostings = !delta.postings.isEmpty
-    if (hasPostings)
-      delta.postings.withColumn("term_blk", TableStore.termBlock(col("term")))
-        .write.mode("overwrite").partitionBy("term_blk").parquet(s"$seg/postings")
-
-    // dense sidecars from the delta bundle itself — `delta.chunks` is
-    // cached by Pipeline.ingest, so this is a column-pruned cache read
-    // (a parquet read-back of the just-written files costs one extra
-    // job per sidecar for identical bytes); quantizer state stays
-    // pinned at the base
     val emb = delta.chunks
       .filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("organization_id"))
-    // count doubles as the emptiness probe AND the HNSW shard sizer —
-    // same single job the old isEmpty check cost
-    val nEmb = emb.count()
-    if (nEmb > 0) {
-      // same (tables, bits) and the same tenant-first layout as the
-      // base sidecar — the probe set is a static partition filter, so
-      // write and read configs must agree
-      AnnKnn.index(emb, "id", "embedding", m.lshTables, m.lshBits,
-          keepCols = Seq("organization_id"))
-        .write.mode("overwrite")
-        .partitionBy("organization_id", "tbl", "bucket").parquet(s"$seg/ann")
-      Quantize.quantized(emb, "id", "embedding")
-        .select(col("id"), col("codes").cast("array<tinyint>").as("codes"),
-          col("scale"))
-        .write.mode("overwrite").parquet(s"$seg/quantized")
-      // per-segment HNSW graphs: small delta-sized shards; search
-      // unions them with the base's, compaction folds them back in
-      writeHnsw(emb, nEmb, seg)
-      val base = s"$root/${m.base}"
-      if (exists(s"$base/pq_centroids") && exists(s"$base/pq_codebook")) {
-        val (cents, cb) = pinnedQuantizer(spark, base)
-        PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb)
-          .select(col("cid"), col("id"),
-            TableStore.packPidCodes(col("codes")).as("codes"))
-          .write.mode("overwrite").partitionBy("cid").parquet(s"$seg/pq")
+
+    // even the two small gating probes (embedding count, postings
+    // emptiness) run INSIDE their branch's task: serial probes before
+    // the fan-out were a measured ~200 ms of dead time per batch
+    val chunkWrites = Seq(() =>
+      delta.chunks.write.mode("overwrite")
+        .partitionBy("organization_id").parquet(s"$seg/chunks"))
+
+    // dense sidecars from the delta bundle itself — `delta.chunks` is
+    // cached by Pipeline.ingest, so these are column-pruned cache
+    // reads; quantizer state stays pinned at the base
+    val sidecarWrites = Seq(() => {
+      val nEmb = emb.count()
+      if (nEmb > 0) {
+        val base = s"$root/${m.base}"
+        val pqWrite =
+          if (!exists(s"$base/pq_centroids") || !exists(s"$base/pq_codebook")) Nil
+          else Seq(() => {
+            val (cents, cb) = pinnedQuantizer(spark, base)
+            PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb)
+              .select(col("cid"), col("id"),
+                TableStore.packPidCodes(col("codes")).as("codes"))
+              .write.mode("overwrite").partitionBy("cid").parquet(s"$seg/pq")
+          })
+        awaitAll(Seq(
+          // same (tables, bits) and the same tenant-first layout as the
+          // base sidecar — the probe set is a static partition filter,
+          // so write and read configs must agree
+          () => AnnKnn.index(emb, "id", "embedding", m.lshTables, m.lshBits,
+              keepCols = Seq("organization_id"))
+            .write.mode("overwrite")
+            .partitionBy("organization_id", "tbl", "bucket").parquet(s"$seg/ann"),
+          () => Quantize.quantized(emb, "id", "embedding")
+            .select(col("id"), col("codes").cast("array<tinyint>").as("codes"),
+              col("scale"))
+            .write.mode("overwrite").parquet(s"$seg/quantized"),
+          // per-segment HNSW graphs: small delta-sized shards; search
+          // unions them with the base's, compaction folds them back in
+          () => writeHnsw(emb, nEmb, seg)) ++ pqWrite)
       }
-    }
+    })
 
     // derived roll-forward — skipped entirely when the delta carries no
     // postings (nothing changed; the manifest keeps pointing at the
-    // current derived dir)
-    val derivedName =
-      if (!hasPostings) m.derived
-      else {
-        val derName = s"derived$seq"
-        val der = s"$root/$derName"
-        // same rows as the just-written segment postings: the lineage
-        // hangs off the cached delta chunks, so recomputing it is
-        // cheaper than a parquet read-back of identical bytes
-        val segPost = delta.postings
-        val mergedDf = spark.read.parquet(s"$root/${m.derived}/docfreq")
-          .drop("term_blk")
-          .select(col("term"), col("df").as("df_old"))
-          .join(BM25.docFreq(segPost).select(col("term"), col("df").as("df_new")),
-            Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
-              .as("df"))
-        val statsDf = rolledStats(spark, root, m, segPost)
-        // the merge is consumed twice (docfreq write + idfTable, whose
-        // ε-floor needs a GLOBAL avg-idf pass — the reason derived
-        // maintenance is O(vocab) and not O(delta): every term's idf0
-        // shifts when n_docs does, so the floor can't roll forward);
-        // cache it so the old-docfreq scan + merge join run once
-        mergedDf.cache()
-        try {
-          mergedDf.withColumn("term_blk", TableStore.termBlock(col("term")))
-            .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/docfreq")
-          BM25.idfTable(mergedDf, statsDf)
+    // current derived dir). The flag is decided inside the task and
+    // read after the final await (safely published by it).
+    @volatile var hasPostings = false
+    val postingAndDerived = Seq(() => {
+      hasPostings = !delta.postings.isEmpty
+      if (hasPostings) {
+        val der = s"$root/derived$seq"
+        awaitAll(Seq(
+          () => delta.postings
             .withColumn("term_blk", TableStore.termBlock(col("term")))
-            .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/idf")
-          statsDf.coalesce(1).write.mode("overwrite").parquet(s"$der/stats")
-        } finally mergedDf.unpersist()
-        derName
+            .write.mode("overwrite").partitionBy("term_blk")
+            .parquet(s"$seg/postings"),
+          () => writeDerived(spark, root, m, delta, der)))
       }
+    })
 
-    Manifest(m.base, m.segments :+ segName, derivedName, seq)
+    awaitAll(chunkWrites ++ sidecarWrites ++ postingAndDerived)
+
+    Manifest(m.base, m.segments :+ segName,
+      if (hasPostings) s"derived$seq" else m.derived, seq)
+  }
+
+  /** The derived docfreq/idf/stats roll-forward into `der` (see
+    * [[writeSegment]] for the O(vocab) rationale). */
+  private def writeDerived(spark: SparkSession, root: String, m: Manifest,
+                           delta: IndexBundle, der: String): Unit = {
+    // same rows as the just-written segment postings: the lineage
+    // hangs off the cached delta chunks, so recomputing it is
+    // cheaper than a parquet read-back of identical bytes
+    val segPost = delta.postings
+    val mergedDf = spark.read
+      .schema(withTermBlk(delta.docFreq.schema))
+      .parquet(s"$root/${m.derived}/docfreq")
+      .drop("term_blk")
+      .select(col("term"), col("df").as("df_old"))
+      .join(BM25.docFreq(segPost).select(col("term"), col("df").as("df_new")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+          .as("df"))
+    val statsDf = rolledStats(spark, root, m, segPost, delta.stats.schema)
+    // the merge is consumed twice (docfreq write + idfTable, whose
+    // ε-floor needs a GLOBAL avg-idf pass — the reason derived
+    // maintenance is O(vocab) and not O(delta): every term's idf0
+    // shifts when n_docs does, so the floor can't roll forward);
+    // cache it, materialize it once with the docfreq write, then
+    // land the idf + stats tails concurrently off the cache
+    mergedDf.cache()
+    try {
+      mergedDf.withColumn("term_blk", TableStore.termBlock(col("term")))
+        .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/docfreq")
+      awaitAll(Seq(
+        () => BM25.idfTable(mergedDf, statsDf)
+          .withColumn("term_blk", TableStore.termBlock(col("term")))
+          .write.mode("overwrite").partitionBy("term_blk").parquet(s"$der/idf"),
+        () => statsDf.coalesce(1).write.mode("overwrite").parquet(s"$der/stats")))
+    } finally mergedDf.unpersist()
   }
 
   /** Startup garbage collection: delete store-root directories that
@@ -358,20 +423,25 @@ object SegmentedStore {
     * `sum(dl).cast(double) / count` bit-for-bit. A base written before
     * `sum_dl` existed upgrades once via a full-postings aggregate. */
   private def rolledStats(spark: SparkSession, root: String, m: Manifest,
-                          segPost: DataFrame): DataFrame = {
+                          segPost: DataFrame,
+                          statsSchema: types.StructType): DataFrame = {
     import spark.implicits._
-    val old = spark.read.parquet(s"$root/${m.derived}/stats")
+    // schema from the delta's own stats frame — same producer code
+    // wrote the stored one, so inference (one driver job) is redundant
+    val old = spark.read.schema(statsSchema).parquet(s"$root/${m.derived}/stats")
     val oldRow = old.head()
     val oldN =
       if (oldRow.isNullAt(oldRow.fieldIndex("n_docs"))) 0L
       else oldRow.getLong(oldRow.fieldIndex("n_docs"))
     val oldSum =
-      if (old.columns.contains("sum_dl")) {
-        if (oldRow.isNullAt(oldRow.fieldIndex("sum_dl"))) 0L
-        else oldRow.getLong(oldRow.fieldIndex("sum_dl"))
-      } else {
-        // legacy one-time upgrade: recover the exact sum from the full
-        // postings view (integer sum — exact, unlike n_docs · avgdl)
+      if (!oldRow.isNullAt(oldRow.fieldIndex("sum_dl")))
+        oldRow.getLong(oldRow.fieldIndex("sum_dl"))
+      else if (oldN == 0) 0L
+      else {
+        // legacy one-time upgrade (a store written before sum_dl
+        // existed reads as null under the hinted schema): recover the
+        // exact sum from the full postings view (integer sum — exact,
+        // unlike n_docs · avgdl)
         val r = readUnion(spark, m.dataDirs.map(d => s"$root/$d/postings")).get
           .select(col("id"), col("dl")).distinct()
           .agg(sum(col("dl"))).head()
