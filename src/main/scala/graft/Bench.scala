@@ -122,7 +122,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // full-run artifact: the driver's BENCH capture can truncate the
+    // stdout tail, so the complete JSON line also lands in the repo
+    // (overwritten per run, committed at round end)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_LOCAL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

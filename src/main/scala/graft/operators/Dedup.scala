@@ -416,7 +416,26 @@ object Dedup {
     *
     * Input: (id, vec). Output: (id, cluster_id, keep). */
   def semDedup(embs: DataFrame, idCol: String, vecCol: String,
-               k: Int, eps: Double): DataFrame = {
+               k: Int, eps: Double): DataFrame =
+    semDedupImpl(embs, idCol, vecCol, k, eps)
+
+  /** [[semDedup]] with k derived from the corpus size — the contract
+    * the scale note above states (k ∝ n keeps within-cluster pairwise
+    * work constant as the corpus grows). One count action sizes
+    * k = ceil(n / targetClusterSize), floored at `minK` so toy corpora
+    * keep multiple clusters. Pass explicit k via [[semDedup]] only for
+    * replayable gates and experiments. */
+  def semDedupAuto(embs: DataFrame, idCol: String, vecCol: String,
+                   eps: Double, targetClusterSize: Long = 1024L,
+                   minK: Int = 8): DataFrame = {
+    val n = embs.count()
+    val k = math.max(minK.toLong,
+      (n + targetClusterSize - 1) / targetClusterSize).min(Int.MaxValue).toInt
+    semDedupImpl(embs, idCol, vecCol, k, eps)
+  }
+
+  private def semDedupImpl(embs: DataFrame, idCol: String, vecCol: String,
+                           k: Int, eps: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embs.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))

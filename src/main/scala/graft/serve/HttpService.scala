@@ -23,7 +23,10 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   *  - POST /search                  → search (body: query, limit,
   *         weights, filters, enhanced, dense_mode)
   *  - POST /documents/ingest        → ingest (body: {docs: [...]})
-  *  - GET  /documents?limit=&offset=&document_type= → list
+  *  - GET  /documents?limit=&offset=&document_type=&cursor= → list
+  *    (cursor = last id of the previous page → keyset pagination:
+  *     bounded driver collect at any depth; response carries
+  *     documents + next_cursor)
   *  - GET  /documents/{id}          → get_document
   *  - DELETE /documents/{id}        → delete
   *
@@ -116,6 +119,7 @@ class HttpService(svc: QueryService, bindPort: Int = 0) {
       case ("limit", v) if v.matches("-?\\d+") => "limit" -> JInt(BigInt(v))
       case ("offset", v) if v.matches("-?\\d+") => "offset" -> JInt(BigInt(v))
       case ("document_type", v) => "document_type" -> JString(v)
+      case ("cursor", v) => "cursor" -> JString(v)
     })
   }
 

@@ -608,9 +608,30 @@ class QueryService(
       case Some(t) => docInfo(ctx).filter(col("document_type") === t)
       case None => docInfo(ctx)
     }
-    val page = typed.orderBy(col("document_id"))
-      .limit(offset + limit).collect().drop(offset)
-    JArray(page.toList.map(docJson(_, ctx)))
+    (req \ "cursor").extractOpt[String] match {
+      case Some(cur) =>
+        // keyset pagination (the scale-correct shape): the cursor is
+        // the last document_id of the previous page ("" starts), the
+        // predicate pushes into the scan, and the collect is bounded
+        // by `limit` REGARDLESS of page depth — unlike offset, which
+        // materializes offset+limit rows on the driver. Response
+        // carries next_cursor (null on the last page).
+        val page = typed.filter(col("document_id") > cur)
+          .orderBy(col("document_id")).limit(limit).collect()
+        val next =
+          if (page.length < limit) JNull
+          else JString(page.last.getAs[String]("document_id"))
+        JObject(
+          "documents" -> JArray(page.toList.map(docJson(_, ctx))),
+          "next_cursor" -> next)
+      case None =>
+        // legacy offset/limit (the reference's own `/documents` shape,
+        // `api/main.py:591-639`); same O() as SQL OFFSET — deep pages
+        // should switch to the cursor form
+        val page = typed.orderBy(col("document_id"))
+          .limit(offset + limit).collect().drop(offset)
+        JArray(page.toList.map(docJson(_, ctx)))
+    }
   }
 
   /** `/documents/{id}` (`api/main.py:641-671`): cross-tenant ids 404. */

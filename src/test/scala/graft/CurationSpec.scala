@@ -301,6 +301,29 @@ class CurationSpec extends SparkSpec {
     assert(out1 == Set(1L, 5L)) // single cluster: same survivors
   }
 
+  test("semDedupAuto derives k from the corpus size (k ∝ n)") {
+    // the scale contract: cluster count grows with n so within-cluster
+    // pairwise verification stays constant work per cluster
+    def mk(n: Int) = spark.range(n)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("double"), lit(1.0)).as("embedding"))
+    val small = Dedup.semDedupAuto(mk(100), "vec_id", "embedding",
+      eps = 0.99, targetClusterSize = 16L, minK = 4)
+    val big = Dedup.semDedupAuto(mk(1000), "vec_id", "embedding",
+      eps = 0.99, targetClusterSize = 16L, minK = 4)
+    val kSmall = small.select(countDistinct(col("cluster_id"))).head().getLong(0)
+    val kBig = big.select(countDistinct(col("cluster_id"))).head().getLong(0)
+    // ceil(100/16)=7, ceil(1000/16)=63 requested clusters; the
+    // realized count can dip below when a centroid wins no argmax,
+    // but growth must show through
+    assert(kBig > kSmall, s"derived clusters did not grow: $kSmall -> $kBig")
+    assert(kSmall >= 4)
+    // floor: a tiny corpus still gets minK clusters requested
+    val tiny = Dedup.semDedupAuto(mk(8), "vec_id", "embedding",
+      eps = 0.99, targetClusterSize = 1024L, minK = 8)
+    assert(tiny.count() == 8)
+  }
+
   test("semDedup is deterministic across reruns") {
     val e = Tables(spark, sf0001, "embeddings")
       .select(col("vec_id"), col("embedding"))

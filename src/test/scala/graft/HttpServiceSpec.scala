@@ -97,6 +97,35 @@ class HttpServiceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(call("GET", "/nope", Some("org_a"))._1 == 404)
   }
 
+  test("keyset pagination: 5 docs page through by cursor, bounded collect") {
+    val docs = (1 to 5).map(i =>
+      s"""{"filename":"page_$i.md","text":"Cursor pagination fixture document number $i with distinct content."}""")
+      .mkString("[", ",", "]")
+    val (is, _) = call("POST", "/documents/ingest", Some("org_page"),
+      Some(s"""{"docs":$docs}"""))
+    assert(is == 200)
+
+    def page(cursor: String): (List[JValue], Option[String]) = {
+      val (s, b) = call("GET",
+        s"/documents?limit=2&cursor=${java.net.URLEncoder.encode(cursor, "UTF-8")}",
+        Some("org_page"))
+      assert(s == 200)
+      ((b \ "documents").extract[List[JValue]],
+        (b \ "next_cursor").extractOpt[String])
+    }
+    // page 1: 2 docs + a cursor; page 2: 2 more; page 3: the last one,
+    // cursor exhausted — ids strictly ascending with no overlap
+    val (p1, c1) = page("")
+    assert(p1.size == 2 && c1.isDefined)
+    val (p2, c2) = page(c1.get)
+    assert(p2.size == 2 && c2.isDefined)
+    val (p3, c3) = page(c2.get)
+    assert(p3.size == 1 && c3.isEmpty)
+    val ids = (p1 ++ p2 ++ p3).map(d => (d \ "id").extract[String])
+    assert(ids.distinct.size == 5)
+    assert(ids == ids.sorted)
+  }
+
   override def afterAll(): Unit = {
     http.stop()
     super.afterAll()
