@@ -374,12 +374,27 @@ object DocumentParser {
 
     def parse(bytes: Array[Byte]): Parsed = {
       val raw = new String(bytes, Latin1) // 1:1 byte↔char, offsets align
-      // object table: "N G obj ... endobj" → (num → body span)
+      // object table: "N G obj ... endobj" → (num → body span). The
+      // scan is marker-based, so cross-reference STREAMS (PDF 1.5+
+      // /Type /XRef binary streams) are simply irrelevant: we never
+      // consult an xref, and an XRef object carries no /Type /Page so
+      // its binary payload can't leak into text.
       val objRe = java.util.regex.Pattern.compile(
         "(?s)(\\d+)\\s+\\d+\\s+obj\\b(.*?)endobj")
       val m = objRe.matcher(raw)
       val objs = scala.collection.mutable.LinkedHashMap.empty[Int, String]
       while (m.find()) objs.getOrElseUpdate(m.group(1).toInt, m.group(2))
+      // object streams (PDF 1.5+ /Type /ObjStm): compressed PDFs keep
+      // page/font dictionaries INSIDE a Flate stream — expand them
+      // into the table (content streams themselves may not live in an
+      // ObjStm per spec, so they are always found by the marker scan)
+      expandObjectStreams(objs)
+      // composite-font text support: a /ToUnicode CMap (bfchar/
+      // bfrange) maps 2-byte CIDs to text; with Type0/Identity-H fonts
+      // and NO CMap, hex-string CIDs degrade to empty rather than
+      // decoding as byte garbage
+      val cmap = toUnicodeCmap(objs)
+      val composite = raw.contains("/Type0") || raw.contains("Identity-H")
       // pages in object order (a full page-tree walk needs /Kids
       // recursion; object order matches authoring order for the
       // single-producer PDFs this targets)
@@ -389,9 +404,104 @@ object DocumentParser {
       val texts = pages.flatMap { case (_, body) =>
         val cm = contentsRe.matcher(body)
         val refs = Iterator.continually(cm).takeWhile(_.find()).map(_.group(1).toInt).toSeq
-        refs.flatMap(n => objs.get(n)).map(streamData).map(extractTextOps)
+        refs.flatMap(n => objs.get(n)).map(streamData)
+          .map(extractTextOps(_, cmap, composite))
       }
       Parsed(texts.map(_.trim).filter(_.nonEmpty).mkString("\n\n").trim, "pdf")
+    }
+
+    /** Inline the objects packed in `/Type /ObjStm` streams: the
+      * decoded stream is `N` (objnum, byte-offset) integer pairs, then
+      * the object bodies starting at `/First`. Malformed headers and
+      * out-of-range offsets skip the stream (degrade, never throw). */
+    private def expandObjectStreams(
+        objs: scala.collection.mutable.LinkedHashMap[Int, String]): Unit = {
+      val firstRe = java.util.regex.Pattern.compile("/First\\s+(\\d+)")
+      val nRe = java.util.regex.Pattern.compile("/N\\s+(\\d+)")
+      for (body <- objs.values.toSeq if body.contains("/ObjStm")) {
+        val data = streamData(body)
+        val fm = firstRe.matcher(body)
+        val nm = nRe.matcher(body)
+        if (data.nonEmpty && fm.find() && nm.find()) {
+          val first = fm.group(1).toInt
+          val cnt = nm.group(1).toInt
+          if (first > 0 && first <= data.length) {
+            val header = data.substring(0, first).trim
+              .split("\\s+").filter(_.nonEmpty)
+            val pairs = header.grouped(2).take(cnt).collect {
+              case Array(a, b) if a.forall(_.isDigit) && b.forall(_.isDigit) =>
+                (a.toInt, b.toInt)
+            }.toSeq
+            for (((num, off), idx) <- pairs.zipWithIndex) {
+              val s = first + off
+              val e =
+                if (idx + 1 < pairs.length) first + pairs(idx + 1)._2
+                else data.length
+              if (s >= first && s <= e && e <= data.length)
+                objs.getOrElseUpdate(num, data.substring(s, e))
+            }
+          }
+        }
+      }
+    }
+
+    /** Union of every /ToUnicode CMap in the file: 2-byte source code →
+      * text (UTF-16BE destination code units). Handles `beginbfchar`
+      * pairs and `beginbfrange` with a scalar destination start; the
+      * array-destination range form contributes its listed entries.
+      * Single-font exports (the dominant composite-font producer
+      * shape) have exactly one map; multi-font files merge first-wins. */
+    private def toUnicodeCmap(
+        objs: scala.collection.mutable.LinkedHashMap[Int, String]): Map[Int, String] = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+      def hexChars(h: String): String = {
+        val sb = new StringBuilder
+        var k = 0
+        while (k + 4 <= h.length) {
+          try sb.append(Integer.parseInt(h.substring(k, k + 4), 16).toChar)
+          catch { case _: NumberFormatException => }
+          k += 4
+        }
+        sb.toString
+      }
+      val charRe = java.util.regex.Pattern.compile(
+        "<([0-9A-Fa-f]{1,4})>\\s*<([0-9A-Fa-f]+)>")
+      val rangeRe = java.util.regex.Pattern.compile(
+        "<([0-9A-Fa-f]{1,4})>\\s*<([0-9A-Fa-f]{1,4})>\\s*<([0-9A-Fa-f]+)>")
+      val sectRe = java.util.regex.Pattern.compile(
+        "(?s)begin(bfchar|bfrange)(.*?)end\\1")
+      for (body <- objs.values.toSeq if body.contains("stream")) {
+        val d = streamData(body)
+        if (d.contains("beginbfchar") || d.contains("beginbfrange")) {
+          val sm = sectRe.matcher(d)
+          while (sm.find()) {
+            val section = sm.group(2)
+            if (sm.group(1) == "bfrange") {
+              val rm = rangeRe.matcher(section)
+              while (rm.find()) {
+                val lo = Integer.parseInt(rm.group(1), 16)
+                val hi = Integer.parseInt(rm.group(2), 16)
+                val dst = rm.group(3)
+                if (hi >= lo && hi - lo < 65536 && dst.length >= 4) {
+                  val base = Integer.parseInt(dst.takeRight(4), 16)
+                  val prefix = hexChars(dst.dropRight(4))
+                  var c = lo
+                  while (c <= hi) {
+                    out.getOrElseUpdate(c, prefix + (base + (c - lo)).toChar)
+                    c += 1
+                  }
+                }
+              }
+            } else {
+              val cm = charRe.matcher(section)
+              while (cm.find())
+                out.getOrElseUpdate(Integer.parseInt(cm.group(1), 16),
+                  hexChars(cm.group(2)))
+            }
+          }
+        }
+      }
+      out.toMap
     }
 
     /** Stream object body → decoded bytes-as-latin1 (inflating
@@ -425,9 +535,30 @@ object DocumentParser {
       } finally inf.end()
     }
 
+    /** PDF text string → reader text: UTF-16BE strings carry the
+      * FE FF byte-order mark (PDF 32000 §7.9.2.2) and decode as
+      * big-endian code-unit pairs; anything else stays byte-per-char
+      * (PDFDocEncoding ≈ Latin-1 for the printable range). */
+    private def decodeText(s: String): String =
+      if (s.length >= 2 && s.charAt(0) == 0xFE.toChar && s.charAt(1) == 0xFF.toChar) {
+        val sb = new StringBuilder
+        var i = 2
+        while (i + 1 < s.length) {
+          sb.append((((s.charAt(i) & 0xFF) << 8) | (s.charAt(i + 1) & 0xFF)).toChar)
+          i += 2
+        }
+        sb.toString
+      } else s
+
     /** Content stream → visible text: literal `(…)` and hex `<…>`
-      * strings feeding Tj / ' / TJ, with Td/TD/T* as line breaks. */
-    private def extractTextOps(content: String): String = {
+      * strings feeding Tj / ' / TJ, with Td/TD/T* as line breaks.
+      * Hex strings route by font world: through the ToUnicode `cmap`
+      * as 2-byte codes when one exists (unmapped codes drop), to
+      * EMPTY under a composite font with no map (CIDs are font-local
+      * glyph ids — byte-decoding them is garbage, and the degrade
+      * stance is empty-not-wrong), and byte-per-char otherwise. */
+    private def extractTextOps(content: String, cmap: Map[Int, String],
+                               composite: Boolean): String = {
       val out = new StringBuilder
       var i = 0
       val n = content.length
@@ -469,19 +600,34 @@ object DocumentParser {
         if (close < 0) { i = n; return "" }
         val hex = content.substring(i + 1, close).replaceAll("\\s", "")
         i = close + 1
-        val padded = if (hex.length % 2 == 1) hex + "0" else hex
-        val sb = new StringBuilder
-        var k = 0
-        while (k + 2 <= padded.length) {
-          try sb.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
-          catch { case _: NumberFormatException => }
-          k += 2
+        if (cmap.nonEmpty) {
+          // 2-byte ToUnicode codes; unmapped codes drop (degrade)
+          val padded = if (hex.length % 4 == 0) hex else hex + "0" * (4 - hex.length % 4)
+          val sb = new StringBuilder
+          var k = 0
+          while (k + 4 <= padded.length) {
+            try sb.append(cmap.getOrElse(
+              Integer.parseInt(padded.substring(k, k + 4), 16), ""))
+            catch { case _: NumberFormatException => }
+            k += 4
+          }
+          sb.toString
+        } else if (composite) "" // CIDs with no map: empty, not garbage
+        else {
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          val sb = new StringBuilder
+          var k = 0
+          while (k + 2 <= padded.length) {
+            try sb.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
+            catch { case _: NumberFormatException => }
+            k += 2
+          }
+          decodeText(sb.toString)
         }
-        sb.toString
       }
       while (i < n) {
         val c = content.charAt(i)
-        if (c == '(') lastString = readLiteral()
+        if (c == '(') lastString = decodeText(readLiteral())
         else if (c == '<' && i + 1 < n && content.charAt(i + 1) != '<') lastString = readHex()
         else if (c == '<') i += 2 // dict open "<<"
         else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
@@ -506,7 +652,7 @@ object DocumentParser {
           var closed = false
           while (i < n && !closed) {
             val ac = content.charAt(i)
-            if (ac == '(') arr.append(readLiteral())
+            if (ac == '(') arr.append(decodeText(readLiteral()))
             else if (ac == '<' && i + 1 < n && content.charAt(i + 1) != '<') arr.append(readHex())
             else if (ac == ']') { closed = true; i += 1 }
             else i += 1

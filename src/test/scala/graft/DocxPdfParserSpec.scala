@@ -139,4 +139,96 @@ class DocxPdfParserSpec extends AnyFunSuite {
     // parsed, never throws from a bad deflate
     DocumentParser.PdfParser.parse(truncated)
   }
+
+  /** PDF 1.5 compressed layout: the page dictionary lives INSIDE a
+    * FlateDecode /ObjStm, the file carries a binary /XRef stream, and
+    * a content string is UTF-16BE with BOM. Real "modern producer"
+    * shape (every object except streams compressed). */
+  private def pdf15Bytes: Array[Byte] = {
+    // object stream holding objects 1 (catalog), 2 (pages), 3 (page)
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val bodies = Seq(1 -> o1, 2 -> o2, 3 -> o3)
+    var off = 0
+    val header = bodies.map { case (num, b) =>
+      val h = s"$num $off"; off += b.length + 1; h
+    }.mkString(" ") + "\n"
+    val payload = header + bodies.map(_._2).mkString("\n") + "\n"
+    val objStm = deflate(payload.getBytes("ISO-8859-1"))
+    // UTF-16BE literal with BOM: "Héllo §2" exercises non-latin units
+    val utf16 = "þÿ" + "Héllo §2".toSeq.flatMap(c =>
+      Seq((c >> 8).toChar, (c & 0xFF).toChar)).mkString
+    val content = s"BT 72 720 Td ($utf16) Tj 0 -20 Td (plain ascii line) Tj ET"
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"7 0 obj << /Type /ObjStm /N 3 /First ${header.length} /Length ${objStm.length} /Filter /FlateDecode >> stream\n")
+    bos.write(objStm)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content)
+    w("\nendstream endobj\n")
+    // binary xref stream: must be ignored, never leak into text
+    w("8 0 obj << /Type /XRef /W [1 2 1] /Size 9 /Length 12 >> stream\n")
+    bos.write(Array.tabulate[Byte](12)(i => (i * 37).toByte))
+    w("\nendstream endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf 1.5: page dict inside /ObjStm parses; /XRef stream is inert; UTF-16BE literals decode") {
+    val out = DocumentParser.PdfParser.parse(pdf15Bytes)
+    assert(out.text == "Héllo §2\nplain ascii line", out.text)
+    // determinism
+    assert(out.text == DocumentParser.PdfParser.parse(pdf15Bytes).text)
+  }
+
+  /** Composite-font (Type0 / Identity-H) PDF with a /ToUnicode CMap:
+    * hex strings are CIDs and must decode through the map (bfchar +
+    * bfrange forms), never byte-per-char. */
+  private def pdfCidBytes(withCmap: Boolean): Array[Byte] = {
+    val cmapData =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |2 beginbfchar
+        |<0001> <0043>
+        |<0002> <0049>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0044>
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    val content = "BT /F1 12 Tf 72 720 Td <00010002> Tj 0 -20 Td <001000110012> Tj ET"
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H" +
+      (if (withCmap) " /ToUnicode 6 0 R" else "") + " >> endobj\n")
+    if (withCmap) {
+      w(s"6 0 obj << /Length ${cmapData.length} >> stream\n")
+      w(cmapData)
+      w("\nendstream endobj\n")
+    }
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf CID: hex strings decode through the ToUnicode CMap (bfchar + bfrange)") {
+    val out = DocumentParser.PdfParser.parse(pdfCidBytes(withCmap = true))
+    // <0001><0002> → C I; <0010><0011><0012> → D E F via the range
+    assert(out.text == "CI\nDEF", out.text)
+  }
+
+  test("pdf CID without a ToUnicode map degrades to empty, not byte garbage") {
+    val out = DocumentParser.PdfParser.parse(pdfCidBytes(withCmap = false))
+    assert(out.text == "", out.text)
+  }
 }
