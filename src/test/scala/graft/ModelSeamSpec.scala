@@ -113,6 +113,65 @@ class ModelSeamSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("OpenAI-protocol embedder drives ingest + search against a live HTTP endpoint") {
+    // in-process server speaking the real /v1/embeddings wire shape
+    // (vLLM / TEI / Ollama / hosted APIs): JSON batches in, indexed
+    // vectors out — returned UNNORMALIZED and in REVERSE index order,
+    // so this pins the client's index reassembly and L2 normalization
+    val server = new FakeOpenAiServer(dim = 64, scale = 3.0)
+    try {
+      val oa = graft.functions.OpenAiEmbedder(
+        s"http://127.0.0.1:${server.port}", "fake-bge", dim = 64, batchSize = 4)
+      // query path: scaled-then-normalized server vector == the
+      // feature-hash direction (elementwise, fp tolerance)
+      val q = oa.embedQuery(Seq("spark", "join"))
+      val want = graft.functions.EmbedFunctions.embedQuery(Seq("spark", "join"), 64)
+      assert(q.length == 64)
+      q.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+
+      val viaHttp = Pipeline.ingest(docs, embedder = oa, orgCol = Some("org"))
+      // every stored vector is unit-norm (the V1 cosine ≡ dot contract
+      // survived the non-normalizing server)
+      val norms = viaHttp.chunks.filter(col("embedding").isNotNull)
+        .select(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x * x).as("n2"))
+        .as[Double].collect()
+      assert(norms.nonEmpty && norms.forall(n => math.abs(n - 1.0) < 1e-9))
+
+      // end-to-end search: same top hit as the default embedder (the
+      // server computes the same directions)
+      val out = HybridSearch.search(
+        viaHttp.chunks, "spark join filter", TenantContext("org1"),
+        cfg = HybridSearch.Config(limit = 3, embedder = oa, levelFilter = None),
+        index = Some(viaHttp.bm25Index))
+      val viaDefault = Pipeline.ingest(docs, orgCol = Some("org"))
+      val outDefault = HybridSearch.search(
+        viaDefault.chunks, "spark join filter", TenantContext("org1"),
+        cfg = HybridSearch.Config(limit = 3, levelFilter = None),
+        index = Some(viaDefault.bm25Index))
+      assert(out.select("id").as[String].collect().head ==
+        outDefault.select("id").as[String].collect().head)
+      // batching held over HTTP too
+      val sizes = server.batchSizes
+      assert(sizes.nonEmpty && sizes.max <= 4, sizes.mkString(","))
+    } finally server.stop()
+  }
+
+  test("OpenAI-protocol embedder fails loudly on a wrong-dim endpoint") {
+    val server = new FakeOpenAiServer(dim = 32, scale = 1.0)
+    try {
+      val oa = graft.functions.OpenAiEmbedder(
+        s"http://127.0.0.1:${server.port}", "fake-bge", dim = 64)
+      val ex = intercept[Exception] {
+        Pipeline.ingest(docs, embedder = oa, orgCol = Some("org"))
+          .chunks.select(col("embedding")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("dim 32")))
+    } finally server.stop()
+  }
+
   test("a second rerank scorer swaps in and changes the order") {
     val cands = Seq(
       (1L, "spark join filter merge window table scan extra words here"),
@@ -176,4 +235,55 @@ class FakeEmbedServer(dim: Int, breakNorm: Boolean = false) {
     } finally s.close()
 
   def stop(): Unit = { closed = true; ss.close() }
+}
+
+/** In-process HTTP endpoint speaking the OpenAI `/v1/embeddings`
+  * protocol (the vLLM / TEI / Ollama serving shape): JSON request
+  * `{model, input: [...]}` → `{data: [{index, embedding}]}`. The
+  * "model" is the feature-hash JVM twin times `scale` (unnormalized —
+  * the client must L2-normalize), and `data` comes back in REVERSE
+  * index order (the spec permits any order — the client must
+  * reassemble by index). */
+class FakeOpenAiServer(dim: Int, scale: Double) {
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 64)
+  private val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+
+  def port: Int = server.getAddress.getPort
+  def batchSizes: Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    sizes.forEach(s => b += s)
+    b.result()
+  }
+
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.createContext("/v1/embeddings", (ex: com.sun.net.httpserver.HttpExchange) => {
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods.{compact, parse, render}
+      implicit val formats: Formats = DefaultFormats
+      val req = parse(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      val inputs = (req \ "input") match {
+        case JArray(xs) => xs.map(_.extract[String])
+        case JString(s) => List(s)
+        case _ => Nil
+      }
+      sizes.add(inputs.size)
+      val items = inputs.zipWithIndex.map { case (text, i) =>
+        val toks = if (text.isEmpty) Seq.empty[String] else text.split(" ").toSeq
+        val v = graft.functions.EmbedFunctions.embedQuery(toks, dim).map(_ * scale)
+        JObject("index" -> JInt(i),
+          "embedding" -> JArray(v.map(JDouble(_)).toList))
+      }.reverse // spec-legal reordering the client must undo
+      val resp = compact(render(JObject(
+        "object" -> JString("list"), "data" -> JArray(items))))
+        .getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length.toLong)
+      ex.getResponseBody.write(resp)
+    } finally ex.close()
+  })
+  server.start()
+
+  def stop(): Unit = server.stop(0)
 }
