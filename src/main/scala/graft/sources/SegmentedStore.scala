@@ -151,15 +151,41 @@ object SegmentedStore {
       stats = read(s"$root/${m.derived}/stats", hint.map(_.stats.schema)))
   }
 
+  /** Per-(session, store, sidecar) schema memo: sidecar schemas are
+    * fixed by their producer code, so inference (one driver job per
+    * dir per call) is pure overhead on every search request — the
+    * first view call per store infers, the rest read schema-first.
+    * Keyed by session (a restarted session must re-infer) and bounded. */
+  private val sidecarSchemaMemo =
+    new java.util.LinkedHashMap[(SparkSession, String, String), types.StructType](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), types.StructType]): Boolean =
+        size() > 64
+    }
+
+  private def memoizedUnion(spark: SparkSession, root: String, kind: String,
+                            dirs: Seq[String]): Option[DataFrame] =
+    sidecarSchemaMemo.synchronized {
+      val key = (spark, root, kind)
+      Option(sidecarSchemaMemo.get(key)) match {
+        case Some(schema) => readUnion(spark, dirs, Some(schema))
+        case None =>
+          val df = readUnion(spark, dirs)
+          df.foreach(d => sidecarSchemaMemo.put(key, d.schema))
+          df
+      }
+    }
+
   /** LSH sidecar view (base + segments), None when the base was built
     * without one. */
   def annView(spark: SparkSession, root: String, m: Manifest): Option[DataFrame] =
-    readUnion(spark, m.dataDirs.map(d => s"$root/$d/ann"))
+    memoizedUnion(spark, root, "ann", m.dataDirs.map(d => s"$root/$d/ann"))
 
   /** int8 sidecar view with the [[TableStore.loadQuantized]] read
     * casts applied after the union. */
   def quantizedView(spark: SparkSession, root: String, m: Manifest): Option[DataFrame] =
-    readUnion(spark, m.dataDirs.map(d => s"$root/$d/quantized"))
+    memoizedUnion(spark, root, "quantized",
+        m.dataDirs.map(d => s"$root/$d/quantized"))
       .map(_.select(col("id"), col("codes").cast("array<double>").as("codes"),
         col("scale")))
 
@@ -172,7 +198,7 @@ object SegmentedStore {
   def hnswView(spark: SparkSession, root: String,
                m: Manifest): Option[Dataset[graft.operators.HnswServing]] = {
     import spark.implicits._
-    readUnion(spark, m.dataDirs.map(d => s"$root/$d/hnsw"))
+    memoizedUnion(spark, root, "hnsw", m.dataDirs.map(d => s"$root/$d/hnsw"))
       .map(_.as[graft.operators.HnswServing])
   }
 
@@ -196,7 +222,8 @@ object SegmentedStore {
     if (!exists(s"$base/pq") || !exists(s"$base/pq_centroids")) None
     else {
       val (_, cb) = TableStore.loadPq(spark, base)
-      val codes = readUnion(spark, m.dataDirs.map(d => s"$root/$d/pq")).get
+      val codes = memoizedUnion(spark, root, "pq",
+        m.dataDirs.map(d => s"$root/$d/pq")).get
         .select(col("cid"), col("id"),
           TableStore.unpackPidCodes(col("codes")).as("codes"))
       Some((codes, TableStore.loadPqCentroids(spark, base), cb))

@@ -56,11 +56,22 @@ object IngestProbe {
     svc.ingestBatch(Seq(("p.md", "single document latency probe payload", "org_bench"))
       .toDF("filename", "text", "organization_id"))
     val total = (System.nanoTime() - t0) / 1e9
-    spark.sparkContext.removeSparkListener(listener)
-    Thread.sleep(500)
+    Thread.sleep(300)
     import scala.jdk.CollectionConverters._
     lines.asScala.toSeq.sorted.foreach(println)
-    println(f"TOTAL ${total}%.2f s over ${lines.size()} jobs")
+    println(f"INGEST TOTAL ${total}%.2f s over ${lines.size()} jobs")
+
+    // same timeline for one warm search request (dense_mode=ann)
+    svc.handle("""{"op":"search","organization_id":"org_bench","query":"latency probe payload","limit":5,"dense_mode":"ann"}""")
+    lines.clear(); starts.clear()
+    val t1 = System.nanoTime()
+    tBase = t1
+    svc.handle("""{"op":"search","organization_id":"org_bench","query":"latency probe payload","limit":5,"dense_mode":"ann"}""")
+    val searchTotal = (System.nanoTime() - t1) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+    Thread.sleep(300)
+    lines.asScala.toSeq.sorted.foreach(println)
+    println(f"SEARCH TOTAL ${searchTotal}%.2f s over ${lines.size()} jobs")
     spark.stop()
   }
 }
