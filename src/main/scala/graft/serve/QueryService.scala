@@ -342,8 +342,11 @@ class QueryService(
     // serializes the concurrent segment writes
     val df = docs.toDF("doc_id", "text", "org")
       .coalesce(deltaPartitions(docs.length))
+    // same bound as ingestBatch: past it the isin probe would bloat
+    // the plan — the distributed anti-join takes over
+    val ids = if (docs.length <= IdProbeBound) Some(docs.map(_._1)) else None
     val nChunks = updateLock.synchronized {
-      ingestNew(df, Seq(ctx.organizationId), knownIds = Some(docs.map(_._1)))
+      ingestNew(df, Seq(ctx.organizationId), knownIds = ids)
     }
     JObject(
       "status" -> JString("completed"),

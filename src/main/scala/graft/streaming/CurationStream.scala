@@ -25,7 +25,10 @@ import graft.operators.{Clean, Dedup}
   *  - near-dedup uses [[Dedup.lshCandidatesDelta]]: batch bands join
   *    the persisted corpus band table plus the batch's own self-join
   *    (same-batch near-dups match nothing in the corpus yet);
-  *  - Jaccard verification touches only candidate ids on both sides;
+  *  - Jaccard verification touches only candidate ids on both sides
+  *    (the token store SEMI-JOINS down to the candidate id set before
+  *    any shingle explode — verified flat-in-state-size by
+  *    `tools.StreamBench`, pinned in BASELINE.md);
   *  - every state table (keys / bands / toks / docs) is APPEND-ONLY —
   *    a batch writes O(batch) files and rewrites nothing (the
   *    [[graft.sources.TableStore.compact]] maintenance op applies when
