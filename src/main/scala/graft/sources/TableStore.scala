@@ -92,18 +92,20 @@ object TableStore {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
-  /** Persist a full index bundle under `root`. */
-  def save(bundle: IndexBundle, root: String): Unit = {
-    bundle.chunks.write.mode("overwrite")
-      .partitionBy("organization_id").parquet(s"$root/chunks")
-    bundle.postings.withColumn("term_blk", termBlock(col("term")))
-      .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/postings")
-    bundle.idf.withColumn("term_blk", termBlock(col("term")))
-      .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/idf")
-    bundle.docFreq.withColumn("term_blk", termBlock(col("term")))
-      .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/docfreq")
-    bundle.stats.write.mode("overwrite").parquet(s"$root/stats")
-  }
+  /** Persist a full index bundle under `root`. The five sinks are
+    * independent (each its own dir), so they land concurrently —
+    * seeds and compactions pay the slowest write, not the sum. */
+  def save(bundle: IndexBundle, root: String): Unit =
+    SegmentedStore.awaitAll(Seq(
+      () => bundle.chunks.write.mode("overwrite")
+        .partitionBy("organization_id").parquet(s"$root/chunks"),
+      () => bundle.postings.withColumn("term_blk", termBlock(col("term")))
+        .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/postings"),
+      () => bundle.idf.withColumn("term_blk", termBlock(col("term")))
+        .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/idf"),
+      () => bundle.docFreq.withColumn("term_blk", termBlock(col("term")))
+        .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/docfreq"),
+      () => bundle.stats.write.mode("overwrite").parquet(s"$root/stats")))
 
   /** Load a bundle saved by [[save]]. The postings/idf keep their
     * `term_blk` column so the BM25 read path can prune blocks. */
