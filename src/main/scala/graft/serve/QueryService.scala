@@ -58,11 +58,30 @@ class QueryService(
   // (deleting at flip time — the pre-round-6 stance — raced exactly
   // one in-flight plan). Restart cleanup of both grace dirs and
   // crash orphans is SegmentedStore.gcOrphans at construction.
+  //
+  // Grace alone is not enough under RAPID mutation: a reader that
+  // grabbed manifest N breaks if TWO flips land inside its window
+  // (ConcurrencySpec reproduced exactly this — UNABLE_TO_INFER_SCHEMA
+  // on a dir the second flip retired). So file DELETION additionally
+  // waits out in-flight readers: every read op holds `storeLock`'s
+  // read side for its duration, and retire takes the write side —
+  // reads stay fully concurrent, segment writes and manifest flips
+  // never block, only the final unlink waits for readers to drain.
+  private val storeLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
+  private def withReadLock[A](f: => A): A = {
+    val rl = storeLock.readLock(); rl.lock()
+    try f finally rl.unlock()
+  }
+
   private var graceDirs: Seq[String] = Nil
 
   private def retire(superseded: Seq[String]): Unit = {
-    dropDirs(graceDirs.filterNot(superseded.contains))
-    graceDirs = superseded.distinct
+    val wl = storeLock.writeLock(); wl.lock()
+    try {
+      dropDirs(graceDirs.filterNot(superseded.contains))
+      graceDirs = superseded.distinct
+    } finally wl.unlock()
   }
 
   /** Full-snapshot persist (first ingest / delete / compaction): write
@@ -87,10 +106,16 @@ class QueryService(
     val embOrg = written.chunks.filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("organization_id"))
     val emb = embOrg.select(col("id"), col("embedding"))
+    // guard before ANY sidecar write: an all-garbage corpus (every doc
+    // skip_embedding) has zero vectors, and a zero-row partitionBy
+    // write leaves a _SUCCESS-only dir that poisons every later union
+    // read with UNABLE_TO_INFER_SCHEMA (ConcurrencySpec caught this) —
+    // no sidecars means annView=None and the exact fallback serves
+    val nEmb = embOrg.count()
     // sidecars are mutually independent reads of the just-written
     // chunk files — land them concurrently (same collapse of the
     // fixed per-job floor as writeSegment)
-    SegmentedStore.awaitAll(Seq(
+    if (nEmb > 0) SegmentedStore.awaitAll(Seq(
       // tenant-first LSH layout (org/tbl/bucket): the F3 tenant filter
       // composes INTO the probe read as a leading partition filter
       () => TableStore.saveAnn(AnnKnn.index(embOrg,
@@ -101,7 +126,7 @@ class QueryService(
       // `vector_store.py:136-146`): per-(tenant, shard) graphs sized to
       // the corpus; compaction lands here too, folding segment graphs
       // back into base-sized ones
-      () => SegmentedStore.writeHnsw(embOrg, embOrg.count(), dir),
+      () => SegmentedStore.writeHnsw(embOrg, nEmb, dir),
       // IVF-PQ sidecar: hash-sampled coarse centroids (string chunk
       // ids) and the PRODUCTION-SHAPE sub-codebook — k=256 entries per
       // subspace (full byte codes, stored offset-binary) hash-sampled
@@ -187,11 +212,14 @@ class QueryService(
       val res = op match {
         case "shutdown"     => JObject("status" -> JString("bye"))
         case "health"       => health()
-        case "stats"        => stats()
+        // read ops hold the store read-lock for their whole execution:
+        // concurrent with each other AND with ingest/flip; only the
+        // retire unlink waits for them (see storeLock above)
+        case "stats"        => withReadLock(stats())
         case "ingest"       => ingest(req)
-        case "search"       => search(req)
-        case "documents"    => listDocuments(req)
-        case "get_document" => getDocument(req)
+        case "search"       => withReadLock(search(req))
+        case "documents"    => withReadLock(listDocuments(req))
+        case "get_document" => withReadLock(getDocument(req))
         case "delete"       => delete(req)
         case other => err(400, s"unknown op: '$other'")
       }
@@ -203,6 +231,7 @@ class QueryService(
       case e: MappingException =>
         (compact(render(err(400, s"malformed request: ${e.getMessage}"))), false)
       case NonFatal(e) =>
+        if (sys.env.contains("GRAFT_DEBUG_500")) e.printStackTrace()
         (compact(render(err(500, String.valueOf(e.getMessage)))), false)
     } finally {
       // cache hygiene between requests (VERDICT r2 #4): the store is
@@ -667,14 +696,24 @@ class QueryService(
     val id = (req \ "document_id").extractOpt[String]
       .getOrElse(throw ServiceError(400, "document_id required"))
     val b = requireBundle
-    val owned = Filters.tenantScope(b.chunks, ctx)
-      .filter(col("document_id") === id).limit(1).count() > 0
+    // ownership probe under the read lock (it executes a plan over the
+    // current view), RELEASED before updateLock — holding it across
+    // would deadlock with an ingest whose retire waits on readers
+    val owned = withReadLock {
+      Filters.tenantScope(b.chunks, ctx)
+        .filter(col("document_id") === id).limit(1).count() > 0
+    }
     if (!owned) throw ServiceError(404, "Document not found")
     // deletes are the rare interactive mutation: they take the full-
     // snapshot path (exact df/idf/stats recompute over survivors, a
     // fresh compacted generation) rather than carrying tombstones into
     // the append-only segment scheme
-    updateLock.synchronized { persistFull(Pipeline.cascadeDelete(b, Seq(id))) }
+    // re-read the CURRENT bundle inside the mutation lock: rebuilding
+    // from the pre-lock capture would silently drop any docs a
+    // concurrent ingest landed between the probe and the lock
+    updateLock.synchronized {
+      persistFull(Pipeline.cascadeDelete(requireBundle, Seq(id)))
+    }
     JObject(
       "status" -> JString("deleted"),
       "document_id" -> JString(id),

@@ -115,9 +115,23 @@ object SegmentedStore {
     * schema inference fires one small driver job PER DIR, so an
     * inference-free reload is what keeps the post-flip view refresh
     * flat in segment count. */
+  /** A dir "has data" when anything under it besides commit markers /
+    * checksums exists (recursive — partitioned layouts nest files).
+    * Zero-row partitionBy writes leave marker-only dirs; including one
+    * in a union poisons schema inference for the whole read. */
+  private def hasData(dir: String): Boolean = {
+    def walk(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.exists(k =>
+        if (k.isDirectory) walk(k)
+        else !k.getName.startsWith("_") && !k.getName.startsWith("."))
+    }
+    walk(new java.io.File(dir))
+  }
+
   private def readUnion(spark: SparkSession, dirs: Seq[String],
                         schema: Option[types.StructType] = None): Option[DataFrame] =
-    dirs.filter(exists)
+    dirs.filter(exists).filter(hasData)
       .map(d => schema.fold(spark.read)(s => spark.read.schema(s)).parquet(d))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
 
@@ -170,7 +184,13 @@ object SegmentedStore {
       Option(sidecarSchemaMemo.get(key)) match {
         case Some(schema) => readUnion(spark, dirs, Some(schema))
         case None =>
-          val df = readUnion(spark, dirs)
+          val df =
+            try readUnion(spark, dirs)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalStateException(
+                  s"sidecar union failed over ${dirs.filter(exists).mkString(",")}", e)
+            }
           df.foreach(d => sidecarSchemaMemo.put(key, d.schema))
           df
       }
