@@ -668,8 +668,8 @@ object DocumentParser {
   /** Default parser chain, first-accept-wins (the reference's
     * extension dispatch). */
   val defaultParsers: Seq[Parser] =
-    Seq(TextParser, HtmlParser, DelimitedParser, XlsxParser, DocxParser,
-      PdfParser)
+    Seq(TextParser, HtmlParser, DelimitedParser, XlsxParser, XlsParser,
+      DocxParser, PdfParser)
 
   /** Parse one file; None when no parser claims it (the caller's
     * quarantine / 400 decision, mirroring the reference's
