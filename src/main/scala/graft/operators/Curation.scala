@@ -443,6 +443,58 @@ object Curation {
     docs.select(col(idCol), urlDomain(col(urlCol)).as("domain"),
       urlKeep(col(urlCol), blockedDomains, blockedKeywords).as("keep"))
 
+  // ---- source reputation (statistics-driven source filter) ----------------
+
+  /** Source-reputation roll-up — the statistics-driven counterpart of
+    * the static [[urlFilter]] blocklist (the C4 bad-domain / RefinedWeb
+    * per-domain-quality idea re-keyed to this corpus's `source`
+    * column): per-source document count, mean quality score
+    * ([[TextAnalysis.qualityColumns]]'s composite), and exact-duplicate
+    * share, plus a keep verdict (mean ≥ `minMeanQuality` AND dup share
+    * ≤ `maxDupShare`). A low-reputation source drops WHOLESALE — the
+    * decision a crawl pipeline applies before any per-document work.
+    *
+    * Exactness across engines: the mean aggregates micro-units
+    * (round(q·1e6) as BIGINT), so the per-source sums are exact
+    * integers and the result is independent of float summation order;
+    * dup share is pure integer arithmetic.
+    *
+    * Scale: one row-local quality pass, one partial-agg
+    * groupBy(source) — sources ≪ documents, so the verdict table is
+    * broadcast-sized and [[bySourceReputation]]'s filter-back is a
+    * broadcast semi-join, never a shuffle of the corpus. */
+  def sourceReputation(docs: DataFrame, textCol: String, srcCol: String,
+                       minMeanQuality: Double,
+                       maxDupShare: Double): DataFrame = {
+    val q = TextAnalysis.qualityColumns(col(textCol))
+      .toMap.apply("quality_score")
+    val base = docs.select(col(srcCol).as("source"),
+      md5(col(textCol)).as("__h"),
+      round(q * 1e6).cast("long").as("__q6"))
+    base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__q6")).as("__sq"),
+        countDistinct(col("__h")).as("__nd"))
+      .select(col("source"), col("n_docs"),
+        round(col("__sq").cast("double") / (col("n_docs") * 1e6), 6)
+          .as("mean_quality"),
+        round(lit(1.0) - col("__nd").cast("double") / col("n_docs"), 6)
+          .as("dup_share"))
+      .withColumn("keep",
+        col("mean_quality") >= minMeanQuality &&
+          col("dup_share") <= maxDupShare)
+  }
+
+  /** Documents filtered by their source's reputation verdict. */
+  def bySourceReputation(docs: DataFrame, textCol: String, srcCol: String,
+                         minMeanQuality: Double,
+                         maxDupShare: Double): DataFrame =
+    docs.join(
+      broadcast(sourceReputation(docs, textCol, srcCol,
+          minMeanQuality, maxDupShare)
+        .filter(col("keep")).select(col("source").as(srcCol))),
+      Seq(srcCol), "left_semi")
+
   // ---- perplexity-bucket quality gate -------------------------------------
 
   /** CCNet-style perplexity bucketing (head / middle / tail) as a
@@ -967,6 +1019,7 @@ object Curation {
     "q65_top_ngrams" -> (topTrigrams _),
     "q82_pack_sequences" -> (sequences _),
     "q88_url_filter" -> (urlFilterGate _),
+    "q110_source_reputation" -> (sourceReputationGate _),
     "q89_ppl_bucket" -> (pplBucketGate _),
     "q94_gopher_rules" -> (gopherGate _),
     "q97_dsir_resample" -> (dsirGate _),
@@ -1075,6 +1128,22 @@ object Curation {
         blockedDomains = Seq("spam-casino.biz", "tracker.adserver.net"),
         blockedKeywords = Seq("casino"))
       .orderBy($"doc_id")
+  }
+
+  /** q110: source-reputation stats over documents plus an injected
+    * duplicate-heavy source (the synthetic corpus has no exact dups),
+    * so BOTH verdict clauses execute at every SF: `srcdup` fails on
+    * dup share, the weakest real sources fail on mean quality, the
+    * rest keep. */
+  def sourceReputationGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"text", $"source")
+    val injected = docs(spark, dir).filter($"doc_id" % 50 === 0)
+      .select($"text", lit("srcdup").as("source"))
+    sourceReputation(
+        d.unionByName(injected).unionByName(injected),
+        "text", "source", minMeanQuality = 0.635, maxDupShare = 0.2)
+      .orderBy($"source")
   }
 
   /** q89: perplexity-surrogate buckets over the raw corpus. */
@@ -1222,6 +1291,24 @@ object Curation {
          |SELECT s.doc_id, s.logw, s.gumbel, s.score, (sel.doc_id IS NOT NULL) AS selected
          |FROM sc2 s LEFT JOIN sel ON sel.doc_id = s.doc_id
          |ORDER BY s.doc_id""".stripMargin
+    },
+    "q110_source_reputation" -> {
+      val scoreSql = graft.operators.TextAnalysis.qualitySql("text")
+        .toMap.apply("quality_score")
+      s"""WITH d AS (
+         |  SELECT text, source FROM documents
+         |  UNION ALL SELECT text, 'srcdup' FROM documents WHERE doc_id % 50 = 0
+         |  UNION ALL SELECT text, 'srcdup' FROM documents WHERE doc_id % 50 = 0),
+         |q AS (SELECT source, md5(text) AS h,
+         |  CAST(round(($scoreSql) * 1000000) AS BIGINT) AS q6 FROM d),
+         |s AS (SELECT source, COUNT(*) AS n_docs, SUM(q6) AS sq,
+         |  COUNT(DISTINCT h) AS nd FROM q GROUP BY source)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  round(CAST(sq AS DOUBLE) / (n_docs * 1000000.0), 6) AS mean_quality,
+         |  round(1.0 - CAST(nd AS DOUBLE) / n_docs, 6) AS dup_share,
+         |  (round(CAST(sq AS DOUBLE) / (n_docs * 1000000.0), 6) >= 0.635
+         |    AND round(1.0 - CAST(nd AS DOUBLE) / n_docs, 6) <= 0.2) AS keep
+         |FROM s ORDER BY source""".stripMargin
     },
     "q88_url_filter" ->
       """WITH u AS (SELECT doc_id,

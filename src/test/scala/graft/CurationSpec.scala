@@ -301,6 +301,40 @@ class CurationSpec extends SparkSpec {
     assert(out1 == Set(1L, 5L)) // single cluster: same survivors
   }
 
+  test("sourceReputation: per-source verdicts and the broadcast filter-back") {
+    val docs = Seq(
+      // good: long varied prose, no dups
+      (1L, "The quarterly revenue review covers supplier contracts, renewal terms, and the updated payment schedule for each region.", "good"),
+      (2L, "Operations notes describe warehouse throughput, staffing levels, and seasonal demand planning across distribution centers.", "good"),
+      // junk: digit soup (low alpha ratio, low length)
+      (3L, "000 111 222 333 444", "junk"),
+      (4L, "99999 88888 77777", "junk"),
+      // dupfarm: fine text but every doc identical
+      (5L, "A perfectly reasonable paragraph that appears many times verbatim across this particular source's documents.", "dupfarm"),
+      (6L, "A perfectly reasonable paragraph that appears many times verbatim across this particular source's documents.", "dupfarm"),
+      (7L, "A perfectly reasonable paragraph that appears many times verbatim across this particular source's documents.", "dupfarm")
+    ).toDF("id", "text", "source")
+    val stats = graft.operators.Curation
+      .sourceReputation(docs, "text", "source",
+        minMeanQuality = 0.4, maxDupShare = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("dup_share"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(stats("good")._3, stats.toString)       // keeps
+    assert(!stats("junk")._3)                      // mean quality fails
+    assert(!stats("dupfarm")._3)                   // dup share fails
+    assert(stats("dupfarm")._2 > 0.5)
+    val kept = graft.operators.Curation
+      .bySourceReputation(docs, "text", "source", 0.4, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    // the filter-back is a broadcast semi-join, never a corpus shuffle
+    val plan = graft.operators.Curation
+      .bySourceReputation(docs, "text", "source", 0.4, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+
   test("semDedupAuto derives k from the corpus size (k ∝ n)") {
     // the scale contract: cluster count grows with n so within-cluster
     // pairwise verification stays constant work per cluster
