@@ -50,13 +50,16 @@ object ServeBench {
       }
       // search latency over the now-segmented store (base + 3 delta
       // segments): the read side pays the union fan-out, which must
-      // stay flat in store size and small in segment count
-      val searches = (1 to 3).map { _ =>
-        time {
-          svc.handle("""{"op":"search","organization_id":"org_bench",""" +
-            """"query":"latency probe payload","limit":5,"dense_mode":"ann"}""")
-          ()
-        }
+      // stay flat in store size and small in segment count. Each
+      // index-backed dense mode is timed (warm: min of 3).
+      val searches = Seq("ann", "quantized", "ivfpq", "hnsw").map { mode =>
+        mode -> (1 to 3).map { _ =>
+          time {
+            svc.handle("""{"op":"search","organization_id":"org_bench",""" +
+              s""""query":"latency probe payload","limit":5,"dense_mode":"$mode"}""")
+            ()
+          }
+        }.min
       }
       n -> (seedSec, probes, searches)
     }
@@ -64,7 +67,8 @@ object ServeBench {
     val json = results.map { case (n, (seedSec, probes, searches)) =>
       s""""$n":{"seed_sec":${f"$seedSec%.2f"},""" +
         s""""probe_secs":[${probes.map(p => f"$p%.2f").mkString(",")}],""" +
-        s""""search_secs":[${searches.map(p => f"$p%.2f").mkString(",")}]}"""
+        s""""search_secs":{${searches.map { case (m, t) =>
+          s""""$m":${f"$t%.2f"}""" }.mkString(",")}}}"""
     }.mkString("{", ",", "}")
     println(json)
     spark.stop()
