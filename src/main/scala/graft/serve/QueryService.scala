@@ -189,8 +189,11 @@ class QueryService(
   // Startup GC reclaims crash orphans and grace-retained dirs from a
   // previous process (no in-flight readers can exist yet).
   SegmentedStore.gcOrphans(spark, storeRoot)
-  private var manifest: Option[Manifest] = SegmentedStore.readManifest(storeRoot)
-  private var bundle: Option[IndexBundle] =
+  // @volatile: reader threads dereference these between a mutation's
+  // assignment and its retire (the writeLock publication point); a
+  // stale reference is safe (grace-protected) but a torn one is not
+  @volatile private var manifest: Option[Manifest] = SegmentedStore.readManifest(storeRoot)
+  @volatile private var bundle: Option[IndexBundle] =
     manifest.map(m => SegmentedStore.loadView(spark, storeRoot, m))
 
   // serializes every store-mutating path (JSON ingest/delete and the
