@@ -30,4 +30,17 @@ object Rerank {
       .orderBy(col("rerank_score").desc, col("id"))
       .limit(k)
   }
+
+  /** Model-backed rerank against a cross-encoder serving endpoint
+    * (the reference's CrossEncoder role, `hybrid_search.py:576-625`,
+    * behind the TEI `/rerank` protocol —
+    * [[graft.functions.RemoteCrossEncoder]]): batched (query, text)
+    * scoring in a `mapPartitions` pass, then the same re-sort + cut
+    * as [[rerank]]. */
+  def rerankRemote(candidates: DataFrame, query: String, k: Int,
+                   ce: graft.functions.RemoteCrossEncoder): DataFrame =
+    ce.scoreFrame(candidates, "text", query, "rerank_score")
+      .withColumn("rerank_score", round(col("rerank_score"), 6))
+      .orderBy(col("rerank_score").desc, col("id"))
+      .limit(k)
 }

@@ -172,6 +172,30 @@ class ModelSeamSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("remote cross-encoder reranks through the TEI /rerank protocol") {
+    // the stub's "model": inverse length-distance to the query —
+    // deliberately unlike lexical overlap, so the remote order is
+    // observably the SERVER's ranking, reassembled by index from a
+    // reverse-ordered response
+    val server = new FakeRerankServer()
+    try {
+      val ce = graft.functions.RemoteCrossEncoder(
+        s"http://127.0.0.1:${server.port}", batchSize = 2)
+      val cands = Seq(
+        (1L, "spark join filter merge window table scan extra words here"),
+        (2L, "spark join"),
+        (3L, "unrelated text entirely")).toDF("id", "text")
+        .coalesce(1) // one partition → observable grouped(2) batching
+      val out = Rerank.rerankRemote(cands, "spark join filter", 3, ce)
+        .select(col("id"), col("rerank_score")).collect()
+      // closest-length text to the 17-char query wins under the stub
+      assert(out.head.getLong(0) == 3L, out.mkString(","))
+      assert(out.map(_.getDouble(1)).toSeq == out.map(_.getDouble(1)).sorted.reverse.toSeq)
+      // batching: 3 texts at batchSize=2 → 2 requests
+      assert(server.batchSizes.sorted == Seq(1, 2), server.batchSizes)
+    } finally server.stop()
+  }
+
   test("a second rerank scorer swaps in and changes the order") {
     val cands = Seq(
       (1L, "spark join filter merge window table scan extra words here"),
@@ -278,6 +302,50 @@ class FakeOpenAiServer(dim: Int, scale: Double) {
       val resp = compact(render(JObject(
         "object" -> JString("list"), "data" -> JArray(items))))
         .getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length.toLong)
+      ex.getResponseBody.write(resp)
+    } finally ex.close()
+  })
+  server.start()
+
+  def stop(): Unit = server.stop(0)
+}
+
+/** In-process endpoint speaking the TEI `/rerank` protocol: JSON
+  * {query, texts} → [{index, score}], response REVERSED (index
+  * reassembly required). Score = 1/(1+|len(text)-len(query)|) —
+  * a deterministic stand-in deliberately unlike lexical overlap. */
+class FakeRerankServer {
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 16)
+  private val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+
+  def port: Int = server.getAddress.getPort
+  def batchSizes: Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    sizes.forEach(s => b += s)
+    b.result()
+  }
+
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  server.createContext("/rerank", (ex: com.sun.net.httpserver.HttpExchange) => {
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods.{compact, parse, render}
+      implicit val formats: Formats = DefaultFormats
+      val req = parse(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      val query = (req \ "query").extract[String]
+      val texts = (req \ "texts") match {
+        case JArray(xs) => xs.map(_.extract[String])
+        case _ => Nil
+      }
+      sizes.add(texts.size)
+      val items = texts.zipWithIndex.map { case (t, i) =>
+        JObject("index" -> JInt(i),
+          "score" -> JDouble(1.0 / (1 + math.abs(t.length - query.length))))
+      }.reverse
+      val resp = compact(render(JArray(items))).getBytes("UTF-8")
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(200, resp.length.toLong)
       ex.getResponseBody.write(resp)
