@@ -71,6 +71,32 @@ object ServeBench {
           s""""$m":${f"$t%.2f"}""" }.mkString(",")}}}"""
     }.mkString("{", ",", "}")
     println(json)
+
+    // compaction rehearsal (SPARK_GRAFT_COMPACT=1): run single-doc
+    // ingests past MaxSegments on the largest store — the overflow
+    // batch folds base + segments into a fresh generation (full
+    // sidecar + quantizer rebuild), the LSM write-amplification spike
+    // this layout trades for O(delta) steady-state appends. Reports
+    // each batch's wall time; the spike is the compacting one.
+    if (sys.env.contains("SPARK_GRAFT_COMPACT")) {
+      val n = sizes.max
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_servebench_compact").toString
+      val svc = new graft.serve.QueryService(spark, root)
+      val seed = graft.Tables(spark, sfDir, "documents").limit(n)
+        .select(concat(lit("doc_"), col("doc_id"), lit(".md")).as("filename"),
+          col("text"), lit("org_bench").as("organization_id"))
+      svc.ingestBatch(seed)
+      import spark.implicits._
+      val steps = (1 to graft.sources.SegmentedStore.MaxSegments + 1).map { i =>
+        val one = Seq((s"compact_probe_$i.md",
+          s"Compaction rehearsal document $i with a steady plain-text payload.",
+          "org_bench")).toDF("filename", "text", "organization_id")
+        time { svc.ingestBatch(one) }
+      }
+      println(s"""{"compact_store_docs":$n,"batch_secs":[${
+        steps.map(s => f"$s%.2f").mkString(",")}]}""")
+    }
     spark.stop()
   }
 }
