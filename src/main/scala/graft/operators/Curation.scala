@@ -584,6 +584,36 @@ object Curation {
     * `target = floor(budget·w + 0.5)` (half-up rounds identically
     * across engines), `epochs = round(target/tokens, 6)`, 0 for an
     * empty or unweighted source. */
+  /** Temperature-derived mixture shares — the GPT-3 / PaLM mixing rule
+    * `w_i ∝ n_i^α` over per-source token inventories: α = 1 is
+    * proportional-to-size, α → 0 approaches uniform, the common
+    * α = 0.5 damps big sources without drowning small ones. Feeds
+    * [[mixturePlan]] when weights should be DERIVED from the corpus
+    * instead of hand-picked.
+    *
+    * Engine exactness: α = 0.5 computes via IEEE `sqrt` (correctly
+    * rounded everywhere); other α go through `pow` (last-ulp libm
+    * variance, absorbed by the 6-dp rounding). The denominator folds
+    * the per-source terms in ASCENDING VALUE order, so float summation
+    * order is fixed across engines and partitionings (the q89/q109
+    * sorted-fold convention). Per-source totals are one partial-agg
+    * pass; everything after runs on the |sources|-row result. */
+  def temperatureWeights(docs: DataFrame, sourceCol: String,
+                         nTokensCol: String, alpha: Double): DataFrame = {
+    val per = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(nTokensCol)).cast("long").as("n_tokens"))
+      .withColumn("__t",
+        if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+        else pow(col("n_tokens").cast("double"), alpha))
+    val den = per.agg(
+      aggregate(array_sort(collect_list(col("__t"))), lit(0.0),
+        (acc, x) => acc + x).as("__den"))
+    per.crossJoin(broadcast(den))
+      .select(col("source"), col("n_tokens"),
+        when(col("__den") > 0, round(col("__t") / col("__den"), 6))
+          .otherwise(lit(0.0)).as("weight"))
+  }
+
   def mixturePlan(docs: DataFrame, sourceCol: String, nTokensCol: String,
                   weights: Map[String, Double],
                   budgetTokens: Long): DataFrame = {
@@ -1027,7 +1057,20 @@ object Curation {
     "q101_semantic_decontam" -> (semDecontamGate _),
     "q104_mixture_plan" -> (mixturePlanGate _),
     "q105_mixture_realize" -> (mixtureRealizeGate _),
+    "q111_temperature_mix" -> (temperatureMixGate _),
   )
+
+  /** q111: α=0.5 temperature shares over the real source inventories,
+    * composed into target tokens under the q104 budget. */
+  def temperatureMixGate(spark: SparkSession, dir: String): DataFrame =
+    temperatureWeights(
+        docs(spark, dir).select(col("source"),
+          size(TextFunctions.wsTokens(col("text"))).cast("long").as("n")),
+        "source", "n", alpha = 0.5)
+      .select(col("source"), col("n_tokens"), col("weight"),
+        floor(lit(MixBudget) * col("weight") + lit(0.5))
+          .cast("long").as("target_tokens"))
+      .orderBy(col("source"))
 
   /** Gate mixture: six weighted sources (the rest get weight 0 and
     * drop at realization) against a 100k-token budget — small enough
@@ -1204,6 +1247,15 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    "q111_temperature_mix" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(SUM(len($wsSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |den AS (SELECT list_sum(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))) AS d FROM per)
+         |SELECT source, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / den.d, 6) AS weight,
+         |  CAST(floor($MixBudget * round(sqrt(CAST(n_tokens AS DOUBLE)) / den.d, 6) + 0.5) AS BIGINT) AS target_tokens
+         |FROM per CROSS JOIN den ORDER BY source""".stripMargin,
     "q104_mixture_plan" ->
       s"""WITH $mixPlanCte
          |SELECT source, n_docs, n_tokens, weight, target_tokens, epochs
