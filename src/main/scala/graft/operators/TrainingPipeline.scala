@@ -72,7 +72,13 @@ object TrainingPipeline {
       // drop. Scoring is one map pass under broadcast weights.
       clsMinMargin: Option[Long] = None,
       clsEpochs: Int = 4,
-      clsTrainDocs: Option[DataFrame] = None)
+      clsTrainDocs: Option[DataFrame] = None,
+      // source-reputation gate (q110, the C4 bad-domain / RefinedWeb
+      // role): whole sources drop when their mean quality or exact-dup
+      // share fails — applied FIRST (before any per-document work), on
+      // the stratum column as the source key
+      srcRepMinMeanQuality: Option[Double] = None,
+      srcRepMaxDupShare: Double = 0.5)
 
   /** Pipeline output: the curated documents (id, stratum, toks — what
     * a tokenizer-side consumer reads), the packed sequence spans, and
@@ -103,7 +109,8 @@ object TrainingPipeline {
       nAfterDecontam: Long,
       nSampled: Long,
       nSequences: Long,
-      nTokens: Long)
+      nTokens: Long,
+      nAfterSourceRep: Long = -1L)
 
   /** Run the full pipeline. `docs` needs (idCol: long-castable, textCol,
     * stratumCol); `evalDocs` needs textCol. Returns the packed sequence
@@ -143,9 +150,21 @@ object TrainingPipeline {
     val nUrl =
       if (!withReport || cfg.urlCol.isEmpty) -1L else urlFiltered.count()
 
+    // 0.5: source-reputation gate (q110) — drops whole sources on
+    // corpus statistics before any per-document work; the verdict
+    // table broadcasts (sources << docs)
+    val srcFiltered = cfg.srcRepMinMeanQuality match {
+      case Some(minQ) => Curation.bySourceReputation(urlFiltered,
+        textCol, stratumCol, minQ, cfg.srcRepMaxDupShare)
+      case None => urlFiltered
+    }
+    val nSrcRep =
+      if (!withReport || cfg.srcRepMinMeanQuality.isEmpty) -1L
+      else srcFiltered.count()
+
     // 1: PII scrub (row-local) — staged because exact dedup consumes
     // it three times (groups, losers, surviving base)
-    val scrubbed = staged(urlFiltered.select(col(idCol).as("id"),
+    val scrubbed = staged(srcFiltered.select(col(idCol).as("id"),
       col(stratumCol).as("stratum"), Pii.redact(col(textCol)).as("text")))
     prev = Some(scrubbed)
 
@@ -293,7 +312,7 @@ object TrainingPipeline {
       if (withReport) Seq(sampled, spans) else Seq(toks)
     Output(sampled, spans,
       Report(nInput, nUrl, nExact, nClean, nLineDedup, nPpl, nLm, nCls, nNear,
-        nDecontam, nSampled, nSeq, nTok),
+        nDecontam, nSampled, nSeq, nTok, nAfterSourceRep = nSrcRep),
       retained)
   }
 }

@@ -88,6 +88,29 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(off.report.nAfterLineDedup == 3L, off.report.toString)
   }
 
+  test("source-reputation gate drops a whole junk source before per-doc work") {
+    import spark.implicits._
+    // stratum doubles as the source key: 'good' carries prose, 'junk'
+    // carries digit soup — the q110 verdict drops junk WHOLESALE
+    val docs = Seq(
+      (1L, "good", "The quarterly revenue review covers supplier contracts and the updated payment schedule.\nA second well formed line closes the document."),
+      (2L, "good", "Operations notes describe warehouse throughput and seasonal demand planning.\nAnother properly written closing line follows here."),
+      (3L, "junk", "000 111 222 333 444 555 666 777 888 999 000 111."),
+      (4L, "junk", "99999 88888 77777 66666 55555 44444 33333 22222."))
+      .toDF("id", "source", "text")
+    val eval = Seq("completely unrelated evaluation text").toDF("text")
+    val out = TrainingPipeline.curate(docs, eval, "id", "text", "source",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0,
+        srcRepMinMeanQuality = Some(0.4)))
+    assert(out.report.nAfterSourceRep == 2, out.report.toString)
+    assert(out.docs.select($"id").as[Long].collect().toSet == Set(1L, 2L))
+    // gate off → sentinel, all four docs survive to line dedup
+    val off = TrainingPipeline.curate(docs, eval, "id", "text", "source",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0))
+    assert(off.report.nAfterSourceRep == -1L)
+    assert(off.report.nAfterLineDedup == 4L, off.report.toString)
+  }
+
   test("LM perplexity gate drops reference-LM-implausible docs") {
     import spark.implicits._
     // reference corpus (the CCNet shape: score the crawl under a
