@@ -600,20 +600,7 @@ object DocumentParser {
         if (close < 0) { i = n; return "" }
         val hex = content.substring(i + 1, close).replaceAll("\\s", "")
         i = close + 1
-        if (cmap.nonEmpty) {
-          // 2-byte ToUnicode codes; unmapped codes drop (degrade)
-          val padded = if (hex.length % 4 == 0) hex else hex + "0" * (4 - hex.length % 4)
-          val sb = new StringBuilder
-          var k = 0
-          while (k + 4 <= padded.length) {
-            try sb.append(cmap.getOrElse(
-              Integer.parseInt(padded.substring(k, k + 4), 16), ""))
-            catch { case _: NumberFormatException => }
-            k += 4
-          }
-          sb.toString
-        } else if (composite) "" // CIDs with no map: empty, not garbage
-        else {
+        def bytePerChar(): String = {
           val padded = if (hex.length % 2 == 1) hex + "0" else hex
           val sb = new StringBuilder
           var k = 0
@@ -624,6 +611,36 @@ object DocumentParser {
           }
           decodeText(sb.toString)
         }
+        if (cmap.nonEmpty) {
+          // 2-byte ToUnicode codes; unmapped codes drop (degrade)
+          val padded = if (hex.length % 4 == 0) hex else hex + "0" * (4 - hex.length % 4)
+          val sb = new StringBuilder
+          var mapped = 0
+          var k = 0
+          while (k + 4 <= padded.length) {
+            try cmap.get(Integer.parseInt(padded.substring(k, k + 4), 16))
+              .foreach { v => sb.append(v); mapped += 1 }
+            catch { case _: NumberFormatException => }
+            k += 4
+          }
+          // the cmap and `composite` flag are file-global, so a PDF
+          // mixing a simple 1-byte font (hex strings = char codes)
+          // with any Type0 font would route the simple font's strings
+          // through the 2-byte map and lose them; when the 2-byte
+          // read maps NOTHING for a whole non-empty string, assume
+          // it belongs to the simple-font world and fall back to
+          // byte-per-char — but only keep the fallback when it reads
+          // as text (mostly printable), so genuine CIDs absent from a
+          // partial ToUnicode still degrade to empty, not garbage.
+          // A per-text-object Tf/font-resource resolver is the full
+          // fix; this closes the common mixed-font case
+          if (mapped == 0 && hex.nonEmpty) {
+            val alt = bytePerChar()
+            val printable = alt.count(ch => ch >= ' ' && ch < 0x7F)
+            if (alt.nonEmpty && printable * 10 >= alt.length * 9) alt else ""
+          } else sb.toString
+        } else if (composite) "" // CIDs with no map: empty, not garbage
+        else bytePerChar()
       }
       while (i < n) {
         val c = content.charAt(i)

@@ -320,10 +320,16 @@ object XlsParser extends Parser {
         case 0x0006 => // FORMULA: cached double unless the 0xFFFF tags
           val row = u16(d, 0); val c = u16(d, 2)
           if (u16(d, 12) == 0xFFFF) {
-            // string result arrives in the next STRING record
+            // string result arrives in the next STRING record. The spec
+            // places it IMMEDIATELY after FORMULA, optionally separated
+            // by a SHRFMLA/ARRAY/TABLE record — so only accept a STRING
+            // within the next 3 records; an unbounded forward scan on a
+            // malformed file missing its STRING would bind a LATER
+            // formula's (or a later sheet's) string and attribute the
+            // wrong text to this cell, instead of degrading to empty.
             if (u8(d, 6) == 0 && i + 1 < recs.length) {
               val nx = recs.indexWhere(x => x.id == 0x0207, i + 1)
-              if (nx > 0) {
+              if (nx > 0 && nx <= i + 3) {
                 val sd = recs(nx).data
                 val cch = u16(sd, 0)
                 val grbit = u8(sd, 2)

@@ -172,9 +172,32 @@ object Bpe {
       .orderBy($"doc_id")
   }
 
+  /** q112: tokenizer-consistent sequence packing (VERDICT r8 ask #2) —
+    * the corpus packed into fixed-512 sequences in **BPE-token units**
+    * (the q102 vocabulary), the unit a real pretraining pipeline
+    * budgets in, rather than whitespace tokens. Composes the two
+    * already-gated primitives: [[encode]] supplies per-doc `n_bpe`,
+    * [[Curation.packSequences]] lays docs end-to-end and splits at
+    * every 512-BPE-token boundary. Token conservation (sum of span
+    * lens = sum of n_bpe) holds by construction and is what the
+    * oracle's independent replay certifies. */
+  def packGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    val merges = learnMerges(wordHistogram(docs, "text", GateTypes),
+      GateMerges)
+    val sized = encode(docs, "doc_id", "text", merges)
+      .select($"id", $"n_bpe".as("n_tokens"))
+    Curation.packSequences(sized, "id", "n_tokens",
+        seqLen = 512L, groupSize = 100L)
+      .select($"seq_id", $"id".as("doc_id"), $"doc_from", $"len", $"seq_from")
+      .orderBy($"seq_id", $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_bpe_train" -> (trainGate _),
-    "q103_bpe_encode" -> (encodeGate _))
+    "q103_bpe_encode" -> (encodeGate _),
+    "q112_bpe_packing" -> (packGate _))
 
   // ---- oracle SQL (programmatically unrolled merge loop) -----------------
 
@@ -228,7 +251,38 @@ object Bpe {
        |SELECT doc_id, n_words, n_bpe FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  /** q112 oracle: the q103 encode replay (merge training + per-doc
+    * n_bpe) feeding the q82 packing shape (single cumulative window +
+    * span explode) — the whole tokenizer-consistent layout certified
+    * end-to-end by one independent SQL program. */
+  private def packOracle: String = {
+    val rep = (1 to GateMerges).foldLeft("chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g')") {
+      (acc, i) =>
+        s"replace($acc, chr(1) || m$i.left_t || chr(1) || m$i.right_t || chr(1), chr(1) || m$i.left_t || m$i.right_t || chr(1))"
+    }
+    val crossMs = (1 to GateMerges).map(i => s"m$i").mkString(" CROSS JOIN ")
+    s"""WITH ${trainCtes(GateMerges)},
+       |dw AS (SELECT doc_id, list_filter($wsLowerSql, w -> regexp_matches(w, '^[a-z]+${"$"}')) AS words FROM documents),
+       |enc AS (SELECT doc_id,
+       |    CAST(COALESCE(list_sum(list_transform(words,
+       |      w -> len(list_filter(string_split($rep, chr(1)), x -> x <> '')))), 0) AS BIGINT) AS n
+       |  FROM dw CROSS JOIN $crossMs),
+       |nz AS (SELECT * FROM enc WHERE n > 0),
+       |p AS (SELECT doc_id, n,
+       |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM nz),
+       |spans AS (SELECT doc_id, n, off, u.s AS seq_id
+       |  FROM p, unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS u(s))
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       |  CAST(greatest(off, seq_id * 512) - off AS BIGINT) AS doc_from,
+       |  CAST(least(off + n, (seq_id + 1) * 512)
+       |    - greatest(off, seq_id * 512) AS BIGINT) AS len,
+       |  CAST(greatest(off, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_from
+       |FROM spans ORDER BY seq_id, doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q102_bpe_train" -> trainOracle,
-    "q103_bpe_encode" -> encodeOracle)
+    "q103_bpe_encode" -> encodeOracle,
+    "q112_bpe_packing" -> packOracle)
 }

@@ -78,7 +78,19 @@ object TrainingPipeline {
       // share fails — applied FIRST (before any per-document work), on
       // the stratum column as the source key
       srcRepMinMeanQuality: Option[Double] = None,
-      srcRepMaxDupShare: Double = 0.5)
+      srcRepMaxDupShare: Double = 0.5,
+      // tokenizer-consistent packing (q112 shape): when either knob is
+      // set, stage 8 counts tokens in BPE units — a vocabulary trained
+      // on the sampled survivors (`bpeSteps` merge steps over the top
+      // `bpeMaxTypes` word types), or one supplied via `bpeMerges`
+      // (train once, reuse across runs) — so `seqLen` means BPE
+      // tokens, the unit pretraining actually budgets in. Training
+      // adds bpeSteps tiny type-table jobs + ONE corpus histogram
+      // shuffle; encoding is a per-TYPE replace chain joined back
+      // (Zipf-bounded — the q103 scale shape), never per-instance.
+      bpeSteps: Option[Int] = None,
+      bpeMerges: Option[Seq[Bpe.Merge]] = None,
+      bpeMaxTypes: Int = 10000)
 
   /** Pipeline output: the curated documents (id, stratum, toks — what
     * a tokenizer-side consumer reads), the packed sequence spans, and
@@ -283,15 +295,29 @@ object TrainingPipeline {
       .join(broadcast(contaminated), Seq("id"), "left_anti"))
     val nDecontam = stageCount(decontaminated)
 
-    // 7: deterministic stratified sampling
+    // 7: deterministic stratified sampling (text kept through when BPE
+    // packing needs to re-read it for encoding)
+    val bpeOn = cfg.bpeSteps.isDefined || cfg.bpeMerges.isDefined
+    val sampleCols = Seq(col("id"), col("stratum"), col("toks")) ++
+      (if (bpeOn) Seq(col("text")) else Nil)
     val sampled = staged(Curation.stratifiedSample(decontaminated, "id",
         "stratum", cfg.sampleRates, cfg.defaultSampleRate, cfg.sampleSalt)
-      .select(col("id"), col("stratum"), col("toks")))
+      .select(sampleCols: _*))
     val nSampled = stageCount(sampled)
 
-    // 8: fixed-length sequence packing over token counts
-    val sized = sampled.select(col("id"),
-      size(col("toks")).cast("long").as("n_tokens"))
+    // 8: fixed-length sequence packing over token counts — whitespace
+    // units by default, BPE units when configured (q112 shape: seqLen
+    // then means BPE tokens, and Report.nTokens reports BPE totals)
+    val sized =
+      if (!bpeOn)
+        sampled.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      else {
+        val merges = cfg.bpeMerges.getOrElse(Bpe.learnMerges(
+          Bpe.wordHistogram(sampled, "text", cfg.bpeMaxTypes),
+          cfg.bpeSteps.getOrElse(8)))
+        Bpe.encode(sampled, "id", "text", merges)
+          .select(col("id"), col("n_bpe").as("n_tokens"))
+      }
     val spans = staged(Curation.packSequences(sized, "id", "n_tokens",
       cfg.seqLen))
     // sequence stats are themselves a report job — in lazy mode
@@ -310,7 +336,12 @@ object TrainingPipeline {
     // lazy mode: the token frame is the one deliberate cache
     val retained =
       if (withReport) Seq(sampled, spans) else Seq(toks)
-    Output(sampled, spans,
+    // docs keeps its (id, stratum, toks) contract regardless of the
+    // token-unit mode (the projection reads through the cache)
+    val docsOut =
+      if (bpeOn) sampled.select(col("id"), col("stratum"), col("toks"))
+      else sampled
+    Output(docsOut, spans,
       Report(nInput, nUrl, nExact, nClean, nLineDedup, nPpl, nLm, nCls, nNear,
         nDecontam, nSampled, nSeq, nTok, nAfterSourceRep = nSrcRep),
       retained)

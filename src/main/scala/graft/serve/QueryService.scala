@@ -175,13 +175,34 @@ class QueryService(
       else Nil)
   }
 
-  /** Route a pure-insert delta: first ingest and segment-count
-    * overflow take the full path (the latter folding base + segments
-    * into a fresh generation — compaction), everything else appends. */
+  /** Minor compaction (segment overflow, small accumulated delta):
+    * fold all segments + this delta into ONE merged segment without
+    * touching base — O(sum-of-deltas), not O(corpus). Retires the old
+    * segment dirs (and superseded derived) under the one-flip grace. */
+  private def persistFold(delta: IndexBundle): Unit = {
+    val m = manifest.getOrElse(
+      throw new IllegalStateException("fold needs a base generation"))
+    val next = SegmentedStore.foldSegments(spark, storeRoot, m, delta)
+    SegmentedStore.writeManifest(storeRoot, next)
+    bundle = Some(SegmentedStore.loadView(spark, storeRoot, next, hint = bundle))
+    manifest = Some(next)
+    retire((m.segments ++
+      (if (m.derived != next.derived && m.derived != m.base) Seq(m.derived)
+       else Nil)).distinct)
+  }
+
+  /** Route a pure-insert delta: first ingest takes the full path;
+    * segment-count overflow compacts TIERED — a minor fold (segments
+    * merge into one, base untouched, cost tracks delta size) unless
+    * the accumulated segments have grown comparable to the base, when
+    * a major compaction (fresh generation, quantizer retrain over the
+    * grown corpus) is actually warranted; everything else appends. */
   private def persistInsert(delta: IndexBundle): Unit = (bundle, manifest) match {
     case (None, _) | (_, None) => persistFull(delta)
     case (Some(old), Some(m)) if m.segments.size >= SegmentedStore.MaxSegments =>
-      persistFull(mergeBundles(old, delta))
+      if (SegmentedStore.needsMajorCompaction(spark, storeRoot, m))
+        persistFull(mergeBundles(old, delta))
+      else persistFold(delta)
     case _ => persistDelta(delta)
   }
 
@@ -698,12 +719,15 @@ class QueryService(
     val ctx = tenant(req)
     val id = (req \ "document_id").extractOpt[String]
       .getOrElse(throw ServiceError(400, "document_id required"))
-    val b = requireBundle
     // ownership probe under the read lock (it executes a plan over the
     // current view), RELEASED before updateLock — holding it across
-    // would deadlock with an ingest whose retire waits on readers
+    // would deadlock with an ingest whose retire waits on readers. The
+    // bundle is dereferenced INSIDE the locked block: capturing it
+    // before would let two full mutation flips land between the capture
+    // and the probe, planning over dirs the second flip already retired
+    // — the double-flip race storeLock exists to close.
     val owned = withReadLock {
-      Filters.tenantScope(b.chunks, ctx)
+      Filters.tenantScope(requireBundle.chunks, ctx)
         .filter(col("document_id") === id).limit(1).count() > 0
     }
     if (!owned) throw ServiceError(404, "Document not found")

@@ -74,11 +74,27 @@ object SegmentedStore {
 
   implicit private val formats: Formats = DefaultFormats
 
+  // The CURRENT manifest control file is read/written via java.nio
+  // with ATOMIC_MOVE — the store root must therefore live on a POSIX
+  // filesystem today. Everything DATA-side below (existence probes,
+  // data-file listings, generation tokens, orphan GC) goes through the
+  // Hadoop FileSystem resolved from the path, so the data layout
+  // itself is remote-FS-clean; porting the manifest means swapping
+  // these two functions for FileContext.rename(Options.Rename.OVERWRITE)
+  // (atomic on HDFS), nothing else.
   private def currentPath(root: String) =
     java.nio.file.Paths.get(root, "CURRENT")
 
-  private def exists(dir: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(dir))
+  private def hadoopFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val (f, p) = hadoopFs(spark, dir)
+    f.exists(p)
+  }
 
   /** Read the CURRENT manifest. A legacy CURRENT holding a bare
     * generation number (the pre-segment layout) maps to a
@@ -118,20 +134,27 @@ object SegmentedStore {
   /** A dir "has data" when anything under it besides commit markers /
     * checksums exists (recursive — partitioned layouts nest files).
     * Zero-row partitionBy writes leave marker-only dirs; including one
-    * in a union poisons schema inference for the whole read. */
-  private def hasData(dir: String): Boolean = {
-    def walk(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty)
-      kids.exists(k =>
-        if (k.isDirectory) walk(k)
-        else !k.getName.startsWith("_") && !k.getName.startsWith("."))
+    * in a union poisons schema inference for the whole read. Routed
+    * through the Hadoop FileSystem (not java.io.File) so a non-local
+    * storeRoot lists its dirs correctly instead of silently reporting
+    * every segment empty and excluding it from the union. */
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    val (f, p) = hadoopFs(spark, dir)
+    if (!f.exists(p)) false
+    else {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext()) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
     }
-    walk(new java.io.File(dir))
   }
 
   private def readUnion(spark: SparkSession, dirs: Seq[String],
                         schema: Option[types.StructType] = None): Option[DataFrame] =
-    dirs.filter(exists).filter(hasData)
+    dirs.filter(hasData(spark, _))
       .map(d => schema.fold(spark.read)(s => spark.read.schema(s)).parquet(d))
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
 
@@ -178,23 +201,28 @@ object SegmentedStore {
     }
 
   private def memoizedUnion(spark: SparkSession, root: String, kind: String,
-                            dirs: Seq[String]): Option[DataFrame] =
-    sidecarSchemaMemo.synchronized {
-      val key = (spark, root, kind)
-      Option(sidecarSchemaMemo.get(key)) match {
-        case Some(schema) => readUnion(spark, dirs, Some(schema))
-        case None =>
-          val df =
-            try readUnion(spark, dirs)
-            catch {
-              case e: org.apache.spark.sql.AnalysisException =>
-                throw new IllegalStateException(
-                  s"sidecar union failed over ${dirs.filter(exists).mkString(",")}", e)
-            }
-          df.foreach(d => sidecarSchemaMemo.put(key, d.schema))
-          df
-      }
+                            dirs: Seq[String]): Option[DataFrame] = {
+    val key = (spark, root, kind)
+    // check-miss / release / infer / re-synchronize-to-put: schema
+    // inference fires driver jobs, and running those while holding the
+    // memo monitor would serialize every concurrent search JVM-wide on
+    // the first sidecar access; worst case now is a few redundant
+    // inferences racing to an identical put
+    sidecarSchemaMemo.synchronized(Option(sidecarSchemaMemo.get(key))) match {
+      case Some(schema) => readUnion(spark, dirs, Some(schema))
+      case None =>
+        val df =
+          try readUnion(spark, dirs)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalStateException(
+                s"sidecar union failed over ${dirs.filter(exists(spark, _)).mkString(",")}", e)
+          }
+        df.foreach(d =>
+          sidecarSchemaMemo.synchronized(sidecarSchemaMemo.put(key, d.schema)))
+        df
     }
+  }
 
   /** LSH sidecar view (base + segments), None when the base was built
     * without one. */
@@ -239,7 +267,7 @@ object SegmentedStore {
   def pqView(spark: SparkSession, root: String,
              m: Manifest): Option[(DataFrame, DataFrame, PqKnn.Codebook)] = {
     val base = s"$root/${m.base}"
-    if (!exists(s"$base/pq") || !exists(s"$base/pq_centroids")) None
+    if (!exists(spark, s"$base/pq") || !exists(spark, s"$base/pq_centroids")) None
     else {
       val (_, cb) = TableStore.loadPq(spark, base)
       val codes = memoizedUnion(spark, root, "pq",
@@ -271,16 +299,19 @@ object SegmentedStore {
         size() > 8
     }
 
-  private def baseGeneration(base: String): Long = {
-    val marker = new java.io.File(s"$base/pq_centroids/_SUCCESS")
-    if (marker.exists()) marker.lastModified()
-    else new java.io.File(s"$base/pq_centroids").lastModified()
+  private def baseGeneration(spark: SparkSession, base: String): Long = {
+    val (f, dir) = hadoopFs(spark, s"$base/pq_centroids")
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    try {
+      if (f.exists(marker)) f.getFileStatus(marker).getModificationTime
+      else f.getFileStatus(dir).getModificationTime
+    } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
   private def pinnedQuantizer(spark: SparkSession,
                               base: String): (DataFrame, PqKnn.Codebook) =
     quantizerMemo.synchronized {
-      val key = QuantizerKey(spark, base, baseGeneration(base))
+      val key = QuantizerKey(spark, base, baseGeneration(spark, base))
       Option(quantizerMemo.get(key)).getOrElse {
         val cents = TableStore.loadPqCentroids(spark, base)
         val (_, cb) = TableStore.loadPq(spark, base)
@@ -340,7 +371,8 @@ object SegmentedStore {
       if (nEmb > 0) {
         val base = s"$root/${m.base}"
         val pqWrite =
-          if (!exists(s"$base/pq_centroids") || !exists(s"$base/pq_codebook")) Nil
+          if (!exists(spark, s"$base/pq_centroids") ||
+              !exists(spark, s"$base/pq_codebook")) Nil
           else Seq(() => {
             val (cents, cb) = pinnedQuantizer(spark, base)
             PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb)
@@ -386,8 +418,157 @@ object SegmentedStore {
 
     awaitAll(chunkWrites ++ sidecarWrites ++ postingAndDerived)
 
+    // annTables/annBits carried forward: a legacy store (fine-config
+    // LSH sidecar) must keep probing at the config its base was built
+    // with — dropping them to the default here would silently misalign
+    // the probe set against the stored buckets
     Manifest(m.base, m.segments :+ segName,
-      if (hasPostings) s"derived$seq" else m.derived, seq)
+      if (hasPostings) s"derived$seq" else m.derived, seq,
+      m.annTables, m.annBits)
+  }
+
+  /** Decide the compaction TIER at segment overflow: a **major**
+    * compaction (full-snapshot rewrite — retrains the PQ quantizer and
+    * LSH/HNSW structures over the grown corpus) is warranted only once
+    * the accumulated delta rows are comparable to the base; until then
+    * a **minor** fold ([[foldSegments]]) keeps the write amplification
+    * O(delta). Decided from parquet FOOTER row counts (a `count()`
+    * over a bare parquet scan is metadata-only — no column data is
+    * read), so the probe costs one tiny job per store dir, runs once
+    * per overflow, and is exact at any scale — byte sizes would be
+    * swamped by per-file format overhead for small segments.
+    * Threshold: segment rows ≥ half the base's. */
+  def needsMajorCompaction(spark: SparkSession, root: String,
+                           m: Manifest): Boolean = {
+    def rows(dir: String): Long =
+      if (!hasData(spark, dir)) 0L else spark.read.parquet(dir).count()
+    val base = rows(s"$root/${m.base}/chunks")
+    val segs = m.segments.map(d => rows(s"$root/$d/chunks")).sum
+    segs * 2 >= base
+  }
+
+  /** **Minor compaction**: fold every delta segment PLUS the incoming
+    * delta into ONE merged segment, leaving the base generation
+    * completely untouched — the tiered answer to the measured
+    * full-compaction spike (a base-corpus re-read + PQ/codebook retrain
+    * at every segment overflow scales with BASE size; at 100 TB that is
+    * the one write-amplification term that grows with the corpus
+    * rather than the delta).
+    *
+    * What makes the fold O(sum-of-deltas):
+    *  - chunk and posting rows stream from the old segment dirs into
+    *    one merged dir (same partition layout — no recompute);
+    *  - the LSH / int8 / PQ sidecar rows are PER-ROW codes pinned to
+    *    the base quantizer config, so folding them is a copy-union of
+    *    already-encoded rows plus a fresh encode of just the delta;
+    *  - only the HNSW graphs rebuild (graph structure is not
+    *    mergeable) — over the merged SEGMENT embeddings only, never
+    *    the base's;
+    *  - derived tables roll forward from the delta exactly as a
+    *    normal segment append does (the current derived dir already
+    *    covers base + old segments).
+    *
+    * Sound only for the pure-append segments this store produces
+    * (ingest skips existing content-derived ids, so no id appears in
+    * two segments); the major path keeps the anti-join upsert for
+    * foreign/preloaded stores. Crash-safe like every other mutation:
+    * all dirs land before the manifest flips; orphans GC at startup. */
+  def foldSegments(spark: SparkSession, root: String, m: Manifest,
+                   delta: IndexBundle): Manifest = {
+    val seq = m.seq + 1
+    val segName = s"seg$seq"
+    val seg = s"$root/$segName"
+    val segDirs = m.segments.map(d => s"$root/$d")
+
+    val emb = delta.chunks
+      .filter(col("embedding").isNotNull)
+      .select(col("id"), col("embedding"), col("organization_id"))
+
+    def merged(sub: String, fresh: Option[DataFrame]): Option[DataFrame] = {
+      val old = readUnion(spark, segDirs.map(_ + s"/$sub"))
+      (old, fresh) match {
+        case (Some(o), Some(f)) => Some(o.unionByName(f, allowMissingColumns = true))
+        case (o, f) => o.orElse(f)
+      }
+    }
+
+    // phase 1 — everything except HNSW, concurrently: each write is a
+    // stream of old-segment rows ∪ freshly-encoded delta rows
+    val chunksWrite = () =>
+      merged("chunks", Some(delta.chunks)).foreach(
+        _.write.mode("overwrite").partitionBy("organization_id")
+          .parquet(s"$seg/chunks"))
+
+    val annWrite = () => {
+      val fresh =
+        if (emb.isEmpty) None
+        else Some(AnnKnn.index(emb, "id", "embedding", m.lshTables, m.lshBits,
+          keepCols = Seq("organization_id")))
+      merged("ann", fresh).foreach(
+        _.write.mode("overwrite")
+          .partitionBy("organization_id", "tbl", "bucket").parquet(s"$seg/ann"))
+    }
+
+    val quantWrite = () => {
+      val fresh =
+        if (emb.isEmpty) None
+        else Some(Quantize.quantized(emb, "id", "embedding")
+          .select(col("id"), col("codes").cast("array<tinyint>").as("codes"),
+            col("scale")))
+      merged("quantized", fresh).foreach(
+        _.write.mode("overwrite").parquet(s"$seg/quantized"))
+    }
+
+    val base = s"$root/${m.base}"
+    val pqWrite = () =>
+      if (exists(spark, s"$base/pq_centroids") &&
+          exists(spark, s"$base/pq_codebook")) {
+        val fresh =
+          if (emb.isEmpty) None
+          else {
+            val (cents, cb) = pinnedQuantizer(spark, base)
+            Some(PqKnn.ivfPqIndex(emb, "id", "embedding", cents, cb)
+              .select(col("cid"), col("id"),
+                TableStore.packPidCodes(col("codes")).as("codes")))
+          }
+        merged("pq", fresh).foreach(
+          _.write.mode("overwrite").partitionBy("cid").parquet(s"$seg/pq"))
+      }
+
+    @volatile var hasPostings = false
+    val postingsWrite = () => {
+      val fresh =
+        if (delta.postings.isEmpty) None
+        else Some(delta.postings
+          .withColumn("term_blk", TableStore.termBlock(col("term"))))
+      hasPostings = fresh.isDefined
+      merged("postings", fresh).foreach(
+        _.write.mode("overwrite").partitionBy("term_blk")
+          .parquet(s"$seg/postings"))
+      // derived roll-forward from the DELTA only: the current derived
+      // dir already covers base + old segments, and folding segments
+      // does not change the corpus
+      if (hasPostings)
+        writeDerived(spark, root, m, delta, s"$root/derived$seq")
+    }
+
+    awaitAll(Seq(chunksWrite, annWrite, quantWrite, pqWrite, postingsWrite))
+
+    // phase 2 — HNSW graphs rebuild over the merged segment's
+    // embeddings (read back column-pruned from the file we just wrote:
+    // cheaper than re-streaming old segments + delta through the
+    // build, and the count is needed for shard sizing anyway)
+    if (exists(spark, s"$seg/chunks")) {
+      val mergedEmb = spark.read.parquet(s"$seg/chunks")
+        .filter(col("embedding").isNotNull)
+        .select(col("id"), col("embedding"), col("organization_id"))
+      val n = mergedEmb.count()
+      if (n > 0) writeHnsw(mergedEmb, n, seg)
+    }
+
+    Manifest(m.base, List(segName),
+      if (hasPostings) s"derived$seq" else m.derived, seq,
+      m.annTables, m.annBits)
   }
 
   /** The derived docfreq/idf/stats roll-forward into `der` (see
@@ -440,27 +621,16 @@ object SegmentedStore {
       case None => Nil
       case Some(m) =>
         val referenced = (m.dataDirs :+ m.derived).toSet
-        val rootPath = java.nio.file.Paths.get(root)
-        if (!java.nio.file.Files.isDirectory(rootPath)) Nil
+        val (f, rootPath) = hadoopFs(spark, root)
+        if (!f.exists(rootPath) || !f.getFileStatus(rootPath).isDirectory) Nil
         else {
-          val s = java.nio.file.Files.list(rootPath)
-          val dirs =
-            try {
-              val it = s.iterator()
-              val b = Seq.newBuilder[String]
-              while (it.hasNext) {
-                val p = it.next()
-                if (java.nio.file.Files.isDirectory(p)) b += p.getFileName.toString
-              }
-              b.result()
-            } finally s.close()
+          val dirs = f.listStatus(rootPath).toSeq
+            .filter(_.isDirectory).map(_.getPath.getName)
           val orphans = dirs.filter(d =>
             !referenced.contains(d) &&
               (d.startsWith("gen") || d.startsWith("seg") || d.startsWith("derived")))
-          orphans.foreach { d =>
-            val p = new org.apache.hadoop.fs.Path(s"$root/$d")
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-          }
+          orphans.foreach(d =>
+            f.delete(new org.apache.hadoop.fs.Path(rootPath, d), true))
           orphans
         }
     }

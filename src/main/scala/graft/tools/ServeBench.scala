@@ -73,11 +73,15 @@ object ServeBench {
     println(json)
 
     // compaction rehearsal (SPARK_GRAFT_COMPACT=1): run single-doc
-    // ingests past MaxSegments on the largest store — the overflow
-    // batch folds base + segments into a fresh generation (full
-    // sidecar + quantizer rebuild), the LSM write-amplification spike
-    // this layout trades for O(delta) steady-state appends. Reports
-    // each batch's wall time; the spike is the compacting one.
+    // ingests past MaxSegments on the largest store. Under TIERED
+    // compaction the overflow batch takes a MINOR fold — the nine tiny
+    // segments merge into one, base untouched, cost tracking delta
+    // size (~a bulk-ingest of the accumulated deltas) — because nine
+    // single-doc segments are nowhere near half the seeded base. The
+    // pre-r8 behavior (full generation rebuild + quantizer retrain,
+    // the 46 s spike that scaled with BASE size) now fires only when
+    // accumulated deltas rival the base. Reports each batch's wall
+    // time plus the fold tier actually taken (base name flip = major).
     if (sys.env.contains("SPARK_GRAFT_COMPACT")) {
       val n = sizes.max
       val root = java.nio.file.Files
@@ -87,6 +91,7 @@ object ServeBench {
         .select(concat(lit("doc_"), col("doc_id"), lit(".md")).as("filename"),
           col("text"), lit("org_bench").as("organization_id"))
       svc.ingestBatch(seed)
+      val baseBefore = graft.sources.SegmentedStore.readManifest(root).get.base
       import spark.implicits._
       val steps = (1 to graft.sources.SegmentedStore.MaxSegments + 1).map { i =>
         val one = Seq((s"compact_probe_$i.md",
@@ -94,7 +99,10 @@ object ServeBench {
           "org_bench")).toDF("filename", "text", "organization_id")
         time { svc.ingestBatch(one) }
       }
-      println(s"""{"compact_store_docs":$n,"batch_secs":[${
+      val mAfter = graft.sources.SegmentedStore.readManifest(root).get
+      val tier = if (mAfter.base == baseBefore) "minor" else "major"
+      println(s"""{"compact_store_docs":$n,"fold_tier":"$tier",""" +
+        s""""segments_after":${mAfter.segments.size},"batch_secs":[${
         steps.map(s => f"$s%.2f").mkString(",")}]}""")
     }
     spark.stop()

@@ -215,21 +215,60 @@ class IncrementalStoreSpec extends SparkSpec {
     assert((r \ "total_results").extract[Int] > 0)
   }
 
-  test("segment overflow compacts into a fresh base generation") {
+  test("segment overflow folds MINOR when deltas are small: base untouched") {
     val root = TmpDirs.create("graft_incr_compact")
     val svc = new QueryService(spark, root)
-    svc.ingestBatch(docsDf(seedRows(20)))
+    svc.ingestBatch(docsDf(seedRows(80)))
+    val beforeBase = inventory(root).filter(_._1.contains("/gen0/"))
     for (i <- 1 to SegmentedStore.MaxSegments + 1)
       svc.ingestBatch(docsDf(Seq((s"seg_probe_$i.md",
         s"Segment probe $i content with marker word cascade$i.", "org_a"))))
     val m = SegmentedStore.readManifest(root).get
-    // the (MaxSegments+1)-th delta triggered compaction: fresh base,
-    // segment list reset (at most the post-compaction ingest remains)
+    // the (MaxSegments+1)-th delta triggered a MINOR fold: the nine
+    // tiny segments merged into ONE, and — the tiered-compaction
+    // contract — the base generation was neither rewritten nor even
+    // touched (every gen0 data file survives byte-identical)
+    assert(m.segments.size == 1, s"expected one merged segment: ${m.segments}")
+    assert(m.base == "gen0", s"minor fold must not produce a new base: ${m.base}")
+    val afterBase = inventory(root).filter(_._1.contains("/gen0/"))
+    assert(beforeBase == afterBase, "minor fold rewrote base files")
+    // everything remains searchable after the fold, in every dense
+    // mode (the folded segment carries merged LSH/int8/PQ rows and a
+    // REBUILT HNSW graph over the merged segment embeddings)
+    for (mode <- Seq("exact", "ann", "quantized", "ivfpq", "hnsw")) {
+      val r = parse(svc.handle(
+        s"""{"op":"search","organization_id":"org_a","query":"cascade1 segment probe","limit":5,"dense_mode":"$mode"}"""))
+      assert((r \ "total_results").extract[Int] > 0, s"fold lost docs via $mode")
+    }
+    // and the fold preserved exact BM25 state: stats equal a
+    // from-scratch ingest of the same corpus
+    val rootB = TmpDirs.create("graft_incr_compact_ref")
+    val ref = new QueryService(spark, rootB)
+    ref.ingestBatch(docsDf(seedRows(80) ++
+      (1 to SegmentedStore.MaxSegments + 1).map(i => (s"seg_probe_$i.md",
+        s"Segment probe $i content with marker word cascade$i.", "org_a"))))
+    def stats(s: QueryService): JValue =
+      parse(s.handle("""{"op":"stats"}""")) \ "bm25"
+    assert(stats(svc) == stats(ref))
+  }
+
+  test("segment overflow escalates to MAJOR once deltas rival the base") {
+    val root = TmpDirs.create("graft_incr_major")
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(10)))
+    // each delta batch is roughly base-sized: by overflow the
+    // accumulated segments dwarf the base — quantizer retrain over the
+    // grown corpus is now warranted, so the fold goes MAJOR (fresh
+    // generation, segment list reset)
+    for (i <- 1 to SegmentedStore.MaxSegments + 1)
+      svc.ingestBatch(docsDf((1 to 8).map(j => (s"bulk_${i}_$j.md",
+        s"Bulk delta batch $i document $j carrying marker word torrent$i.",
+        "org_a"))))
+    val m = SegmentedStore.readManifest(root).get
     assert(m.segments.size <= 1, s"no compaction: ${m.segments}")
-    assert(m.base != "gen0")
-    // everything remains searchable after the fold
+    assert(m.base != "gen0", "major compaction should have built a fresh base")
     val r = parse(svc.handle(
-      s"""{"op":"search","organization_id":"org_a","query":"cascade1 segment probe","limit":5}"""))
+      s"""{"op":"search","organization_id":"org_a","query":"torrent1 bulk delta","limit":5}"""))
     assert((r \ "total_results").extract[Int] > 0)
   }
 }

@@ -197,6 +197,58 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!toks.contains("admin") && !toks.contains("example"))
   }
 
+  test("BPE-unit packing: spans conserve tokenizer tokens exactly (q112 wiring)") {
+    import spark.implicits._
+    // two clean docs that survive every stage untouched; with ZERO
+    // merges each alphabetic word encodes to its character count, so
+    // the expected BPE layout is computable by hand:
+    //   doc 1 "alpha beta gamma delta"  -> 4+4+5+5 = 18 BPE tokens
+    //   doc 2 "epsilon zeta eta theta"  -> 7+4+3+5 = 19 BPE tokens
+    // seqLen 16: doc1 spans seq0[0,16)+seq1[16,18), doc2 (off 18)
+    // spans seq1[18,32)+seq2[32,37)
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "epsilon zeta eta theta"))
+      .toDF("id", "lang", "text")
+    val eval = Seq("completely unrelated evaluation text").toDF("text")
+    val out = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(defaultSampleRate = 1.0, seqLen = 16L,
+        minWordsPerLine = 1, bpeMerges = Some(Nil)))
+    val spans = out.spans.orderBy($"seq_id", $"id")
+      .select($"seq_id", $"id", $"doc_from", $"len", $"seq_from")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (0L, 1L, 0L, 16L, 0L),
+      (1L, 1L, 16L, 2L, 0L),
+      (1L, 2L, 0L, 14L, 2L),
+      (2L, 2L, 14L, 5L, 0L)), spans.toString)
+    // token conservation in BPE units, and the report counts BPE
+    // totals (whitespace units would have said 8)
+    assert(out.report.nTokens == 37L, out.report.toString)
+    // docs output keeps its (id, stratum, toks) contract in BPE mode
+    assert(out.docs.columns.toSeq == Seq("id", "stratum", "toks"))
+  }
+
+  test("BPE-unit packing with a TRAINED vocabulary keeps the same survivors") {
+    import spark.implicits._
+    val eval = graft.Tables(spark, sf0001, "documents")
+      .filter($"doc_id" >= 10L && $"doc_id" < 20L).select($"text")
+    val ws = TrainingPipeline.curate(corpus, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(maxContamFrac = 0.3, defaultSampleRate = 1.0))
+    val bpe = TrainingPipeline.curate(corpus, eval, "id", "text", "lang",
+      TrainingPipeline.Cfg(maxContamFrac = 0.3, defaultSampleRate = 1.0,
+        bpeSteps = Some(4), bpeMaxTypes = 300))
+    // the token-unit switch must not change WHICH docs survive — only
+    // how their sizes are measured (BPE splits words into subwords, so
+    // totals differ from whitespace counts)
+    def ids(o: TrainingPipeline.Output) =
+      o.docs.select($"id").as[Long].collect().toSet
+    assert(ids(ws) == ids(bpe))
+    assert(bpe.report.nTokens != ws.report.nTokens,
+      s"BPE totals should differ from whitespace totals: ${bpe.report.nTokens}")
+    ws.release(); bpe.release()
+  }
+
   test("lazy mode runs no report jobs and returns -1 counts") {
     import spark.implicits._
     val eval = graft.Tables(spark, sf0001, "documents")
