@@ -18,6 +18,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -323,7 +323,8 @@ object RetrievalPack {
         chunks, FallbackQuery, graft.model.TenantContext("src3"),
         cfg = graft.retrieval.HybridSearch.Config(limit = 5,
           dense = graft.retrieval.HybridSearch.DenseMode.AnnLsh(store,
-            bits = HybridAnnBits, extraProbes = 0)))
+            bits = HybridAnnBits, extraProbes = 0),
+          detail = false))
       .select($"id".cast("bigint").as("doc_id"),
         round($"rrf_score", 6).as("rrf_score"))
       .orderBy($"rrf_score".desc, $"doc_id")

@@ -91,7 +91,14 @@ object HybridSearch {
       levelFilter: Option[String] = Some("paragraph"),
       // dense index selection; non-exact stores must be built over the
       // SAME ids/embeddings as the chunk table being searched
-      dense: DenseMode = DenseMode.Exact)
+      dense: DenseMode = DenseMode.Exact,
+      // J2 detail join (text + per-method score/rank). Callers that
+      // consume only (id, rrf_score) — the enhanced fallback loop, the
+      // merge-only gates — turn this off: Spark never eliminates an
+      // unused left join, so the detail broadcasts + the corpus-scan
+      // text lookup would execute anyway and dominate the fixed cost
+      // of every retry round-trip
+      detail: Boolean = true)
 
   /** Chunk-table hybrid search. `chunks` needs columns: id, text,
     * organization_id (+ tenant columns), embedding. Returns the fused
@@ -128,9 +135,17 @@ object HybridSearch {
     // semantics, `bm25_store.py:190-244`) — the query touches only its
     // own terms' posting lists instead of re-deriving the index from
     // the raw corpus.
+    // per-method ranked lists: rank assigned by ONE window over the
+    // already-cut top-fetch rows (ids unique ⇒ identical to the
+    // rank-then-self-join formulation, but the corpus-scoring subtree
+    // under the limit is planned once, not twice per use)
+    def withRank(scoredTopK: DataFrame): DataFrame =
+      scoredTopK.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+
     if (qTokens.nonEmpty && weights.getOrElse("bm25", 0.0) > 0) {
       val bm = scopedBm25(scoped, qTokens, fetch, index)
-      methods += ((Fusion.rank(bm).join(bm, "id"), weights("bm25"), "bm25"))
+      methods += ((withRank(bm), weights("bm25"), "bm25"))
     }
 
     // dense branch: deterministic feature-hash query embedding (I9),
@@ -139,14 +154,13 @@ object HybridSearch {
     if (weights.getOrElse("dense", 0.0) > 0) {
       val qvec = cfg.embedder.embedQuery(qTokens)
       val dn = denseTopK(scoped, qvec, fetch, cfg)
-      methods += ((Fusion.rank(dn).join(dn, "id"), weights("dense"), "dense"))
+      methods += ((withRank(dn), weights("dense"), "dense"))
     }
 
     // ColPali branch (J3/J4): page-level MaxSim propagated to chunks
     pages.filter(_ => weights.getOrElse("colpali", 0.0) > 0).foreach { pg =>
       val propagated = colpaliPropagate(scoped, pg, qTokens, cfg, fetch)
-      methods += ((Fusion.rank(propagated).join(propagated, "id"),
-        weights("colpali"), "colpali"))
+      methods += ((withRank(propagated), weights("colpali"), "colpali"))
     }
 
     val built = methods.result()
@@ -157,6 +171,8 @@ object HybridSearch {
         .limit(0)
 
     val fused = Fusion.fuseTopK(built.map(m => (m._1, m._2)), cfg.limit, cfg.rrfK)
+    if (!cfg.detail)
+      return fused.orderBy(col("rrf_score").desc, col("id"))
 
     // detail join (J2, `hybrid_search.py:409-430`): attach text +
     // per-method score/rank; all right sides are top-k lists → broadcast
@@ -328,9 +344,12 @@ object HybridSearch {
                      index: Option[BM25.Index] = None): DataFrame = {
     val queryType = QueryAnalyzer.classify(query)
     val (expanded, _) = Acronyms.expandQuery(query)
-    // base search at limit×2 (`enhanced_hybrid_search.py:277`)
+    // base search at limit×2 (`enhanced_hybrid_search.py:277`);
+    // detail off — this loop consumes only (id, rrf_score), and the
+    // detail joins would execute anyway (unused left joins are never
+    // eliminated)
     val base = search(chunks, expanded, ctx, filters,
-      cfg.copy(limit = cfg.limit * 2), index = index)
+      cfg.copy(limit = cfg.limit * 2, detail = false), index = index)
 
     val scoped = Filters.tenantScope(chunks, ctx).filter(Filters.compile(filters))
     // BM25-only lookup reused by the precision and fallback branches
@@ -386,7 +405,7 @@ object HybridSearch {
             .select(col("id"), col("score").as("rrf_score"))
         if (recs.contains("expand_search") || noResults)
           retries += search(chunks, query, ctx, Map.empty,
-              cfg.copy(limit = 5), index = index)
+              cfg.copy(limit = 5, detail = false), index = index)
             .select(col("id"), col("rrf_score"))
         retries.result().reduceOption(mergeFirstWriterWins)
           .fold(merged)(fb => mergeFirstWriterWins(fb, merged))

@@ -74,8 +74,27 @@ object CurationStream {
     * count appended to `stateDir/docs`. */
   def curateBatch(batch0: DataFrame, stateDir: String,
                   cfg: Cfg = Cfg()): Long = {
+    val s = curateSurvivors(batch0, stateDir, cfg)
+    val n = s.count() // served from the cache the core materialized
+    s.unpersist(false)
+    n
+  }
+
+  /** The batch core, returning the surviving rows (id, text — plus
+    * text_md5/toks) as an eagerly CHECKPOINTED, lineage-free frame so
+    * a composed consumer (the curate→serve stream) can forward
+    * survivors without re-reading — or being poisoned by — the
+    * just-mutated state. State appends have already happened when this
+    * returns; the caller unpersists the result to release its blocks. */
+  def curateSurvivors(batch0: DataFrame, stateDir: String,
+                      cfg: Cfg = Cfg()): DataFrame = {
     val spark = batch0.sparkSession
-    if (batch0.isEmpty) return 0L
+    if (batch0.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("id", LongType),
+          StructField("text_md5", StringType),
+          StructField("text", StringType),
+          StructField("toks", ArrayType(StringType)))))
 
     // 1: row-local normalize + C4 line clean (one fused pass)
     val cleaned = Clean.lineClean(
@@ -136,26 +155,35 @@ object CurationStream {
       .join(broadcast(batchIds), col("id_b") === col("bid"), "left")
       .select(when(col("bid").isNotNull, col("id_b"))
         .otherwise(col("id_a")).as("id")).distinct()
+    // survivors and their band rows are MATERIALIZED (eager local
+    // checkpoint — batch-bounded) BEFORE any state write: their plans
+    // read the very paths the writes below append to, and Spark's
+    // write-path cache refresh would otherwise invalidate them and
+    // re-execute against the mutated state (the batch's own md5s in
+    // the key store ⟹ every survivor reclassified as a dup) on the
+    // next access — exactly what the composed curate→serve consumer
+    // does after this returns. A checkpoint is lineage-free, so
+    // post-write evaluations are immune by construction.
     val survivors = toks.join(broadcast(losers), Seq("id"), "left_anti")
-      .cache()
+      .localCheckpoint()
 
     // 5: append survivors + their state — O(batch) writes, no rewrite
     val n = survivors.count()
     if (n > 0) {
+      val survBands = Dedup.bandTable(
+          sigs.join(broadcast(survivors.select("id")), Seq("id"), "left_semi"),
+          cfg.bands, cfg.rows)
+        .localCheckpoint()
       survivors.select("id", "text").write.mode("append")
         .parquet(s"$stateDir/docs")
       survivors.select("id", "text_md5").write.mode("append")
         .parquet(s"$stateDir/keys")
-      Dedup.bandTable(
-          sigs.join(broadcast(survivors.select("id")), Seq("id"), "left_semi"),
-          cfg.bands, cfg.rows)
-        .write.mode("append").parquet(s"$stateDir/bands")
+      survBands.write.mode("append").parquet(s"$stateDir/bands")
       survivors.select("id", "toks").write.mode("append")
         .parquet(s"$stateDir/toks")
     }
     toks.unpersist(false)
-    survivors.unpersist(false)
-    n
+    survivors
   }
 
   /** The streaming front: each micro-batch runs [[curateBatch]].
@@ -170,6 +198,47 @@ object CurationStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateBatch(batch, stateDir, cfg); ()
+      }
+
+  /** Curate→serve composed stream (the reference's upload→index
+    * lifecycle at stream granularity, with crawl-time dedup in front):
+    * each micro-batch of serving-shaped docs (filename, text,
+    * organization_id) is first curated against the cumulative curation
+    * state — normalize → line-clean → exact + MinHash near-dedup vs
+    * everything curated so far — and ONLY the survivors are indexed
+    * into the serving store via
+    * [[graft.serve.QueryService.ingestBatch]], becoming searchable at
+    * the next batch boundary. Dedup identity is a deterministic hash
+    * of (org, filename, text): a redelivered file exact-drops in the
+    * curation state before it ever reaches the store, and replayed
+    * micro-batches (checkpoint recovery) are idempotent end-to-end.
+    * Per-batch cost is O(batch + candidate pairs) on the curation side
+    * (the [[curateBatch]] contract) plus O(delta) on the serving side
+    * (the ingestBatch segment append) — nothing scales with either
+    * store. */
+  def curateToServeStream(svc: graft.serve.QueryService, docs: DataFrame,
+                          stateDir: String, checkpoint: String,
+                          cfg: Cfg = Cfg()): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val withId = batch.withColumn("id",
+              xxhash64(col("organization_id"), col("filename"), col("text")))
+            .dropDuplicates("id")
+          val surv = curateSurvivors(
+            withId.select(col("id"), col("text")), stateDir, cfg)
+          // survivors are batch-bounded → broadcast the id set back
+          // onto the batch to recover filename/org for the store
+          val keep = withId
+            .join(broadcast(surv.select(col("id"))), Seq("id"), "left_semi")
+            .drop("id")
+          if (!keep.isEmpty) { svc.ingestBatch(keep); () }
+          surv.unpersist(false)
+          ()
+        }
       }
 
   /** JSONL (id, text) stream over a watched directory. */

@@ -17,6 +17,7 @@ object IngestProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

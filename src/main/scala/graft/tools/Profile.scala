@@ -41,6 +41,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/classload warmup so the first query's cold time is the query's

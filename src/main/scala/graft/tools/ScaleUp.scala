@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * workloads see realistic 10-clique clusters instead of degenerate
   * exact ones while exact-dedup load stays the original's.
   *
-  * Usage: ScaleUp <srcDir> <dstDir> <factor>
+  * Usage: ScaleUp <srcDir> <dstDir> <factor> [tables]
+  * `tables` (optional, comma-separated) restricts replication to a
+  * subset — the ×100 sketch/LM rehearsal needs only `documents`, and
+  * replicating 60M lineitem rows alongside would be pure waste.
   */
 object ScaleUp {
 
@@ -56,19 +59,21 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args.take(3)
     val factor = factorS.toInt
+    val only = args.lift(3).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // events.ts is TIMESTAMP(NANOS); read it as raw long (the replica
     // then carries a bigint ts column, which graft.Tables.events
     // handles identically to the original nanos — see Tables.scala)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for ((table, keys) <- keyCols) {
+    for ((table, keys) <- keyCols if only.forall(_.contains(table))) {
       val in = spark.read.parquet(s"$src/$table.parquet")
       val salt = if (table == "documents") Some("text") else None
       replicate(in, keys, factor, salt)

@@ -28,6 +28,7 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -79,6 +80,62 @@ object StreamBench {
         s""""probe_secs":[${ps.map(p => f"$p%.2f").mkString(",")}]}"""
     }.mkString("{", ",", "}")
     println(json)
+
+    // curate→serve composed rehearsal (SPARK_GRAFT_SERVE=1): the
+    // CurationStream.curateToServeStream batch body — curate the batch
+    // against the cumulative state, index the survivors into the
+    // serving store — timed at two serving-store sizes. Both per-batch
+    // terms are individually pinned flat (curation: above; ingest:
+    // ServeBench); this pins their COMPOSITION, where a hidden
+    // cross-term (e.g. a survivor join against the store) would
+    // surface as growth in store size.
+    if (sys.env.contains("SPARK_GRAFT_SERVE")) {
+      val serveResults = Seq(500, 2000).map { n =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_streamserve_$n").toString
+        val svc = new graft.serve.QueryService(spark, root)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory(s"graft_streamserve_state_$n").toString
+        val seed = graft.Tables(spark, sfDir, "documents").limit(n)
+          .select(concat(lit("doc_"), col("doc_id"), lit(".md")).as("filename"),
+            concat(col("text"), lit(".")).as("text"),
+            lit("org_bench").as("organization_id"))
+        svc.ingestBatch(seed)
+        CurationStream.curateBatch(
+          graft.Tables(spark, sfDir, "documents").limit(n)
+            .select(col("doc_id").as("id"),
+              concat(col("text"), lit(".")).as("text")),
+          stateDir)
+        val probes = (1 to 3).map { i =>
+          // 20 fresh docs per probe: half near-dup-ish of seeded
+          // content (the curation drop path runs), half unique salted
+          val probe = graft.Tables(spark, sfDir, "documents")
+            .filter(col("doc_id") % 97 === i).limit(20)
+            .select(
+              concat(lit(s"probe_${i}_"), col("doc_id"), lit(".md")).as("filename"),
+              when(col("doc_id") % 2 === 0,
+                concat(col("text"), lit(s". probe $i tail")))
+                .otherwise(concat(lit(s"unique probe $i payload "),
+                  md5(concat(col("doc_id"), lit(i))), lit(" "), col("text"),
+                  lit(s" salted $i."))).as("text"),
+              lit("org_bench").as("organization_id"))
+          time {
+            val withId = probe.withColumn("id",
+              xxhash64(col("organization_id"), col("filename"), col("text")))
+            val surv = CurationStream.curateSurvivors(
+              withId.select(col("id"), col("text")), stateDir)
+            val keep = withId.join(broadcast(surv.select(col("id"))),
+              Seq("id"), "left_semi").drop("id")
+            if (!keep.isEmpty) { svc.ingestBatch(keep); () }
+            surv.unpersist(false)
+          }
+        }
+        n -> probes
+      }
+      println(serveResults.map { case (n, ps) =>
+        s""""serve_$n":{"probe_secs":[${ps.map(p => f"$p%.2f").mkString(",")}]}"""
+      }.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }

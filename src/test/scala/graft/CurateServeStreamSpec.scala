@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+
+import graft.operators.TmpDirs
+import graft.serve.QueryService
+import graft.streaming.{CurationStream, EventStream}
+
+/** Curate→serve composed stream: per micro-batch, arriving documents
+  * are curated (exact + MinHash near-dedup against everything curated
+  * so far) and ONLY the survivors are indexed into the serving store —
+  * a planted near-dup is dropped by the stream while its original
+  * stays searchable, and a survivor becomes retrievable via
+  * `QueryService.search` at the next batch boundary. */
+class CurateServeStreamSpec extends SparkSpec {
+
+  implicit private val formats: Formats = DefaultFormats
+
+  private val contractText =
+    "The service agreement covers payment terms and renewal options for the client. " +
+      "All invoices are due within thirty days of the billing date as agreed. " +
+      "Either party may terminate the contract with ninety days written notice."
+  private val breadText =
+    "Sourdough bread needs flour, water, salt, and long patience before the bake. " +
+      "Let the dough rise for two hours in a warm place until it doubles. " +
+      "Bake at high heat until the crust turns deep golden brown."
+  // near-dup of contractText: identical but for a short appended tail
+  // (well above the 0.8 Jaccard threshold on whitespace tokens)
+  private val contractNearDup = contractText + " Appendix note seven."
+  private val auditText =
+    "The annual audit reviews ledger entries and reconciles every account balance. " +
+      "Findings are reported to the board with remediation deadlines attached. " +
+      "External auditors sign the final statement after the review closes."
+
+  private def jdoc(filename: String, text: String, org: String): String =
+    s"""{"filename":"$filename","text":"$text","organization_id":"$org"}"""
+
+  test("near-dups are dropped before indexing; survivors become searchable next batch") {
+    val tmp = TmpDirs.create("graft_curate_serve")
+    val docsDir = s"$tmp/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(docsDir, name), lines.mkString("\n").getBytes("UTF-8"))
+    val svc = new QueryService(spark, s"$tmp/store")
+    def call(json: String): JValue = parse(svc.handle(json))
+    def drain(): Unit = CurationStream.curateToServeStream(svc,
+      EventStream.readDocs(spark, docsDir), s"$tmp/state", s"$tmp/ckpt")
+      .start().awaitTermination()
+
+    // batch 1: two originals + a same-batch near-dup of the contract
+    drop("b1.jsonl", Seq(
+      jdoc("contract.md", contractText, "org_a"),
+      jdoc("bread.md", breadText, "org_a"),
+      jdoc("contract_copy.md", contractNearDup, "org_a")))
+    drain()
+
+    // the near-dup never reached the store: 2 documents, not 3
+    assert((call("""{"op":"stats"}""") \ "database" \ "documents")
+      .extract[Long] == 2L)
+    // the surviving original is retrievable through the service
+    val s1 = call("""{"op":"search","organization_id":"org_a","query":"payment terms invoice","limit":5}""")
+    assert((s1 \ "results").extract[List[JValue]]
+      .exists(r => (r \ "text").extract[String].contains("payment terms")))
+    // curation state recorded exactly the survivors
+    assert(spark.read.parquet(s"$tmp/state/docs").count() == 2L)
+
+    // batch 2: a cross-batch near-dup of the contract (dropped against
+    // the cumulative state) + a fresh doc (indexed and searchable)
+    drop("b2.jsonl", Seq(
+      jdoc("contract_again.md", contractText + " Appendix note eight.", "org_a"),
+      jdoc("audit.md", auditText, "org_a")))
+    drain()
+
+    assert((call("""{"op":"stats"}""") \ "database" \ "documents")
+      .extract[Long] == 3L)
+    val s2 = call("""{"op":"search","organization_id":"org_a","query":"annual audit ledger reconciles","limit":5}""")
+    assert((s2 \ "results").extract[List[JValue]]
+      .exists(r => (r \ "text").extract[String].contains("audit")))
+
+    // batch 3: byte-identical redelivery under a new filename —
+    // exact-dropped by the curation state, store count unchanged
+    drop("b3.jsonl", Seq(jdoc("contract_redelivered.md", contractText, "org_a")))
+    drain()
+    assert((call("""{"op":"stats"}""") \ "database" \ "documents")
+      .extract[Long] == 3L)
+  }
+}

@@ -208,6 +208,80 @@ class ModelSeamSpec extends SparkSpec {
     assert(lex.head == 1L) // full lexical overlap wins
     assert(brief.head == 2L) // shortest text wins
   }
+
+  test("multi-vector ColPali-protocol embedder populates the packed page store end-to-end") {
+    // in-process server speaking the multi-vector /v1/embeddings wire
+    // shape: per-input patch MATRICES, returned unnormalized (×2) and
+    // in reverse index order — pins index reassembly + row-wise L2
+    val server = new FakeColPaliServer(dim = 16, scale = 2.0)
+    try {
+      val cp = graft.functions.ColPaliEmbedder(
+        s"http://127.0.0.1:${server.port}", "fake-colpali", dim = 16,
+        batchSize = 2)
+
+      // query side: one unit patch per token, equal to the engine's
+      // deterministic stand-in (the server computes the same directions)
+      val qm = cp.embedQuery("spark join")
+      assert(qm.length == 2 && qm.forall(_.length == 16))
+      qm(0).zip(graft.functions.EmbedFunctions.embedQuery(Seq("spark"), 16))
+        .foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+
+      // page side: 2 docs × 2 pages, embedded over HTTP, persisted in
+      // the q27/q50 packed-f32 layout, reloaded, and scored
+      val pageText = Seq(
+        (0L, 0, "spark join broadcast"), (0L, 1, "hash exchange shuffle"),
+        (1L, 0, "spark filter window"), (1L, 1, "sort spill codegen"))
+        .toDF("document_id", "page_number", "page_text")
+      val viaHttp = cp.embedFrame(pageText, "page_text")
+        .select(col("document_id"), col("page_number"), col("patches"))
+      val root = graft.operators.TmpDirs.create("graft_colpali_seam")
+      graft.sources.TableStore.savePages(viaHttp, root, dim = 16)
+      val loaded = graft.sources.TableStore.loadPages(spark, root)
+      assert(loaded.columns.contains("packed"))
+
+      // chunks on pages 0-1 propagate directly; page 2 exercises the
+      // ×0.8 doc fallback
+      val chunks = Seq(
+        ("c00", 0L, 0), ("c01", 0L, 1), ("c0f", 0L, 2),
+        ("c10", 1L, 0), ("c11", 1L, 1))
+        .toDF("id", "document_id", "page_number")
+      val got = HybridSearch.colpaliPropagate(
+        chunks, loaded, Seq("spark", "join"), HybridSearch.Config(), fetch = 10)
+        .select(col("id"), col("score")).as[(String, Double)].collect().toSeq
+
+      // expected: the same patches built locally with the stand-in
+      // kernel (the server's model IS the stand-in ×2, normalized back)
+      val localPatches = pageText.as[(Long, Int, String)].collect().toSeq
+        .map { case (d, p, t) =>
+          (d, p, t.split(" ").toSeq.map(tok =>
+            graft.functions.EmbedFunctions.embedQuery(Seq(tok), 16).toSeq))
+        }.toDF("document_id", "page_number", "patches")
+      val want = HybridSearch.colpaliPropagate(
+        chunks, localPatches, Seq("spark", "join"), HybridSearch.Config(), fetch = 10)
+        .select(col("id"), col("score")).as[(String, Double)].collect().toSeq
+      assert(got == want, s"\ngot  $got\nwant $want")
+      // the fallback chunk is present and scored at 0.8 × its doc best
+      assert(got.exists(_._1 == "c0f"))
+      // batching held over HTTP
+      val sizes = server.batchSizes
+      assert(sizes.nonEmpty && sizes.max <= 2, sizes.mkString(","))
+    } finally server.stop()
+  }
+
+  test("multi-vector embedder fails loudly on a wrong-dim endpoint") {
+    val server = new FakeColPaliServer(dim = 8, scale = 1.0)
+    try {
+      val cp = graft.functions.ColPaliEmbedder(
+        s"http://127.0.0.1:${server.port}", "fake-colpali", dim = 16)
+      val ex = intercept[Exception] {
+        cp.embedFrame(Seq((1L, "spark join")).toDF("id", "t"), "t")
+          .select(col("patches")).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("patch dim 8")))
+    } finally server.stop()
+  }
 }
 
 /** Deterministic fake inference endpoint speaking ExternalEmbedder's
@@ -298,6 +372,58 @@ class FakeOpenAiServer(dim: Int, scale: Double) {
         val v = graft.functions.EmbedFunctions.embedQuery(toks, dim).map(_ * scale)
         JObject("index" -> JInt(i),
           "embedding" -> JArray(v.map(JDouble(_)).toList))
+      }.reverse // spec-legal reordering the client must undo
+      val resp = compact(render(JObject(
+        "object" -> JString("list"), "data" -> JArray(items))))
+        .getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length.toLong)
+      ex.getResponseBody.write(resp)
+    } finally ex.close()
+  })
+  server.start()
+
+  def stop(): Unit = server.stop(0)
+}
+
+/** In-process endpoint speaking the MULTI-VECTOR `/v1/embeddings`
+  * shape (the ColPali/ColBERT serving convention): each data item's
+  * `embedding` is a patch MATRIX — one row per whitespace token of the
+  * input, the feature-hash JVM twin times `scale` (unnormalized — the
+  * client must row-normalize), `data` in REVERSE index order (the
+  * client must reassemble by index). */
+class FakeColPaliServer(dim: Int, scale: Double) {
+  private val server = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 64)
+  private val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+
+  def port: Int = server.getAddress.getPort
+  def batchSizes: Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    sizes.forEach(s => b += s)
+    b.result()
+  }
+
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.createContext("/v1/embeddings", (ex: com.sun.net.httpserver.HttpExchange) => {
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods.{compact, parse, render}
+      implicit val formats: Formats = DefaultFormats
+      val req = parse(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      val inputs = (req \ "input") match {
+        case JArray(xs) => xs.map(_.extract[String])
+        case JString(s) => List(s)
+        case _ => Nil
+      }
+      sizes.add(inputs.size)
+      val items = inputs.zipWithIndex.map { case (text, i) =>
+        val toks = if (text.isEmpty) Seq.empty[String] else text.split(" ").toSeq
+        val m = toks.map(t =>
+          graft.functions.EmbedFunctions.embedQuery(Seq(t), dim).map(_ * scale))
+        JObject("index" -> JInt(i),
+          "embedding" -> JArray(m.map(v =>
+            JArray(v.map(JDouble(_)).toList)).toList))
       }.reverse // spec-legal reordering the client must undo
       val resp = compact(render(JObject(
         "object" -> JString("list"), "data" -> JArray(items))))

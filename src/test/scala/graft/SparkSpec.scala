@@ -12,6 +12,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // listener events render the physical plan to a string on EVERY
+      // action; deep composed lineages (the curate chain re-referenced
+      // by BPE encoding) can reach GB-scale strings and OOM the driver
+      // unless rendering is capped. 1M chars is plenty to debug with.
+      .config("spark.sql.maxPlanStringLength", "1000000")
       .withExtensions(new GraftExtensions()(_))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

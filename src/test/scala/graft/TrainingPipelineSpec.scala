@@ -199,16 +199,18 @@ class TrainingPipelineSpec extends SparkSpec {
 
   test("BPE-unit packing: spans conserve tokenizer tokens exactly (q112 wiring)") {
     import spark.implicits._
-    // two clean docs that survive every stage untouched; with ZERO
-    // merges each alphabetic word encodes to its character count, so
-    // the expected BPE layout is computable by hand:
-    //   doc 1 "alpha beta gamma delta"  -> 4+4+5+5 = 18 BPE tokens
-    //   doc 2 "epsilon zeta eta theta"  -> 7+4+3+5 = 19 BPE tokens
+    // two clean docs that survive every stage untouched (the C4 line
+    // rule needs terminal punctuation, so each ends with a sacrificial
+    // "x." that the BPE encoder's ^[a-z]+$ word filter then ignores);
+    // with ZERO merges each alphabetic word encodes to its character
+    // count, so the expected BPE layout is computable by hand:
+    //   doc 1 "nice blue stone mango x."  -> 4+4+5+5 = 18 BPE tokens
+    //   doc 2 "planet orbit moon star x." -> 6+5+4+4 = 19 BPE tokens
     // seqLen 16: doc1 spans seq0[0,16)+seq1[16,18), doc2 (off 18)
     // spans seq1[18,32)+seq2[32,37)
     val docs = Seq(
-      (1L, "en", "alpha beta gamma delta"),
-      (2L, "en", "epsilon zeta eta theta"))
+      (1L, "en", "nice blue stone mango x."),
+      (2L, "en", "planet orbit moon star x."))
       .toDF("id", "lang", "text")
     val eval = Seq("completely unrelated evaluation text").toDF("text")
     val out = TrainingPipeline.curate(docs, eval, "id", "text", "lang",
