@@ -407,8 +407,12 @@ object HybridSearch {
           retries += search(chunks, query, ctx, Map.empty,
               cfg.copy(limit = 5, detail = false), index = index)
             .select(col("id"), col("rrf_score"))
-        retries.result().reduceOption(mergeFirstWriterWins)
-          .fold(merged)(fb => mergeFirstWriterWins(fb, merged))
+        val rs = retries.result()
+        if (rs.isEmpty) merged
+        // one prioritized window over all lists at once (retry order,
+        // then the base) — same first-writer-wins outcome as chaining
+        // pairwise merges, minus a single-partition shuffle per pair
+        else mergeManyFirstWriterWins(rs :+ merged)
       }
 
     afterFallback
@@ -506,9 +510,17 @@ object HybridSearch {
   }
 
   /** J8: priority ∪ base with first-writer-wins dedup by id. */
-  def mergeFirstWriterWins(priority: DataFrame, base: DataFrame): DataFrame = {
-    val tagged = priority.withColumn("__prio", lit(0))
-      .unionByName(base.withColumn("__prio", lit(1)))
+  def mergeFirstWriterWins(priority: DataFrame, base: DataFrame): DataFrame =
+    mergeManyFirstWriterWins(Seq(priority, base))
+
+  /** J8 over N lists in one pass: earlier lists win by id. Chaining
+    * pairwise merges is semantically identical but pays one
+    * single-partition window shuffle per pair; all lists are top-k
+    * sized, so one union + one window is strictly cheaper. */
+  def mergeManyFirstWriterWins(lists: Seq[DataFrame]): DataFrame = {
+    val tagged = lists.zipWithIndex
+      .map { case (df, i) => df.withColumn("__prio", lit(i)) }
+      .reduce(_ unionByName _)
     val w = Window.partitionBy(col("id")).orderBy(col("__prio"), col("rrf_score").desc)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
