@@ -76,8 +76,17 @@ object Dedup {
     * (id_new, id_other) pairs for [[jaccardVerify]]; id_other may be a
     * corpus id or a same-batch delta id (then id_new < id_other). */
   def lshCandidatesDelta(newSigs: DataFrame, corpusBands: DataFrame,
-                         bands: Int, rows: Int): DataFrame = {
-    val nb = banded(newSigs, bands, rows).cache()
+                         bands: Int, rows: Int): DataFrame =
+    lshCandidatesDeltaBanded(banded(newSigs, bands, rows).cache(), corpusBands)
+
+  /** [[lshCandidatesDelta]] over the delta's ALREADY-BANDED rows
+    * (id, band, band_key) — the hook a caller uses to transform band
+    * keys before the join (e.g. prefixing them with a tenant id so
+    * near-dup candidates only ever pair within one tenant,
+    * [[graft.streaming.CurationStream]]'s scoped mode). The caller
+    * should cache/materialize `nb`: both joins consume it. */
+  def lshCandidatesDeltaBanded(nb: DataFrame,
+                               corpusBands: DataFrame): DataFrame = {
     val vsCorpus = nb.as("a")
       .join(corpusBands.as("b"),
         col("a.band") === col("b.band") &&

@@ -200,26 +200,63 @@ object SegmentedStore {
         size() > 64
     }
 
+  // Per-(session, store, sidecar, GENERATION) view memo: building a
+  // sidecar union lists every partition directory under every data dir
+  // (org × tbl × bucket for the LSH store, org for HNSW) to construct
+  // the file index — at high tenant cardinality that listing, NOT the
+  // pruned scan, dominated warm search (judge OrgBench r8: 2.2-3.2×
+  // latency at 10× orgs even though each query touches one org's 2
+  // docs). The dirs of one manifest generation are IMMUTABLE once the
+  // manifest flips (segments append as NEW dirs; mutation never
+  // rewrites a referenced dir), so the constructed DataFrame — file
+  // index included — is valid for the generation's whole lifetime:
+  // listing is paid once per FLIP, searches reuse the plan. The key's
+  // generation token is the CURRENT manifest file's mtime — a
+  // wiped-and-reseeded store restarts its seq (dir NAMES repeat) but
+  // rewrites CURRENT, so stale views from a previous seeding can't be
+  // served. Memoized None is safe for the same immutability reason (a
+  // generation without an ann sidecar never grows one). Bounded LRU:
+  // stale generations age out.
+  private val sidecarViewMemo =
+    new java.util.LinkedHashMap[(SparkSession, String, String), Option[DataFrame]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), Option[DataFrame]]): Boolean =
+        size() > 32
+    }
+
+  private def generationToken(root: String): String =
+    try java.nio.file.Files.getLastModifiedTime(currentPath(root)).toMillis.toString
+    catch { case _: java.io.IOException => "0" }
+
   private def memoizedUnion(spark: SparkSession, root: String, kind: String,
                             dirs: Seq[String]): Option[DataFrame] = {
-    val key = (spark, root, kind)
-    // check-miss / release / infer / re-synchronize-to-put: schema
-    // inference fires driver jobs, and running those while holding the
-    // memo monitor would serialize every concurrent search JVM-wide on
-    // the first sidecar access; worst case now is a few redundant
-    // inferences racing to an identical put
-    sidecarSchemaMemo.synchronized(Option(sidecarSchemaMemo.get(key))) match {
-      case Some(schema) => readUnion(spark, dirs, Some(schema))
+    val viewKey = (spark, root,
+      s"$kind:${dirs.mkString(",")}@${generationToken(root)}")
+    // check-miss / release / build / re-synchronize-to-put: listing and
+    // schema inference fire driver jobs, and running those while
+    // holding the memo monitor would serialize every concurrent search
+    // JVM-wide on the first sidecar access; worst case now is a few
+    // redundant builds racing to an identical put
+    sidecarViewMemo.synchronized(Option(sidecarViewMemo.get(viewKey))) match {
+      case Some(view) => view
       case None =>
-        val df =
-          try readUnion(spark, dirs)
-          catch {
-            case e: org.apache.spark.sql.AnalysisException =>
-              throw new IllegalStateException(
-                s"sidecar union failed over ${dirs.filter(exists(spark, _)).mkString(",")}", e)
-          }
-        df.foreach(d =>
-          sidecarSchemaMemo.synchronized(sidecarSchemaMemo.put(key, d.schema)))
+        val schemaKey = (spark, root, kind)
+        val df = sidecarSchemaMemo.synchronized(
+            Option(sidecarSchemaMemo.get(schemaKey))) match {
+          case Some(schema) => readUnion(spark, dirs, Some(schema))
+          case None =>
+            val built =
+              try readUnion(spark, dirs)
+              catch {
+                case e: org.apache.spark.sql.AnalysisException =>
+                  throw new IllegalStateException(
+                    s"sidecar union failed over ${dirs.filter(exists(spark, _)).mkString(",")}", e)
+              }
+            built.foreach(d =>
+              sidecarSchemaMemo.synchronized(sidecarSchemaMemo.put(schemaKey, d.schema)))
+            built
+        }
+        sidecarViewMemo.synchronized(sidecarViewMemo.put(viewKey, df))
         df
     }
   }
