@@ -81,10 +81,10 @@ object Dedup {
 
   /** [[lshCandidatesDelta]] over the delta's ALREADY-BANDED rows
     * (id, band, band_key) — the hook a caller uses to transform band
-    * keys before the join (e.g. prefixing them with a tenant id so
-    * near-dup candidates only ever pair within one tenant,
-    * [[graft.streaming.CurationStream]]'s scoped mode). The caller
-    * should cache/materialize `nb`: both joins consume it. */
+    * keys before the join: [[graft.streaming.CurationStream]]'s scoped
+    * mode prefixes them with the tenant id (`scope|key`) so near-dup
+    * candidates only ever pair within one tenant. The caller should
+    * cache/materialize `nb`: both joins consume it. */
   def lshCandidatesDeltaBanded(nb: DataFrame,
                                corpusBands: DataFrame): DataFrame = {
     val vsCorpus = nb.as("a")

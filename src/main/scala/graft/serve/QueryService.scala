@@ -149,10 +149,25 @@ class QueryService(
             cb, dir, centroids = Some(cents))
         }
       }))
+    // carry the store-lineage id across compactions (the per-dir view
+    // memo's immutability key); a first ingest mints it
     val next = Manifest(genName, Nil, genName, seq,
-      Some(AnnKnn.ServingTables), Some(AnnKnn.ServingBits))
+      Some(AnnKnn.ServingTables), Some(AnnKnn.ServingBits),
+      Some(prev.flatMap(_.storeId).getOrElse(SegmentedStore.newStoreId())))
     SegmentedStore.writeManifest(storeRoot, next)
-    bundle = Some(written)
+    // reload THROUGH the per-dir memo (schema-hinted by the frames just
+    // written) rather than serving `written` directly: the fresh
+    // generation's dirs get listed and memoized HERE, inside the
+    // already-O(corpus) snapshot write, so the first post-seed delta
+    // flip doesn't pay the one-time base listing (O(tenant dirs) — the
+    // 8.3 s first-probe spike OrgBench measured at 10k orgs)
+    bundle = Some(SegmentedStore.loadView(spark, storeRoot, next,
+      hint = Some(written)))
+    // same prewarm for the dense sidecar views (pure listing + schema
+    // memo population — no jobs beyond the one-time inference)
+    SegmentedStore.annView(spark, storeRoot, next)
+    SegmentedStore.quantizedView(spark, storeRoot, next)
+    SegmentedStore.hnswView(spark, storeRoot, next)
     manifest = Some(next)
     retire(prev.map(m => (m.dataDirs :+ m.derived).distinct).getOrElse(Nil))
   }

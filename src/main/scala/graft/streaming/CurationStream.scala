@@ -63,11 +63,19 @@ object CurationStream {
     StructField("id", LongType),
     StructField("toks", ArrayType(StringType))))
 
+  // State probes via the Hadoop FileSystem (a java.io.File probe on a
+  // non-local or `file:`-qualified stateDir silently reported every
+  // state table missing — fresh-corpus dedup semantics against a
+  // populated remote store); schema-first read: the state tables are
+  // written by this object, so inference is pure overhead per batch.
   private def readOrEmpty(spark: SparkSession, path: String,
-                          schema: StructType): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+                          schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** One micro-batch through the incremental pipeline (also the
     * batch-mode entry the specs drive directly). Returns the survivor
@@ -80,30 +88,73 @@ object CurationStream {
     n
   }
 
-  /** The batch core, returning the surviving rows (id, text — plus
-    * text_md5/toks) as an eagerly CHECKPOINTED, lineage-free frame so
-    * a composed consumer (the curate→serve stream) can forward
-    * survivors without re-reading — or being poisoned by — the
-    * just-mutated state. State appends have already happened when this
-    * returns; the caller unpersists the result to release its blocks. */
+  /** [[curateSurvivorsDeferred]]'s result: the surviving rows (id,
+    * text — plus text_md5/toks, and scope when the batch was scoped)
+    * as an eagerly CHECKPOINTED, lineage-free frame, and the deferred
+    * state append. `commit()` appends the survivors + their dedup
+    * state (keys/bands/toks/docs) — call it AFTER any downstream
+    * side-effect that a stream replay must be able to redo (the
+    * curate→serve ordering), exactly once per outcome. The caller
+    * unpersists `survivors` to release its blocks. */
+  final case class CurationOutcome(survivors: DataFrame, commit: () => Unit)
+
+  /** Back-compat batch core: compute survivors AND append state before
+    * returning. */
   def curateSurvivors(batch0: DataFrame, stateDir: String,
                       cfg: Cfg = Cfg()): DataFrame = {
-    val spark = batch0.sparkSession
-    if (batch0.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("id", LongType),
-          StructField("text_md5", StringType),
-          StructField("text", StringType),
-          StructField("toks", ArrayType(StringType)))))
+    val out = curateSurvivorsDeferred(batch0, stateDir, cfg)
+    out.commit()
+    out.survivors
+  }
 
-    // 1: row-local normalize + C4 line clean (one fused pass)
-    val cleaned = Clean.lineClean(
+  /** The batch core with the state append DEFERRED behind
+    * [[CurationOutcome]].commit — the replay-safety seam: a composed
+    * consumer (curate→serve) performs its own side-effects between
+    * survivor computation and the state append, so a failed/retried
+    * micro-batch re-derives the same survivors against the un-mutated
+    * state instead of exact-dropping them against its own prior write.
+    *
+    * Tenant-scoped mode: a `scope` string column on `batch0` (absent →
+    * global semantics, unchanged) is folded into BOTH dedup
+    * identities — the exact key becomes md5(scope ∥ text) and every
+    * LSH band key is prefixed with the scope via
+    * [[Dedup.lshCandidatesDeltaBanded]] — so documents only ever
+    * dedup against their own scope: one tenant's upload can never
+    * suppress another tenant's identical or near-dup copy (tenant
+    * isolation, the reference's core invariant,
+    * `tenant_schema.py:35-74`). */
+  def curateSurvivorsDeferred(batch0: DataFrame, stateDir: String,
+                              cfg: Cfg = Cfg()): CurationOutcome = {
+    val spark = batch0.sparkSession
+    val scoped = batch0.columns.contains("scope")
+    if (batch0.isEmpty)
+      return CurationOutcome(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("id", LongType),
+            StructField("text_md5", StringType),
+            StructField("text", StringType),
+            StructField("toks", ArrayType(StringType))))),
+        () => ())
+
+    // 1: row-local normalize + C4 line clean (one fused pass); the
+    // scoped exact key folds the scope into the md5 (NUL separator —
+    // unambiguous, scopes are id-like strings)
+    val cleaned0 = Clean.lineClean(
         batch0.select(col("id").cast("long").as("id"),
           TextFunctions.normalizeText(col("text")).as("text")),
         "id", "text", cfg.minWordsPerLine)
       .filter(col("n_kept") > 0)
-      .select(col("id"), col("cleaned").as("text"),
-        md5(col("cleaned")).as("text_md5"))
+      .select(col("id"), col("cleaned").as("text"))
+    val cleaned =
+      if (scoped)
+        cleaned0.join(
+            broadcast(batch0.select(col("id").cast("long").as("id"), col("scope"))),
+            Seq("id"))
+          .select(col("id"), col("text"),
+            md5(concat_ws("\u0000", col("scope"), col("text"))).as("text_md5"),
+            col("scope"))
+      else cleaned0.select(col("id"), col("text"),
+        md5(col("text")).as("text_md5"))
 
     // 1.5: optional Gopher quality gate (row-local verdict; the
     // batch-sized keep set broadcasts back onto the batch)
@@ -130,12 +181,26 @@ object CurationStream {
     val fresh = exactB.join(broadcast(hits), Seq("text_md5"), "left_anti")
 
     // 4: near-dedup vs the curated corpus + within the batch
-    val toks = fresh.select(col("id"), col("text_md5"), col("text"),
-      TextFunctions.wsTokens(lower(col("text"))).as("toks")).cache()
+    val toks = fresh.select(Seq(col("id"), col("text_md5"), col("text"),
+        TextFunctions.wsTokens(lower(col("text"))).as("toks")) ++
+        (if (scoped) Seq(col("scope")) else Nil): _*)
+      .cache()
     val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK)
     val corpusBands = readOrEmpty(spark, s"$stateDir/bands", bandsSchema)
+    // scoped mode prefixes every band key with the scope BEFORE the
+    // corpus join (the lshCandidatesDeltaBanded hook): candidates —
+    // and therefore near-dup drops — only ever pair within one scope.
+    // The persisted band table stores the prefixed keys, so the scoping
+    // survives across batches.
+    val nb = (if (scoped)
+        Dedup.bandTable(sigs, cfg.bands, cfg.rows)
+          .join(broadcast(toks.select(col("id"), col("scope"))), Seq("id"))
+          .select(col("id"), col("band"),
+            concat(col("scope"), lit("|"), col("band_key")).as("band_key"))
+      else Dedup.bandTable(sigs, cfg.bands, cfg.rows))
+      .cache()
     val cands = Dedup
-      .lshCandidatesDelta(sigs, corpusBands, cfg.bands, cfg.rows)
+      .lshCandidatesDeltaBanded(nb, corpusBands)
       .toDF("id_a", "id_b") // id_a = batch doc; id_b = corpus OR batch
     // Verification must touch ONLY candidate docs: shingling the whole
     // curated store would be O(corpus) per batch. Semi-join the token
@@ -157,33 +222,37 @@ object CurationStream {
         .otherwise(col("id_a")).as("id")).distinct()
     // survivors and their band rows are MATERIALIZED (eager local
     // checkpoint — batch-bounded) BEFORE any state write: their plans
-    // read the very paths the writes below append to, and Spark's
-    // write-path cache refresh would otherwise invalidate them and
-    // re-execute against the mutated state (the batch's own md5s in
-    // the key store ⟹ every survivor reclassified as a dup) on the
-    // next access — exactly what the composed curate→serve consumer
-    // does after this returns. A checkpoint is lineage-free, so
-    // post-write evaluations are immune by construction.
+    // read the very paths commit() appends to, and Spark's write-path
+    // cache refresh would otherwise invalidate them and re-execute
+    // against the mutated state (the batch's own md5s in the key store
+    // ⟹ every survivor reclassified as a dup) on the next access —
+    // exactly what the composed curate→serve consumer does between
+    // this return and its commit() call. A checkpoint is lineage-free,
+    // so post-write evaluations are immune by construction.
     val survivors = toks.join(broadcast(losers), Seq("id"), "left_anti")
       .localCheckpoint()
-
-    // 5: append survivors + their state — O(batch) writes, no rewrite
     val n = survivors.count()
-    if (n > 0) {
-      val survBands = Dedup.bandTable(
-          sigs.join(broadcast(survivors.select("id")), Seq("id"), "left_semi"),
-          cfg.bands, cfg.rows)
-        .localCheckpoint()
-      survivors.select("id", "text").write.mode("append")
-        .parquet(s"$stateDir/docs")
-      survivors.select("id", "text_md5").write.mode("append")
-        .parquet(s"$stateDir/keys")
-      survBands.write.mode("append").parquet(s"$stateDir/bands")
-      survivors.select("id", "toks").write.mode("append")
-        .parquet(s"$stateDir/toks")
-    }
+    val survBands =
+      if (n == 0) None
+      else Some(nb
+        .join(broadcast(survivors.select("id")), Seq("id"), "left_semi")
+        .localCheckpoint())
     toks.unpersist(false)
-    survivors
+    nb.unpersist(false)
+
+    // 5 (deferred): append survivors + their state — O(batch) writes,
+    // no rewrite. Both frames are checkpointed above, so the closure
+    // holds no lineage over caches or state paths.
+    CurationOutcome(survivors, () =>
+      if (n > 0) {
+        survivors.select("id", "text").write.mode("append")
+          .parquet(s"$stateDir/docs")
+        survivors.select("id", "text_md5").write.mode("append")
+          .parquet(s"$stateDir/keys")
+        survBands.foreach(_.write.mode("append").parquet(s"$stateDir/bands"))
+        survivors.select("id", "toks").write.mode("append")
+          .parquet(s"$stateDir/toks")
+      })
   }
 
   /** The streaming front: each micro-batch runs [[curateBatch]].
@@ -208,14 +277,28 @@ object CurationStream {
     * everything curated so far — and ONLY the survivors are indexed
     * into the serving store via
     * [[graft.serve.QueryService.ingestBatch]], becoming searchable at
-    * the next batch boundary. Dedup identity is a deterministic hash
-    * of (org, filename, text): a redelivered file exact-drops in the
-    * curation state before it ever reaches the store, and replayed
-    * micro-batches (checkpoint recovery) are idempotent end-to-end.
-    * Per-batch cost is O(batch + candidate pairs) on the curation side
-    * (the [[curateBatch]] contract) plus O(delta) on the serving side
-    * (the ingestBatch segment append) — nothing scales with either
-    * store. */
+    * the next batch boundary.
+    *
+    * Tenant isolation: curation runs in SCOPED mode with
+    * `organization_id` as the scope — the exact key and every LSH band
+    * key carry the tenant, so org_b streaming a document identical (or
+    * near-dup) to one org_a already curated still survives and indexes
+    * into org_b's tenant; only SAME-org duplicates drop (the
+    * reference's tenant boundary, `tenant_schema.py:35-74`).
+    *
+    * Replay safety: the serving ingest runs BEFORE the curation-state
+    * append ([[CurationOutcome]].commit). A micro-batch that fails or
+    * crashes anywhere in between is replayed by the checkpoint against
+    * the UN-mutated state — survivors re-derive identically — and
+    * `ingestBatch` skips already-present content-derived ids, so
+    * every retry outcome converges: documents are never exact-dropped
+    * against their own half-committed batch (the pre-r10 defect) and
+    * never double-indexed. Dedup identity is a deterministic hash of
+    * (org, filename, text): a redelivered file exact-drops in the
+    * curation state before it ever reaches the store. Per-batch cost
+    * is O(batch + candidate pairs) on the curation side (the
+    * [[curateBatch]] contract) plus O(delta) on the serving side (the
+    * ingestBatch segment append) — nothing scales with either store. */
   def curateToServeStream(svc: graft.serve.QueryService, docs: DataFrame,
                           stateDir: String, checkpoint: String,
                           cfg: Cfg = Cfg()): DataStreamWriter[Row] =
@@ -228,15 +311,17 @@ object CurationStream {
           val withId = batch.withColumn("id",
               xxhash64(col("organization_id"), col("filename"), col("text")))
             .dropDuplicates("id")
-          val surv = curateSurvivors(
-            withId.select(col("id"), col("text")), stateDir, cfg)
+          val out = curateSurvivorsDeferred(
+            withId.select(col("id"), col("text"),
+              col("organization_id").as("scope")), stateDir, cfg)
           // survivors are batch-bounded → broadcast the id set back
           // onto the batch to recover filename/org for the store
           val keep = withId
-            .join(broadcast(surv.select(col("id"))), Seq("id"), "left_semi")
+            .join(broadcast(out.survivors.select(col("id"))), Seq("id"), "left_semi")
             .drop("id")
           if (!keep.isEmpty) { svc.ingestBatch(keep); () }
-          surv.unpersist(false)
+          out.commit()
+          out.survivors.unpersist(false)
           ()
         }
       }

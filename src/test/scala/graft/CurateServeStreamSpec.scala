@@ -87,4 +87,103 @@ class CurateServeStreamSpec extends SparkSpec {
     assert((call("""{"op":"stats"}""") \ "database" \ "documents")
       .extract[Long] == 3L)
   }
+
+  test("curation identity is tenant-scoped: another org's identical and near-dup copies survive") {
+    val tmp = TmpDirs.create("graft_curate_tenant")
+    val docsDir = s"$tmp/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    def drop(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(docsDir, name), lines.mkString("\n").getBytes("UTF-8"))
+    val svc = new QueryService(spark, s"$tmp/store")
+    def call(json: String): JValue = parse(svc.handle(json))
+    def drain(): Unit = CurationStream.curateToServeStream(svc,
+      EventStream.readDocs(spark, docsDir), s"$tmp/state", s"$tmp/ckpt")
+      .start().awaitTermination()
+    def docCount: Long =
+      (call("""{"op":"stats"}""") \ "database" \ "documents").extract[Long]
+    def found(org: String): Boolean =
+      (parse(svc.handle(s"""{"op":"search","organization_id":"$org","query":"payment terms invoice renewal","limit":5}"""))
+        \ "results").extract[List[JValue]]
+        .exists(r => (r \ "text").extract[String].contains("payment terms"))
+
+    // batch 1: org_a curates the contract
+    drop("b1.jsonl", Seq(jdoc("contract.md", contractText, "org_a")))
+    drain()
+    assert(docCount == 1L)
+
+    // batch 2: org_b streams the BYTE-IDENTICAL text — a global dedup
+    // identity would silently drop it against org_a's copy; the scoped
+    // identity must let it survive and index into org_b's tenant
+    drop("b2.jsonl", Seq(jdoc("contract.md", contractText, "org_b")))
+    drain()
+    assert(docCount == 2L, "org_b's identical copy must survive curation")
+    assert(found("org_b"), "org_b's copy must be searchable in its own tenant")
+    assert(found("org_a"), "org_a's copy must remain searchable")
+
+    // batch 3: a near-dup from org_b DROPS (same-org near-dedup still
+    // applies, vs org_b's own curated copy); the same near-dup from
+    // org_c SURVIVES (no org_c corpus to match)
+    drop("b3.jsonl", Seq(
+      jdoc("contract_v2.md", contractNearDup, "org_b"),
+      jdoc("contract_v2.md", contractNearDup, "org_c")))
+    drain()
+    assert(docCount == 3L,
+      "org_b near-dup drops against its own tenant; org_c's survives")
+    assert(found("org_c"))
+    // curation state holds exactly the three survivors
+    assert(spark.read.parquet(s"$tmp/state/docs").count() == 3L)
+  }
+
+  test("curate→serve replays a failed batch without losing survivors") {
+    val tmp = TmpDirs.create("graft_curate_replay")
+    val docsDir = s"$tmp/docs"
+    Files.createDirectories(Paths.get(docsDir))
+    Files.write(Paths.get(docsDir, "b1.jsonl"), Seq(
+      jdoc("contract.md", contractText, "org_a"),
+      jdoc("bread.md", breadText, "org_a")).mkString("\n").getBytes("UTF-8"))
+
+    // inject exactly one serving-store failure: the micro-batch dies
+    // AFTER curation computed survivors but BEFORE any state append
+    // (the ingest-before-commit ordering under test — with the old
+    // state-first ordering the replay exact-drops every survivor
+    // against the half-committed batch's own keys and the documents
+    // are silently lost)
+    class FlakyService(root: String) extends QueryService(spark, root) {
+      @volatile var failuresLeft = 1
+      override def ingestBatch(docs: org.apache.spark.sql.DataFrame): Long =
+        if (failuresLeft > 0) {
+          failuresLeft -= 1
+          throw new RuntimeException("injected store failure")
+        } else super.ingestBatch(docs)
+    }
+    val svc = new FlakyService(s"$tmp/store")
+    def drain(): Unit = CurationStream.curateToServeStream(svc,
+      EventStream.readDocs(spark, docsDir), s"$tmp/state", s"$tmp/ckpt")
+      .start().awaitTermination()
+
+    // first attempt fails mid-batch
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    // nothing may have been committed to the curation state
+    assert(!new java.io.File(s"$tmp/state/keys").exists(),
+      "a failed batch must not leave state behind")
+
+    // checkpoint replay: same batch re-derives the same survivors
+    // against the untouched state and ingests them
+    drain()
+    def call(json: String): JValue = parse(svc.handle(json))
+    assert((call("""{"op":"stats"}""") \ "database" \ "documents")
+      .extract[Long] == 2L, "both survivors must reach the store on replay")
+    val s = call("""{"op":"search","organization_id":"org_a","query":"payment terms invoice","limit":5}""")
+    assert((s \ "results").extract[List[JValue]]
+      .exists(r => (r \ "text").extract[String].contains("payment terms")))
+    assert(spark.read.parquet(s"$tmp/state/docs").count() == 2L)
+
+    // a further redelivery of the same file is still a no-op (identity
+    // unchanged by the replay machinery)
+    Files.write(Paths.get(docsDir, "b2.jsonl"),
+      Seq(jdoc("contract_again.md", contractText, "org_a")).mkString("\n").getBytes("UTF-8"))
+    drain()
+    assert((call("""{"op":"stats"}""") \ "database" \ "documents")
+      .extract[Long] == 2L)
+  }
 }
