@@ -120,6 +120,25 @@ object Bench {
       out.spans.write.format("noop").mode("overwrite").save()
     }
 
+    // tokenizer-consistent curation cost (SPARK_GRAFT_BPE=1, not part
+    // of the driver contract): the same pipeline with bpeSteps=8 —
+    // stage 8 packs in BPE units instead of whitespace tokens. The
+    // delta vs curation_pipeline is what the BPE lineage (one corpus
+    // histogram + 8 type-table merge jobs + the per-TYPE encode join)
+    // actually costs end-to-end; pinned in BASELINE.md
+    if (sys.env.contains("SPARK_GRAFT_BPE") && wanted("curation_bpe"))
+      results("curation_bpe") = time {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val docs = Tables(spark, sfDir, "documents")
+          .select(col("doc_id"), concat(col("text"), lit(".")).as("text"),
+            col("lang"))
+        val eval = docs.filter(col("doc_id") % 25 === 0).select(col("text"))
+        val out = graft.operators.TrainingPipeline.curate(
+          docs, eval, "doc_id", "text", "lang", withReport = false,
+          cfg = graft.operators.TrainingPipeline.Cfg(bpeSteps = Some(8)))
+        out.spans.write.format("noop").mode("overwrite").save()
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

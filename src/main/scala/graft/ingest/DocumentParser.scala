@@ -363,9 +363,12 @@ object DocumentParser {
     * guessed at), and text shows as the concatenation of `Tj`/`TJ`/
     * `'` operator strings in content order with `Td/TD/T*` treated as
     * line breaks. Octal/backslash escapes and hex strings decode;
-    * bytes are read as Latin-1 (single-byte text PDFs — CID/Type0
-    * composite fonts would need the font's CMap, out of scope).
-    * Deterministic: same bytes, same text, no fallback heuristics. */
+    * strings route by the font each text object's `Tf` selects
+    * (resolved from the page's `/Resources → /Font` dict): 1-byte
+    * fonts read byte-per-char (Latin-1 ≈ PDFDocEncoding), Type0 /
+    * Identity-H composite fonts decode 2-byte CIDs through their own
+    * /ToUnicode CMap (no CMap → degrade to empty, never glyph-id
+    * garbage). Deterministic: same bytes, same text. */
   object PdfParser extends Parser {
     def accepts(f: String): Boolean = f.endsWith(".pdf")
 
@@ -402,10 +405,11 @@ object DocumentParser {
       val contentsRe = java.util.regex.Pattern.compile(
         "/Contents\\s+(\\d+)\\s+\\d+\\s+R")
       val texts = pages.flatMap { case (_, body) =>
+        val fonts = pageFonts(objs, body)
         val cm = contentsRe.matcher(body)
         val refs = Iterator.continually(cm).takeWhile(_.find()).map(_.group(1).toInt).toSeq
         refs.flatMap(n => objs.get(n)).map(streamData)
-          .map(extractTextOps(_, cmap, composite))
+          .map(extractTextOps(_, fonts, cmap, composite))
       }
       Parsed(texts.map(_.trim).filter(_.nonEmpty).mkString("\n\n").trim, "pdf")
     }
@@ -445,15 +449,108 @@ object DocumentParser {
       }
     }
 
+    /** What the content-stream scanner needs to know about one
+      * resource font: whether its strings are 2-byte CID codes
+      * (Type0 / Identity-H) and its own /ToUnicode map (possibly
+      * empty). Resolved per page so a file mixing a 1-byte Helvetica
+      * with a 2-byte CJK subset decodes each text object by the font
+      * its `Tf` selected — the file-global printable-ratio heuristic
+      * below remains only the fallback for PDFs that carry no usable
+      * /Font resources (`document_processor.py:176-217` trusts
+      * pdfminer for the same resolution). */
+    private case class FontInfo(composite: Boolean, cmap: Map[Int, String])
+
+    /** Balanced `<< … >>` starting at the first `<<` at/after `from`
+      * (PDF dicts nest; regex can't close them). */
+    private def dictAfter(s: String, from: Int): Option[String] = {
+      val start = s.indexOf("<<", from)
+      if (start < 0) return None
+      var depth = 0
+      var i = start
+      while (i < s.length) {
+        if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (s.startsWith(">>", i)) {
+          depth -= 1; i += 2
+          if (depth == 0) return Some(s.substring(start, i))
+        } else i += 1
+      }
+      None
+    }
+
+    /** The value of dict key `key` in `s` as either an inline dict or
+      * a followed indirect reference — the two shapes `/Resources`
+      * and `/Font` take in practice. */
+    private def dictValue(s: String, key: String,
+        objs: scala.collection.mutable.LinkedHashMap[Int, String]): Option[String] = {
+      val at = s.indexOf(key)
+      if (at < 0) return None
+      var i = at + key.length
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      if (s.startsWith("<<", i)) dictAfter(s, i)
+      else {
+        val refRe = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R")
+        val rm = refRe.matcher(s)
+        rm.region(i, s.length)
+        if (rm.lookingAt()) objs.get(rm.group(1).toInt) else None
+      }
+    }
+
+    /** Page body → font-resource map: name (sans `/`) → [[FontInfo]].
+      * `/Resources` (inline or ref) → `/Font` (inline or ref) → one
+      * entry per `/Fn N 0 R`; each font's 2-byte-ness comes from its
+      * own `/Subtype /Type0` / `Identity-H`, its map from its own
+      * `/ToUnicode` stream. Unresolvable pieces drop (fallback world
+      * handles them), never throw. */
+    private def pageFonts(
+        objs: scala.collection.mutable.LinkedHashMap[Int, String],
+        pageBody: String): Map[String, FontInfo] = {
+      val fontDict = dictValue(pageBody, "/Resources", objs)
+        .flatMap(res => dictValue(res, "/Font", objs))
+        .getOrElse(return Map.empty)
+      val entryRe = java.util.regex.Pattern.compile(
+        "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R")
+      val em = entryRe.matcher(fontDict)
+      val out = Map.newBuilder[String, FontInfo]
+      while (em.find()) {
+        objs.get(em.group(2).toInt).foreach { fontBody =>
+          val comp = fontBody.contains("/Type0") || fontBody.contains("Identity-H")
+          val tuRe = java.util.regex.Pattern.compile(
+            "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R")
+          val tm = tuRe.matcher(fontBody)
+          val fcmap =
+            if (tm.find())
+              objs.get(tm.group(1).toInt).map { o =>
+                val m = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+                parseCmapInto(streamData(o), m)
+                m.toMap
+              }.getOrElse(Map.empty[Int, String])
+            else Map.empty[Int, String]
+          out += em.group(1) -> FontInfo(comp, fcmap)
+        }
+      }
+      out.result()
+    }
+
     /** Union of every /ToUnicode CMap in the file: 2-byte source code →
       * text (UTF-16BE destination code units). Handles `beginbfchar`
       * pairs and `beginbfrange` with a scalar destination start; the
       * array-destination range form contributes its listed entries.
       * Single-font exports (the dominant composite-font producer
-      * shape) have exactly one map; multi-font files merge first-wins. */
+      * shape) have exactly one map; multi-font files merge first-wins.
+      * This union is the FALLBACK map for text objects whose font the
+      * per-page resolver couldn't name. */
     private def toUnicodeCmap(
         objs: scala.collection.mutable.LinkedHashMap[Int, String]): Map[Int, String] = {
       val out = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+      for (body <- objs.values.toSeq if body.contains("stream"))
+        parseCmapInto(streamData(body), out)
+      out.toMap
+    }
+
+    /** bfchar/bfrange sections of one decoded CMap stream → `out`
+      * (first mapping wins, matching the historical union order). */
+    private def parseCmapInto(d: String,
+        out: scala.collection.mutable.LinkedHashMap[Int, String]): Unit = {
       def hexChars(h: String): String = {
         val sb = new StringBuilder
         var k = 0
@@ -470,38 +567,34 @@ object DocumentParser {
         "<([0-9A-Fa-f]{1,4})>\\s*<([0-9A-Fa-f]{1,4})>\\s*<([0-9A-Fa-f]+)>")
       val sectRe = java.util.regex.Pattern.compile(
         "(?s)begin(bfchar|bfrange)(.*?)end\\1")
-      for (body <- objs.values.toSeq if body.contains("stream")) {
-        val d = streamData(body)
-        if (d.contains("beginbfchar") || d.contains("beginbfrange")) {
-          val sm = sectRe.matcher(d)
-          while (sm.find()) {
-            val section = sm.group(2)
-            if (sm.group(1) == "bfrange") {
-              val rm = rangeRe.matcher(section)
-              while (rm.find()) {
-                val lo = Integer.parseInt(rm.group(1), 16)
-                val hi = Integer.parseInt(rm.group(2), 16)
-                val dst = rm.group(3)
-                if (hi >= lo && hi - lo < 65536 && dst.length >= 4) {
-                  val base = Integer.parseInt(dst.takeRight(4), 16)
-                  val prefix = hexChars(dst.dropRight(4))
-                  var c = lo
-                  while (c <= hi) {
-                    out.getOrElseUpdate(c, prefix + (base + (c - lo)).toChar)
-                    c += 1
-                  }
+      if (d.contains("beginbfchar") || d.contains("beginbfrange")) {
+        val sm = sectRe.matcher(d)
+        while (sm.find()) {
+          val section = sm.group(2)
+          if (sm.group(1) == "bfrange") {
+            val rm = rangeRe.matcher(section)
+            while (rm.find()) {
+              val lo = Integer.parseInt(rm.group(1), 16)
+              val hi = Integer.parseInt(rm.group(2), 16)
+              val dst = rm.group(3)
+              if (hi >= lo && hi - lo < 65536 && dst.length >= 4) {
+                val base = Integer.parseInt(dst.takeRight(4), 16)
+                val prefix = hexChars(dst.dropRight(4))
+                var c = lo
+                while (c <= hi) {
+                  out.getOrElseUpdate(c, prefix + (base + (c - lo)).toChar)
+                  c += 1
                 }
               }
-            } else {
-              val cm = charRe.matcher(section)
-              while (cm.find())
-                out.getOrElseUpdate(Integer.parseInt(cm.group(1), 16),
-                  hexChars(cm.group(2)))
             }
+          } else {
+            val cm = charRe.matcher(section)
+            while (cm.find())
+              out.getOrElseUpdate(Integer.parseInt(cm.group(1), 16),
+                hexChars(cm.group(2)))
           }
         }
       }
-      out.toMap
     }
 
     /** Stream object body → decoded bytes-as-latin1 (inflating
@@ -552,17 +645,44 @@ object DocumentParser {
 
     /** Content stream → visible text: literal `(…)` and hex `<…>`
       * strings feeding Tj / ' / TJ, with Td/TD/T* as line breaks.
-      * Hex strings route by font world: through the ToUnicode `cmap`
-      * as 2-byte codes when one exists (unmapped codes drop), to
-      * EMPTY under a composite font with no map (CIDs are font-local
-      * glyph ids — byte-decoding them is garbage, and the degrade
-      * stance is empty-not-wrong), and byte-per-char otherwise. */
-    private def extractTextOps(content: String, cmap: Map[Int, String],
+      * Strings route by the font the text object's `Tf` selected
+      * (tracked against the page's resolved `fonts`): a 2-byte
+      * (Type0) font decodes through ITS ToUnicode map (unmapped codes
+      * drop; no map at all → empty — CIDs are font-local glyph ids,
+      * and the degrade stance is empty-not-wrong), a 1-byte font
+      * decodes byte-per-char through its own map when it has one.
+      * Text with no resolvable font falls back to the file-global
+      * world: the unioned `cmap` as 2-byte codes when non-empty, with
+      * a printable-ratio escape hatch for simple-font hex strings,
+      * EMPTY when the file is composite with no map, byte-per-char
+      * otherwise. */
+    private def extractTextOps(content: String,
+                               fonts: Map[String, FontInfo],
+                               cmap: Map[Int, String],
                                composite: Boolean): String = {
       val out = new StringBuilder
       var i = 0
       val n = content.length
       var lastString: String = null
+      var lastName: String = null   // most recent /Name token (Tf operand)
+      var curFont: FontInfo = null  // font selected by the last Tf, if resolved
+      // decode a hex string as 2-byte codes through `m`; unmapped drop
+      def decode2byte(hex: String, m: Map[Int, String]): String = {
+        val padded = if (hex.length % 4 == 0) hex else hex + "0" * (4 - hex.length % 4)
+        val sb = new StringBuilder
+        var k = 0
+        while (k + 4 <= padded.length) {
+          try m.get(Integer.parseInt(padded.substring(k, k + 4), 16)).foreach(sb.append)
+          catch { case _: NumberFormatException => }
+          k += 4
+        }
+        sb.toString
+      }
+      // map a decoded 1-byte-per-char string through a simple font's
+      // ToUnicode (char code → text); unmapped codes keep their byte
+      def mapSimple(s: String, m: Map[Int, String]): String =
+        if (m.isEmpty) s
+        else s.flatMap(c => m.getOrElse(c.toInt, c.toString))
       def readLiteral(): String = { // content(i) == '('
         val sb = new StringBuilder
         var depth = 1; i += 1
@@ -611,7 +731,13 @@ object DocumentParser {
           }
           decodeText(sb.toString)
         }
-        if (cmap.nonEmpty) {
+        if (curFont != null) {
+          // per-text-object resolution: this string decodes by the
+          // font its own Tf selected, not by file-global heuristics
+          if (curFont.composite)
+            if (curFont.cmap.nonEmpty) decode2byte(hex, curFont.cmap) else ""
+          else mapSimple(bytePerChar(), curFont.cmap)
+        } else if (cmap.nonEmpty) {
           // 2-byte ToUnicode codes; unmapped codes drop (degrade)
           val padded = if (hex.length % 4 == 0) hex else hex + "0" * (4 - hex.length % 4)
           val sb = new StringBuilder
@@ -642,12 +768,38 @@ object DocumentParser {
         } else if (composite) "" // CIDs with no map: empty, not garbage
         else bytePerChar()
       }
+      // literal string routed by the current font: under a 2-byte
+      // font the chars pair into CID codes through its map; under a
+      // resolved 1-byte font the (UTF-16-aware) text maps through its
+      // own ToUnicode; no font → historical behavior
+      def routeLiteral(raw: String): String =
+        if (curFont != null && curFont.composite) {
+          if (curFont.cmap.isEmpty) ""
+          else {
+            val sb = new StringBuilder
+            var k = 0
+            while (k + 1 < raw.length) {
+              curFont.cmap.get(((raw.charAt(k) & 0xFF) << 8) | (raw.charAt(k + 1) & 0xFF))
+                .foreach(sb.append)
+              k += 2
+            }
+            sb.toString
+          }
+        } else if (curFont != null) mapSimple(decodeText(raw), curFont.cmap)
+        else decodeText(raw)
       while (i < n) {
         val c = content.charAt(i)
-        if (c == '(') lastString = decodeText(readLiteral())
+        if (c == '(') lastString = routeLiteral(readLiteral())
         else if (c == '<' && i + 1 < n && content.charAt(i + 1) != '<') lastString = readHex()
         else if (c == '<') i += 2 // dict open "<<"
-        else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
+        else if (c == '/') {
+          // name token (Tf's font operand, most commonly)
+          val start = i + 1
+          i += 1
+          while (i < n && !content.charAt(i).isWhitespace &&
+            "()<>[]/".indexOf(content.charAt(i)) < 0) i += 1
+          lastName = content.substring(start, i)
+        } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
           // read an operator token
           val start = i
           i += 1
@@ -658,6 +810,8 @@ object DocumentParser {
           content.substring(start, i) match {
             case "Tj" | "TJ" | "'" | "\"" =>
               if (lastString != null) { out.append(lastString); lastString = null }
+            case "Tf" =>
+              curFont = if (lastName != null) fonts.getOrElse(lastName, null) else null
             case "Td" | "TD" | "T*" => out.append('\n')
             case "ET" => out.append('\n')
             case _ =>
@@ -669,7 +823,7 @@ object DocumentParser {
           var closed = false
           while (i < n && !closed) {
             val ac = content.charAt(i)
-            if (ac == '(') arr.append(decodeText(readLiteral()))
+            if (ac == '(') arr.append(routeLiteral(readLiteral()))
             else if (ac == '<' && i + 1 < n && content.charAt(i + 1) != '<') arr.append(readHex())
             else if (ac == ']') { closed = true; i += 1 }
             else i += 1

@@ -697,10 +697,14 @@ class QueryService(
           "next_cursor" -> next)
       case None =>
         // legacy offset/limit (the reference's own `/documents` shape,
-        // `api/main.py:591-639`); same O() as SQL OFFSET — deep pages
-        // should switch to the cursor form
+        // `api/main.py:591-639`): Dataset.offset keeps the skip INSIDE
+        // the plan (TakeOrderedAndProject carries limit+offset), so the
+        // driver collect is bounded by `limit` at ANY page depth — the
+        // executors still sort/scan offset+limit rows, which is SQL
+        // OFFSET's inherent cost; deep pagination should use the
+        // cursor form, where the predicate pushes into the scan
         val page = typed.orderBy(col("document_id"))
-          .limit(offset + limit).collect().drop(offset)
+          .offset(offset).limit(limit).collect()
         JArray(page.toList.map(docJson(_, ctx)))
     }
   }

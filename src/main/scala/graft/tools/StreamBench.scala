@@ -120,14 +120,18 @@ object StreamBench {
                   lit(s" salted $i."))).as("text"),
               lit("org_bench").as("organization_id"))
           time {
+            // the curateToServeStream batch body verbatim: survivors
+            // (tenant-scoped) → serve ingest → deferred state commit
             val withId = probe.withColumn("id",
               xxhash64(col("organization_id"), col("filename"), col("text")))
-            val surv = CurationStream.curateSurvivors(
-              withId.select(col("id"), col("text")), stateDir)
-            val keep = withId.join(broadcast(surv.select(col("id"))),
+            val out = CurationStream.curateSurvivorsDeferred(
+              withId.select(col("id"), col("text"),
+                col("organization_id").as("scope")), stateDir)
+            val keep = withId.join(broadcast(out.survivors.select(col("id"))),
               Seq("id"), "left_semi").drop("id")
             if (!keep.isEmpty) { svc.ingestBatch(keep); () }
-            surv.unpersist(false)
+            out.commit()
+            out.survivors.unpersist(false)
           }
         }
         n -> probes

@@ -231,4 +231,52 @@ class DocxPdfParserSpec extends AnyFunSuite {
     val out = DocumentParser.PdfParser.parse(pdfCidBytes(withCmap = false))
     assert(out.text == "", out.text)
   }
+
+  /** One page mixing a 1-byte TrueType font (/F1) with a 2-byte Type0
+    * font (/F2) whose ToUnicode CMap ALSO contains the 16-bit codes
+    * the simple font's hex string would form if misread 2-bytewise
+    * (0x4142/0x4344 → arrows) — the adversarial case a file-global
+    * map decodes as plausible-looking garbage. Per-text-object Tf
+    * resolution must decode each string by its own font. */
+  private def pdfMixedFontBytes: Array[Byte] = {
+    val cmapData =
+      """begincmap
+        |4 beginbfchar
+        |<0001> <65E5>
+        |<0002> <672C>
+        |<4142> <2190>
+        |<4344> <2192>
+        |endbfchar
+        |endcmap
+        |""".stripMargin
+    val content =
+      "BT /F1 12 Tf 72 720 Td <41424344> Tj 0 -20 Td (Plain latin) Tj " +
+        "/F2 12 Tf 0 -20 Td <00010002> Tj 0 -20 Td (\\000\\001\\000\\002) Tj ET"
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources 9 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content)
+    w("\nendstream endobj\n")
+    w("9 0 obj << /Font << /F1 10 0 R /F2 11 0 R >> >> endobj\n")
+    w("10 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w("11 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 12 0 R >> endobj\n")
+    w(s"12 0 obj << /Length ${cmapData.length} >> stream\n")
+    w(cmapData)
+    w("\nendstream endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf mixed fonts: each text object decodes by its own Tf font (1-byte vs Type0)") {
+    val out = DocumentParser.PdfParser.parse(pdfMixedFontBytes)
+    // /F1 hex = byte-per-char ABCD (NOT the ← → the global map holds
+    // for those 16-bit codes); /F2 hex AND literal = CIDs through its
+    // own CMap → 日本
+    assert(out.text == "ABCD\nPlain latin\n日本\n日本", out.text)
+    assert(out.text == DocumentParser.PdfParser.parse(pdfMixedFontBytes).text)
+  }
 }

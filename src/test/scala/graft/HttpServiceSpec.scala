@@ -124,6 +124,34 @@ class HttpServiceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val ids = (p1 ++ p2 ++ p3).map(d => (d \ "id").extract[String])
     assert(ids.distinct.size == 5)
     assert(ids == ids.sorted)
+
+    // the legacy offset form walks the same order: offset pages match
+    // the cursor walk exactly (same ids, same order)
+    def offsetPage(off: Int): List[String] = {
+      val (s, b) = call("GET", s"/documents?limit=2&offset=$off", Some("org_page"))
+      assert(s == 200)
+      b.extract[List[JValue]].map(d => (d \ "id").extract[String])
+    }
+    assert((offsetPage(0) ++ offsetPage(2) ++ offsetPage(4)) == ids)
+    // past-the-end offset: empty page, not an error
+    assert(offsetPage(40).isEmpty)
+  }
+
+  test("offset pagination keeps the skip inside the plan (bounded driver collect)") {
+    // the pin behind the compat path: orderBy+offset+limit plans as a
+    // TakeOrderedAndProject CARRYING the offset, so .collect() returns
+    // `limit` rows at any depth — the driver never materializes
+    // offset+limit rows (executors still pay the ordered scan, which
+    // is SQL OFFSET's inherent cost; the cursor form avoids even that)
+    import spark.implicits._
+    val df = (1 to 1000).map(i => f"doc_$i%04d").toDF("document_id")
+      .orderBy("document_id").offset(900).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("900"), plan)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).toSeq == (901 to 905).map(i => f"doc_$i%04d"))
   }
 
   override def afterAll(): Unit = {
