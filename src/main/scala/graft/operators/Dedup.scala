@@ -108,9 +108,20 @@ object Dedup {
     banded(sigs, bands, rows)
 
   /** Exact Jaccard between candidate pairs over distinct 3-gram shingle
-    * sets. Input candidates (id_a, id_b); corpus (id, toks). */
-  def jaccardVerify(candidates: DataFrame, corpus: DataFrame,
-                    idCol: String, toksCol: String): DataFrame = {
+    * sets. Input candidates (id_a, id_b); corpus (id, toks).
+    *
+    * The shared shingle frame is CACHED (both join sides + the size
+    * aggregation read it) and the cache entry lives until `release`
+    * is called — fine in a bench/gate context that clears the session
+    * cache between queries, but a LONG-LIVED caller (the curation
+    * stream, the composed pipeline) MUST release after materializing
+    * every consumer: a leaked entry is re-optimized by Spark's cache
+    * manager on EVERY write to any path its plan reads (the stream's
+    * own state appends), a driver-side cost that grows with leaked
+    * entry count — measured +1 s per micro-batch in curate→serve
+    * before the release was wired. */
+  def jaccardVerifyStaged(candidates: DataFrame, corpus: DataFrame,
+                          idCol: String, toksCol: String): (DataFrame, () => Unit) = {
     val sh = corpus.select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(toksCol), 3))).as("sh"))
       .cache() // reused by both join sides + the size aggregation
@@ -119,13 +130,20 @@ object Dedup {
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
+    val out = inter
       .join(sizes.as("za"), col("id_a") === col("za.id"))
       .join(sizes.as("zb"), col("id_b") === col("zb.id"))
       .select(col("id_a"), col("id_b"),
         (col("n_inter") / (col("za.n_sh") + col("zb.n_sh") - col("n_inter")))
           .as("jaccard"))
+    (out, () => { sh.unpersist(false); () })
   }
+
+  /** [[jaccardVerifyStaged]] without the release handle — the gate /
+    * one-shot form (session cache cleared between bench entries). */
+  def jaccardVerify(candidates: DataFrame, corpus: DataFrame,
+                    idCol: String, toksCol: String): DataFrame =
+    jaccardVerifyStaged(candidates, corpus, idCol, toksCol)._1
 
   /** Blocked all-pairs Jaccard via the inverted shingle index: join on
     * the shingle itself (within the blocking column), count

@@ -275,9 +275,13 @@ object TrainingPipeline {
       .cache()
     val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK)
     val cands = Dedup.lshCandidates(sigs, cfg.lshBands, cfg.lshRows)
-    val pairs = Dedup.jaccardVerify(cands, toks, "id", "toks")
-      .filter(col("jaccard") >= cfg.jaccardThreshold)
+    val (pairs0, releaseSh) = Dedup.jaccardVerifyStaged(cands, toks, "id", "toks")
+    val pairs = pairs0.filter(col("jaccard") >= cfg.jaccardThreshold)
     val labels = Dedup.clusters(pairs)
+    // clusters() materialized the pair lineage; release the shared
+    // shingle cache so a long-lived session calling curate() per
+    // request doesn't accumulate entries (jaccardVerifyStaged's doc)
+    releaseSh()
     val nearDeduped = staged(Dedup.keepCanonical(toks, "id", labels))
     val nNear = stageCount(nearDeduped)
     // once the canonical survivors are materialized, the token frame's

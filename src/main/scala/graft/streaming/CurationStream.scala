@@ -211,8 +211,9 @@ object CurationStream {
     val allToks = toks.select("id", "toks")
       .unionByName(readOrEmpty(spark, s"$stateDir/toks", toksSchema))
       .join(broadcast(candIds), Seq("id"), "left_semi")
-    val verified = Dedup.jaccardVerify(cands, allToks, "id", "toks")
-      .filter(col("jaccard") >= cfg.jaccardThreshold)
+    val (verified0, releaseSh) =
+      Dedup.jaccardVerifyStaged(cands, allToks, "id", "toks")
+    val verified = verified0.filter(col("jaccard") >= cfg.jaccardThreshold)
     // corpus partner → the newcomer (id_a) drops; batch partner
     // (id_a < id_b by construction) → the larger (id_b) drops
     val batchIds = toks.select(col("id").as("bid"))
@@ -239,6 +240,10 @@ object CurationStream {
         .localCheckpoint())
     toks.unpersist(false)
     nb.unpersist(false)
+    // every verified-pair consumer is checkpointed above; a leaked
+    // shingle cache would re-optimize on each state append (see
+    // jaccardVerifyStaged's doc)
+    releaseSh()
 
     // 5 (deferred): append survivors + their state — O(batch) writes,
     // no rewrite. Both frames are checkpointed above, so the closure

@@ -186,4 +186,37 @@ class CurateServeStreamSpec extends SparkSpec {
     assert((call("""{"op":"stats"}""") \ "database" \ "documents")
       .extract[Long] == 2L)
   }
+
+  test("per-batch curation leaks no session-cache entries (state appends stay O(batch))") {
+    // a cached plan left behind by a batch is re-optimized by Spark's
+    // CacheManager on EVERY subsequent state append (recacheByPath):
+    // per-batch commit cost then grows ~linearly in batch count
+    // (measured +1 s/batch via the jaccardVerify shingle cache before
+    // its release was wired). Pin: entry count does not grow across
+    // batches. CacheManager is private[sql] → reflection.
+    def cacheEntries: Int = {
+      val ssm = spark.getClass.getMethod("sharedState").invoke(spark)
+      val cm = ssm.getClass.getMethod("cacheManager").invoke(ssm)
+      val f = cm.getClass.getDeclaredFields
+        .find(_.getName.contains("cachedData")).get
+      f.setAccessible(true)
+      f.get(cm).asInstanceOf[Seq[Any]].size
+    }
+    val state = Files.createTempDirectory("graft_leak_state").toString
+    import org.apache.spark.sql.functions.{col, concat, lit, md5 => smd5}
+    def batch(i: Int) = spark.range(i * 100, i * 100 + 30)
+      .select(col("id"),
+        concat(lit(s"batch $i doc "), smd5(col("id").cast("string")),
+          lit(" unique body with enough words to pass the line rules "
+            + "and form shingles across tokens.")).as("text"),
+        lit("org_leak").as("scope"))
+    val before = cacheEntries
+    for (i <- 1 to 3) {
+      val out = CurationStream.curateSurvivorsDeferred(batch(i), state)
+      out.commit()
+      out.survivors.unpersist(false)
+    }
+    assert(cacheEntries == before,
+      s"cache entries grew: $before -> $cacheEntries (per-batch plan leak)")
+  }
 }
