@@ -304,9 +304,17 @@ object TrainingPipeline {
     val bpeOn = cfg.bpeSteps.isDefined || cfg.bpeMerges.isDefined
     val sampleCols = Seq(col("id"), col("stratum"), col("toks")) ++
       (if (bpeOn) Seq(col("text")) else Nil)
-    val sampled = staged(Curation.stratifiedSample(decontaminated, "id",
+    // BPE mode reads the survivor frame three more times (the merge
+    // training histogram materializes EAGERLY inside curate, then
+    // encode scans it on both sides of its type join) — cache it even
+    // in lazy mode, where those reads would otherwise each re-run the
+    // post-tokenize stages. The histogram's own materialization warms
+    // the cache.
+    val sampled0 = Curation.stratifiedSample(decontaminated, "id",
         "stratum", cfg.sampleRates, cfg.defaultSampleRate, cfg.sampleSalt)
-      .select(sampleCols: _*))
+      .select(sampleCols: _*)
+    val sampled =
+      if (bpeOn && !withReport) sampled0.cache() else staged(sampled0)
     val nSampled = stageCount(sampled)
 
     // 8: fixed-length sequence packing over token counts — whitespace
@@ -337,9 +345,12 @@ object TrainingPipeline {
       }
 
     // report mode: sampled + spans are still pinned (docs IS sampled);
-    // lazy mode: the token frame is the one deliberate cache
+    // lazy mode: the token frame is the one deliberate cache (plus
+    // the survivor frame when BPE packing multiplied its readers)
     val retained =
-      if (withReport) Seq(sampled, spans) else Seq(toks)
+      if (withReport) Seq(sampled, spans)
+      else if (bpeOn) Seq(toks, sampled)
+      else Seq(toks)
     // docs keeps its (id, stratum, toks) contract regardless of the
     // token-unit mode (the projection reads through the cache)
     val docsOut =
