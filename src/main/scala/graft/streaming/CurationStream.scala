@@ -94,9 +94,13 @@ object CurationStream {
     * state append. `commit()` appends the survivors + their dedup
     * state (keys/bands/toks/docs) — call it AFTER any downstream
     * side-effect that a stream replay must be able to redo (the
-    * curate→serve ordering), exactly once per outcome. The caller
-    * unpersists `survivors` to release its blocks. */
-  final case class CurationOutcome(survivors: DataFrame, commit: () => Unit)
+    * curate→serve ordering), exactly once per outcome. `n` is the
+    * survivor count, already paid for by the checkpoint
+    * materialization — consumers branch on it instead of probing the
+    * frame with their own isEmpty/count jobs. The caller unpersists
+    * `survivors` to release its blocks. */
+  final case class CurationOutcome(survivors: DataFrame, n: Long,
+                                   commit: () => Unit)
 
   /** Back-compat batch core: compute survivors AND append state before
     * returning. */
@@ -134,7 +138,7 @@ object CurationStream {
             StructField("text_md5", StringType),
             StructField("text", StringType),
             StructField("toks", ArrayType(StringType))))),
-        () => ())
+        0L, () => ())
 
     // 1: row-local normalize + C4 line clean (one fused pass); the
     // scoped exact key folds the scope into the md5 (NUL separator —
@@ -248,7 +252,7 @@ object CurationStream {
     // 5 (deferred): append survivors + their state — O(batch) writes,
     // no rewrite. Both frames are checkpointed above, so the closure
     // holds no lineage over caches or state paths.
-    CurationOutcome(survivors, () =>
+    CurationOutcome(survivors, n, () =>
       if (n > 0) {
         survivors.select("id", "text").write.mode("append")
           .parquet(s"$stateDir/docs")
@@ -320,11 +324,16 @@ object CurationStream {
             withId.select(col("id"), col("text"),
               col("organization_id").as("scope")), stateDir, cfg)
           // survivors are batch-bounded → broadcast the id set back
-          // onto the batch to recover filename/org for the store
-          val keep = withId
-            .join(broadcast(out.survivors.select(col("id"))), Seq("id"), "left_semi")
-            .drop("id")
-          if (!keep.isEmpty) { svc.ingestBatch(keep); () }
+          // onto the batch to recover filename/org for the store; the
+          // outcome's materialized count gates the ingest (an isEmpty
+          // probe here would be a redundant broadcast-build job)
+          if (out.n > 0) {
+            val keep = withId
+              .join(broadcast(out.survivors.select(col("id"))),
+                Seq("id"), "left_semi")
+              .drop("id")
+            svc.ingestBatch(keep); ()
+          }
           out.commit()
           out.survivors.unpersist(false)
           ()

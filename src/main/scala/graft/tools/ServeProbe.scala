@@ -23,6 +23,8 @@ object ServeProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "1000000")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(f: => Unit): Double = {
@@ -40,6 +42,25 @@ object ServeProbe {
         f.get(cm).asInstanceOf[Seq[Any]].size
       } catch { case _: Throwable => -1 }
     import graft.streaming.CurationStream
+
+    // SPARK_GRAFT_JOBS=1: per-job wall-clock attribution of the last
+    // probe's curation term (driver-side planning gaps show up as
+    // time BETWEEN jobs)
+    val traceJobs = sys.env.contains("SPARK_GRAFT_JOBS")
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (traceJobs)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, (System.nanoTime(),
+              j.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString("|").take(90)))
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.get(j.jobId)
+            if (s != null) jobLog.add(
+              f"    job ${j.jobId}%3d ${(System.nanoTime() - s._1) / 1e9}%6.2fs  ${s._2}")
+          }
+        })
 
     val root = java.nio.file.Files.createTempDirectory("graft_serveprobe").toString
     val svc = new graft.serve.QueryService(spark, root)
@@ -72,20 +93,27 @@ object ServeProbe {
       val withId = probe.withColumn("id",
         xxhash64(col("organization_id"), col("filename"), col("text")))
       var out: CurationStream.CurationOutcome = null
+      if (traceJobs && i == nProbes) jobLog.clear()
       val tCur = time {
         out = CurationStream.curateSurvivorsDeferred(
           withId.select(col("id"), col("text"),
             col("organization_id").as("scope")), stateDir)
       }
-      var keepN = 0L
+      if (traceJobs && i == nProbes) {
+        Thread.sleep(800) // drain listener bus
+        println(s"  curate jobs (probe $i):")
+        jobLog.forEach(l => println(l))
+      }
       val tIngest = time {
-        val keep = withId.join(broadcast(out.survivors.select(col("id"))),
-          Seq("id"), "left_semi").drop("id")
-        if (!keep.isEmpty) { keepN = keep.count(); svc.ingestBatch(keep); () }
+        if (out.n > 0) {
+          val keep = withId.join(broadcast(out.survivors.select(col("id"))),
+            Seq("id"), "left_semi").drop("id")
+          svc.ingestBatch(keep); ()
+        }
       }
       val tCommit = time { out.commit() }
       out.survivors.unpersist(false)
-      println(f"probe $i: curate $tCur%.2f  ingest($keepN) $tIngest%.2f  " +
+      println(f"probe $i: curate $tCur%.2f  ingest(${out.n}) $tIngest%.2f  " +
         f"commit $tCommit%.2f  cacheEntries $cacheEntries%d")
     }
     spark.stop()

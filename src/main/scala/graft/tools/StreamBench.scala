@@ -127,9 +127,11 @@ object StreamBench {
             val out = CurationStream.curateSurvivorsDeferred(
               withId.select(col("id"), col("text"),
                 col("organization_id").as("scope")), stateDir)
-            val keep = withId.join(broadcast(out.survivors.select(col("id"))),
-              Seq("id"), "left_semi").drop("id")
-            if (!keep.isEmpty) { svc.ingestBatch(keep); () }
+            if (out.n > 0) {
+              val keep = withId.join(broadcast(out.survivors.select(col("id"))),
+                Seq("id"), "left_semi").drop("id")
+              svc.ingestBatch(keep); ()
+            }
             out.commit()
             out.survivors.unpersist(false)
           }
