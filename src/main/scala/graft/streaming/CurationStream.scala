@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types._
 
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.{parseJson, Serialization}
+
 import graft.functions.TextFunctions
 import graft.operators.{Clean, Dedup}
 
@@ -52,14 +55,19 @@ object CurationStream {
       jaccardThreshold: Double = 0.8,
       // optional Gopher quality gate (q94) applied before any state
       // write — junk never enters the store or the band table
-      gopherWordBounds: Option[(Int, Int)] = None)
+      gopherWordBounds: Option[(Int, Int)] = None,
+      // a compacted state table smaller than this is read whole — the
+      // bucket-prune probe's fixed cost only pays for itself against a
+      // multi-GB tier (see [[PruneMinBytes]]); tests set 0 to force
+      // the pruned path
+      statePruneMinBytes: Long = 2L << 30)
 
-  private val keysSchema = StructType(Seq(
+  private[graft] val keysSchema = StructType(Seq(
     StructField("id", LongType), StructField("text_md5", StringType)))
   private val bandsSchema = StructType(Seq(
     StructField("id", LongType), StructField("band", IntegerType),
     StructField("band_key", StringType)))
-  private val toksSchema = StructType(Seq(
+  private[graft] val toksSchema = StructType(Seq(
     StructField("id", LongType),
     StructField("toks", ArrayType(StringType))))
 
@@ -75,6 +83,256 @@ object CurationStream {
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  // ---- compacted state tier (LSM shape) ----------------------------------
+  //
+  // Plain append-only state keeps per-batch WRITES O(batch), but every
+  // batch still SCANS the full keys / bands / toks tables (columnar
+  // and cheap at the tested 50k-doc states, linear all the same — at
+  // 100M curated docs those scans are gigabytes per micro-batch).
+  // [[compactState]] rewrites the state into a bucket-partitioned tier
+  // (bucket = hash of each table's join key), after which a batch
+  // reads ONLY the ≤`StateBuckets` partitions its own keys can touch
+  // plus whatever delta files appended since the last compaction —
+  // per-batch state IO becomes O(batch-buckets/total × tier + delta),
+  // the LSM read shape, while the write path stays byte-identical.
+  //
+  // Exactly-once absorption: the COMPACTED manifest records, per
+  // table, the delta FILE NAMES the tier has absorbed; readers list
+  // the delta dir and subtract them. The flip is the same
+  // write-aside + atomic-rename as SegmentedStore's CURRENT, so a
+  // crash between tier write, flip and delta GC never double-counts a
+  // row (duplicated toks rows would skew Jaccard sizes) and never
+  // loses one. Single-writer contract: compaction runs BETWEEN
+  // batches (the stream's foreachBatch is serial); it is maintenance,
+  // like [[graft.sources.SegmentedStore]]'s foldSegments.
+
+  /** Bucket count of the compacted tier. 64 keeps the per-batch
+    * pruned read at ≤ batch-distinct buckets while a compaction still
+    * writes only ~64 files per table. */
+  val StateBuckets = 64
+
+  /** COMPACTED manifest: tier generation + absorbed delta file names
+    * per state table (names still present in the delta dir are
+    * excluded from reads; deletion is best-effort GC afterwards) +
+    * per-table tier bytes (the prune-engagement signal). */
+  final case class StateManifest(gen: Int,
+                                 absorbedKeys: List[String],
+                                 absorbedBands: List[String],
+                                 absorbedToks: List[String],
+                                 tierBytes: Option[Map[String, Long]] = None,
+                                 // minted per compaction: the tier-memo
+                                 // key component that a wiped-and-
+                                 // reseeded stateDir (gen restarts at 1,
+                                 // dir path repeats) can never collide
+                                 // on — the SegmentedStore storeId
+                                 // lesson
+                                 tierId: Option[String] = None) {
+    def absorbed(kind: String): Set[String] = kind match {
+      case "keys" => absorbedKeys.toSet
+      case "bands" => absorbedBands.toSet
+      case _ => absorbedToks.toSet
+    }
+    def bytesOf(kind: String): Long =
+      tierBytes.flatMap(_.get(kind)).getOrElse(0L)
+  }
+
+  /** Tier size below which a batch reads the tier WHOLE instead of
+    * bucket-pruned: the prune probe costs ~3 batch-bounded collect
+    * jobs (~0.5-1 s of fixed driver overhead, StreamBench x100
+    * COMPACT_STATE rehearsal), while a columnar full scan of a small
+    * tier is cheaper than that — the crossover is a multi-GB tier
+    * (several million curated docs), exactly the regime the tier
+    * exists for. */
+  val PruneMinBytes: Long = 2L << 30
+
+  implicit private val jsonFormats: Formats = DefaultFormats
+
+  private def hadoopFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def readStateManifest(spark: SparkSession,
+                        stateDir: String): Option[StateManifest] = {
+    val (fs, p) = hadoopFs(spark, s"$stateDir/COMPACTED")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(parseJson(s).extract[StateManifest])
+    }
+  }
+
+  private def writeStateManifest(spark: SparkSession, stateDir: String,
+                                 m: StateManifest): Unit = {
+    val (fs, root) = hadoopFs(spark, stateDir)
+    fs.mkdirs(root)
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(stateDir, "COMPACTED.tmp"))
+    val out = fs.create(tmp, true)
+    try out.write(Serialization.write(m).getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp,
+      fs.makeQualified(new org.apache.hadoop.fs.Path(stateDir, "COMPACTED")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The bucket a state row lands in — the SAME Spark expression
+    * computes the write-side partition value and the read-side probe
+    * set, so the two can never disagree. */
+  private def bucketExpr(kind: String): org.apache.spark.sql.Column =
+    kind match {
+      case "keys" => pmod(xxhash64(col("text_md5")), lit(StateBuckets.toLong))
+      case "bands" => pmod(xxhash64(col("band_key")), lit(StateBuckets.toLong))
+      case _ => pmod(xxhash64(col("id")), lit(StateBuckets.toLong))
+    }
+
+  /** Data files currently in a delta dir, minus `absorbed` names. */
+  private def deltaFiles(spark: SparkSession, dir: String,
+                         absorbed: Set[String]): Seq[String] = {
+    val (fs, p) = hadoopFs(spark, dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && !absorbed.contains(n)
+      })
+      .map(_.getPath.toString)
+  }
+
+  // Per-(session, state, generation, table) memo of the tier base
+  // frame. A tier generation's 64-bucket directory tree is IMMUTABLE
+  // once its manifest is flipped, but a fresh spark.read resolves a
+  // new InMemoryFileIndex — a driver-side listing of all bucket dirs —
+  // on EVERY batch (measured ~0.6 s/probe across the three tables at
+  // a 500k-doc state). Reusing the resolved frame reuses its file
+  // index; per-batch bucket filters plan against the memo without
+  // re-listing (the SegmentedStore sidecar-view-memo pattern). Bounded
+  // LRU; a superseded generation's entry ages out.
+  private val tierMemo =
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame])
+          : Boolean = size() > 12
+    }
+
+  private def tierFrame(spark: SparkSession, stateDir: String, kind: String,
+                        m: StateManifest, tierSchema: StructType): DataFrame = {
+    // tierId is the collision-proof key; legacy manifests without one
+    // fall back to path+gen (correct within a single state lineage)
+    val key = (spark, m.tierId.getOrElse(s"$stateDir#${m.gen}"), kind)
+    tierMemo.synchronized {
+      val hit = tierMemo.get(key)
+      if (hit != null) return hit
+    }
+    val tierDir = s"$stateDir/_compacted/v${m.gen}/$kind"
+    val df =
+      if (exists(spark, tierDir))
+        spark.read.schema(tierSchema).parquet(tierDir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tierSchema)
+    tierMemo.synchronized { tierMemo.put(key, df) }
+    df
+  }
+
+  /** One state table's current view: the compacted tier (pruned to
+    * `buckets` when given — static partition pruning, the point of the
+    * tier) unioned with un-absorbed delta files. Without a manifest
+    * this is exactly the legacy full-dir read. */
+  private[graft] def readState(spark: SparkSession, stateDir: String,
+                               kind: String, schema: StructType,
+                               m: Option[StateManifest],
+                               buckets: Option[Seq[Long]]): DataFrame = m match {
+    case None => readOrEmpty(spark, s"$stateDir/$kind", schema)
+    case Some(man) =>
+      val tierSchema = schema.add(StructField("bucket", LongType))
+      val tier0 = tierFrame(spark, stateDir, kind, man, tierSchema)
+      val tier = (buckets match {
+        case Some(bs) if bs.size < StateBuckets =>
+          tier0.filter(col("bucket").isin(bs: _*))
+        case _ => tier0
+      }).drop("bucket")
+      val fresh = deltaFiles(spark, s"$stateDir/$kind", man.absorbed(kind))
+      val delta =
+        if (fresh.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema).parquet(fresh: _*)
+      tier.unionByName(delta)
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, dir)
+    fs.exists(p)
+  }
+
+  /** Distinct tier buckets a batch-bounded frame can touch, as literal
+    * values for the partition filter (None = every bucket — skip the
+    * filter). The collect is bounded by `StateBuckets` rows whatever
+    * the batch size. */
+  private def batchBuckets(df: DataFrame, kind: String): Option[Seq[Long]] = {
+    val bs = df.select(bucketExpr(kind).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (bs.size >= StateBuckets) None else Some(bs)
+  }
+
+  /** Rewrite the full current state (previous tier + un-absorbed
+    * deltas) into a fresh bucket-partitioned tier generation, flip the
+    * COMPACTED manifest, then best-effort-delete the absorbed delta
+    * files and the previous tier. O(state) — a scheduled maintenance
+    * event whose cost amortizes over the cheap O(batch) appends
+    * between runs, exactly like the serving store's segment fold. */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    val m0 = readStateManifest(spark, stateDir)
+    val gen = m0.map(_.gen + 1).getOrElse(1)
+    val kinds = Seq(("keys", keysSchema), ("bands", bandsSchema),
+      ("toks", toksSchema))
+    val compacted = kinds.map { case (kind, schema) =>
+      val prevAbsorbed = m0.map(_.absorbed(kind)).getOrElse(Set.empty)
+      val fresh = deltaFiles(spark, s"$stateDir/$kind", prevAbsorbed)
+      val tierDir = s"$stateDir/_compacted/v$gen/$kind"
+      readState(spark, stateDir, kind, schema, m0, None)
+        .withColumn("bucket", bucketExpr(kind))
+        .repartition(StateBuckets, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(tierDir)
+      val (fs, tp) = hadoopFs(spark, tierDir)
+      val bytes = fs.getContentSummary(tp).getLength
+      // absorbed going forward = everything this tier now contains
+      // that might STILL sit in the delta dir: the fresh files, plus
+      // previously-absorbed names whose GC delete failed
+      val freshNames = fresh.map(f =>
+        new org.apache.hadoop.fs.Path(f).getName).toSet
+      val stillThere = deltaFiles(spark, s"$stateDir/$kind", Set.empty)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      kind -> ((prevAbsorbed ++ freshNames) & (stillThere ++ freshNames),
+        bytes)
+    }.toMap
+    val absorbedNow = compacted.view.mapValues(_._1).toMap
+    writeStateManifest(spark, stateDir, StateManifest(gen,
+      absorbedNow("keys").toList.sorted,
+      absorbedNow("bands").toList.sorted,
+      absorbedNow("toks").toList.sorted,
+      Some(compacted.view.mapValues(_._2).toMap),
+      Some(java.util.UUID.randomUUID().toString)))
+    // GC: absorbed delta files + the previous tier generation
+    kinds.foreach { case (kind, _) =>
+      val (fs, dir) = hadoopFs(spark, s"$stateDir/$kind")
+      absorbedNow(kind).foreach { n =>
+        try fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    m0.foreach { prev =>
+      val (fs, p) = hadoopFs(spark, s"$stateDir/_compacted/v${prev.gen}")
+      try fs.delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** One micro-batch through the incremental pipeline (also the
@@ -177,8 +435,17 @@ object CurationStream {
       Seq("text_md5", "id"), "left_semi")
 
     // 3: cross-batch exact — the seen-key store scans, the batch's
-    // md5 set broadcasts
-    val seen = readOrEmpty(spark, s"$stateDir/keys", keysSchema)
+    // md5 set broadcasts. With a compacted tier ABOVE the prune
+    // threshold the scan is first PRUNED to the batch's key buckets
+    // (a ≤StateBuckets-row collect per probe — paid only when the
+    // tier is big enough that the skipped scan exceeds it).
+    val stateM = readStateManifest(spark, stateDir)
+    def prune(kind: String, probe: => DataFrame): Option[Seq[Long]] =
+      if (stateM.exists(_.bytesOf(kind) >= cfg.statePruneMinBytes))
+        batchBuckets(probe, kind)
+      else None
+    val seen = readState(spark, stateDir, "keys", keysSchema, stateM,
+      prune("keys", exactB))
     val hits = seen.join(
         broadcast(exactB.select("text_md5").distinct()), "text_md5")
       .select("text_md5").distinct()
@@ -190,7 +457,6 @@ object CurationStream {
         (if (scoped) Seq(col("scope")) else Nil): _*)
       .cache()
     val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK)
-    val corpusBands = readOrEmpty(spark, s"$stateDir/bands", bandsSchema)
     // scoped mode prefixes every band key with the scope BEFORE the
     // corpus join (the lshCandidatesDeltaBanded hook): candidates —
     // and therefore near-dup drops — only ever pair within one scope.
@@ -203,17 +469,25 @@ object CurationStream {
             concat(col("scope"), lit("|"), col("band_key")).as("band_key"))
       else Dedup.bandTable(sigs, cfg.bands, cfg.rows))
       .cache()
+    val corpusBands = readState(spark, stateDir, "bands", bandsSchema, stateM,
+      prune("bands", nb))
+    // cached: consumed by the candIds broadcast, the verify join AND
+    // (tier present) the toks bucket probe — uncached, each would
+    // re-run the corpus-bands join
     val cands = Dedup
       .lshCandidatesDeltaBanded(nb, corpusBands)
       .toDF("id_a", "id_b") // id_a = batch doc; id_b = corpus OR batch
+      .cache()
     // Verification must touch ONLY candidate docs: shingling the whole
     // curated store would be O(corpus) per batch. Semi-join the token
     // store down to the candidate id set (bounded by the LSH pair
-    // count) before the shingle explode.
+    // count) before the shingle explode — and with a compacted tier,
+    // prune the store read to the candidates' id buckets first.
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id"))).distinct()
     val allToks = toks.select("id", "toks")
-      .unionByName(readOrEmpty(spark, s"$stateDir/toks", toksSchema))
+      .unionByName(readState(spark, stateDir, "toks", toksSchema, stateM,
+        prune("toks", candIds)))
       .join(broadcast(candIds), Seq("id"), "left_semi")
     val (verified0, releaseSh) =
       Dedup.jaccardVerifyStaged(cands, allToks, "id", "toks")
@@ -244,6 +518,7 @@ object CurationStream {
         .localCheckpoint())
     toks.unpersist(false)
     nb.unpersist(false)
+    cands.unpersist(false)
     // every verified-pair consumer is checkpointed above; a leaked
     // shingle cache would re-optimize on each state append (see
     // jaccardVerifyStaged's doc)

@@ -52,7 +52,12 @@ object StreamBench {
           j => substring(md5(concat(col("id"), lit("_"), j)), 1, 8))),
           lit(".")).as("text"))
 
-    val results = Seq(1, 10).map { factor =>
+    // SPARK_GRAFT_FACTORS=1,10,100 overrides the state sizes; the
+    // default pair reproduces the r7 pin. COMPACT_STATE mode (below)
+    // wants the biggest state it can seed.
+    val factors = sys.env.get("SPARK_GRAFT_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
+    val results = factors.map { factor =>
       val nBase = base.count()
       val stateDir = java.nio.file.Files
         .createTempDirectory(s"graft_streambench_$factor").toString
@@ -65,19 +70,35 @@ object StreamBench {
       // fresh probe batches: ids far above every seeded id, texts
       // salted per batch — near-dup-ish of corpus content, so the LSH
       // delta path and Jaccard verification genuinely run
-      val probes = (1 to nProbes).map { i =>
+      def probeRound(tag: String) = (1 to nProbes).map { i =>
         val probe = base.limit(probeSize)
-          .select((col("id") + 9000000000L + i.toLong * 1000000L).as("id"),
-            concat(col("text"), lit(s" probe batch $i distinct suffix"))
-              .as("text"))
+          .select((col("id") + 9000000000L + i.toLong * 1000000L +
+            (if (tag == "c") 500000L else 0L)).as("id"),
+            concat(col("text"),
+              lit(s" probe batch $tag$i distinct suffix")).as("text"))
         time { CurationStream.curateBatch(probe, stateDir) }
       }
-      (factor, seedN, seedSec, probes)
+      val probes = probeRound("")
+      // SPARK_GRAFT_COMPACT_STATE=1: compact the state into the
+      // bucket-partitioned tier, then probe again — the delta between
+      // the two probe rounds is what per-batch bucket pruning saves at
+      // this state size (plus the one-time O(state) compaction cost)
+      val compacted =
+        if (!sys.env.contains("SPARK_GRAFT_COMPACT_STATE")) None
+        else {
+          val cSec = time { CurationStream.compactState(spark, stateDir) }
+          Some((cSec, probeRound("c")))
+        }
+      (factor, seedN, seedSec, probes, compacted)
     }
 
-    val json = results.map { case (f, n, s, ps) =>
+    val json = results.map { case (f, n, s, ps, c) =>
       s""""x$f":{"seed_docs":$n,"seed_sec":${f"$s%.2f"},""" +
-        s""""probe_secs":[${ps.map(p => f"$p%.2f").mkString(",")}]}"""
+        s""""probe_secs":[${ps.map(p => f"$p%.2f").mkString(",")}]""" +
+        c.map { case (cs, cps) =>
+          s""","compact_sec":${f"$cs%.2f"},""" +
+            s""""probe_secs_compacted":[${cps.map(p => f"$p%.2f").mkString(",")}]"""
+        }.getOrElse("") + "}"
     }.mkString("{", ",", "}")
     println(json)
 

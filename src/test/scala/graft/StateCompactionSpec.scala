@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CurationStream
+
+/** Compacted curation-state tier (the LSM read path): identical dedup
+  * semantics before/after compaction, exactly-once absorption of delta
+  * files (a file both absorbed and still on disk is never
+  * double-counted — duplicated toks rows would skew Jaccard sizes),
+  * bucket pruning in the tier scan, and re-compaction across
+  * generations. */
+class StateCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseText =
+    "the service agreement covers payment terms and renewal options for the client.\n" +
+      "all invoices are due within thirty days of the billing date as agreed.\n" +
+      "either party may terminate the contract with ninety days written notice."
+  private def nearDup(tag: String) = baseText + s"\nappendix note $tag."
+  private def unique(i: Int) =
+    s"document number $i describes an entirely different topic about subject $i.\n" +
+      s"it contains its own distinct second line with material unique to item $i.\n" +
+      s"a third line keeps it past the minimum word count for the line cleaner $i."
+
+  private def tmp() =
+    Files.createTempDirectory("graft_state_compact").toString
+
+  private def batch(rows: Seq[(Long, String)]) =
+    rows.toDF("id", "text")
+
+  private def survivorIds(state: String, rows: Seq[(Long, String)],
+                          cfg: CurationStream.Cfg = CurationStream.Cfg())
+      : Set[Long] = {
+    val s = CurationStream.curateSurvivors(batch(rows), state, cfg)
+    val ids = s.select("id").collect().map(_.getLong(0)).toSet
+    s.unpersist(false)
+    ids
+  }
+
+  /** Force the pruned tier-read path regardless of tier size. */
+  private val forcePrune = CurationStream.Cfg(statePruneMinBytes = 0L)
+
+  test("compaction preserves dedup semantics exactly (twin-state comparison)") {
+    val plain = tmp(); val compacted = tmp()
+    val b1 = Seq(1L -> baseText, 2L -> unique(2))
+    val b2 = Seq(3L -> unique(3), 4L -> nearDup("alpha"))
+    for (st <- Seq(plain, compacted)) {
+      assert(survivorIds(st, b1) == Set(1L, 2L))
+      assert(survivorIds(st, b2) == Set(3L)) // 4 near-dups doc 1
+    }
+    CurationStream.compactState(spark, compacted)
+    assert(CurationStream.readStateManifest(spark, compacted).exists(_.gen == 1))
+    // probe batch exercising every state table: an exact redelivery of
+    // doc 2 (keys), a near-dup of doc 1 (bands + toks), same-batch
+    // near-dup pair (7 < 8 keeps 7), and a unique survivor
+    val b3 = Seq(5L -> unique(2), 6L -> nearDup("beta"),
+      7L -> unique(70), 8L -> (unique(70) + "\nsmall tail difference here."),
+      9L -> unique(9))
+    val fromPlain = survivorIds(plain, b3)
+    // FORCED bucket pruning (the tier is far below PruneMinBytes, so
+    // the default path reads it whole — this exercises the collect +
+    // partition-filter path end-to-end)
+    val fromCompacted = survivorIds(compacted, b3, forcePrune)
+    assert(fromPlain == fromCompacted,
+      s"compacted state diverged: $fromPlain vs $fromCompacted")
+    assert(fromCompacted == Set(7L, 9L))
+  }
+
+  test("absorbed delta files are excluded even when GC left them on disk") {
+    val state = tmp()
+    assert(survivorIds(state, Seq(10L -> baseText, 11L -> unique(11))) ==
+      Set(10L, 11L))
+    // capture the keys/toks delta files compaction will absorb (and GC)
+    def dataFiles(kind: String): Map[String, Array[Byte]] = {
+      val dir = Paths.get(s"$state/$kind")
+      val s = Files.list(dir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString -> Files.readAllBytes(p)).toMap
+      finally s.close()
+    }
+    val keysBefore = dataFiles("keys")
+    val toksBefore = dataFiles("toks")
+    CurationStream.compactState(spark, state)
+    val m = CurationStream.readStateManifest(spark, state).get
+    assert(m.absorbedKeys.toSet == keysBefore.keySet)
+    // simulate a failed GC delete: restore the absorbed files verbatim
+    (keysBefore.map(("keys", _)) ++ toksBefore.map(("toks", _))).foreach {
+      case (kind, (name, bytes)) =>
+        Files.write(Paths.get(s"$state/$kind/$name"), bytes)
+    }
+    // the restored files must NOT be read again: key count stays exact
+    val keys = CurationStream.readState(spark, state, "keys",
+      CurationStream.keysSchema, Some(m), None)
+    assert(keys.count() == 2L)
+    assert(keys.select("id").distinct().count() == 2L)
+    assert(CurationStream.readState(spark, state, "toks",
+      CurationStream.toksSchema, Some(m), None).count() == 2L)
+    // and dedup semantics still hold through the full path (a doubled
+    // toks row would change Jaccard sizes)
+    assert(survivorIds(state, Seq(12L -> nearDup("gamma"), 13L -> unique(13)))
+      == Set(13L))
+  }
+
+  test("tier scan is bucket-pruned; re-compaction absorbs later deltas and drops the old generation") {
+    val state = tmp()
+    survivorIds(state,
+      (20L -> baseText) +: (21L to 40L).map(i => i -> unique(i.toInt)))
+    CurationStream.compactState(spark, state)
+    val m1 = CurationStream.readStateManifest(spark, state).get
+    val pruned = CurationStream.readState(spark, state, "keys",
+      CurationStream.keysSchema, Some(m1), Some(Seq(0L, 1L, 2L)))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined,
+      s"expected a NON-EMPTY partition filter on bucket in:\n$plan")
+    // second generation: new batch -> new delta -> compact again
+    survivorIds(state, Seq(41L -> unique(41), 42L -> unique(42)))
+    CurationStream.compactState(spark, state)
+    val m2 = CurationStream.readStateManifest(spark, state).get
+    assert(m2.gen == 2)
+    assert(!Files.exists(Paths.get(s"$state/_compacted/v1")))
+    val all = CurationStream.readState(spark, state, "keys",
+      CurationStream.keysSchema, Some(m2), None)
+    assert(all.count() == 23L) // 21 + 2, each exactly once
+    // post-compaction semantics: exact redelivery + a near-dup of a
+    // doc absorbed through BOTH tier generations both drop
+    assert(survivorIds(state,
+      Seq(43L -> unique(41), 44L -> nearDup("delta"), 45L -> unique(45)))
+      == Set(45L))
+  }
+}
