@@ -57,6 +57,12 @@ object StreamBench {
     // wants the biggest state it can seed.
     val factors = sys.env.get("SPARK_GRAFT_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
+    // SPARK_GRAFT_PRUNE_MIN overrides the tier-prune engagement
+    // threshold for the probe batches (0 = always prune) — the knob
+    // the prune-crossover rehearsal sweeps
+    val probeCfg = sys.env.get("SPARK_GRAFT_PRUNE_MIN")
+      .map(b => CurationStream.Cfg(statePruneMinBytes = b.toLong))
+      .getOrElse(CurationStream.Cfg())
     val results = factors.map { factor =>
       val nBase = base.count()
       val stateDir = java.nio.file.Files
@@ -76,7 +82,7 @@ object StreamBench {
             (if (tag == "c") 500000L else 0L)).as("id"),
             concat(col("text"),
               lit(s" probe batch $tag$i distinct suffix")).as("text"))
-        time { CurationStream.curateBatch(probe, stateDir) }
+        time { CurationStream.curateBatch(probe, stateDir, probeCfg) }
       }
       val probes = probeRound("")
       // SPARK_GRAFT_COMPACT_STATE=1: compact the state into the
