@@ -402,12 +402,23 @@ object DocumentParser {
       // recursion; object order matches authoring order for the
       // single-producer PDFs this targets)
       val pages = objs.toSeq.filter(_._2.contains("/Type /Page")).filterNot(_._2.contains("/Pages"))
+      // /Contents comes in two shapes: a single ref (`/Contents 5 0 R`)
+      // and an ARRAY of refs (`/Contents [5 0 R 6 0 R]`, pdflatex and
+      // other split-stream producers) — match both, refs in order
       val contentsRe = java.util.regex.Pattern.compile(
-        "/Contents\\s+(\\d+)\\s+\\d+\\s+R")
+        "/Contents\\s+(\\d+)\\s+\\d+\\s+R|/Contents\\s*\\[((?:\\s*\\d+\\s+\\d+\\s+R)+)\\s*\\]")
+      val arrayRefRe = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R")
+      val cmapMemo = scala.collection.mutable.HashMap.empty[Int, Map[Int, String]]
       val texts = pages.flatMap { case (_, body) =>
-        val fonts = pageFonts(objs, body)
+        val fonts = pageFonts(objs, body, cmapMemo)
         val cm = contentsRe.matcher(body)
-        val refs = Iterator.continually(cm).takeWhile(_.find()).map(_.group(1).toInt).toSeq
+        val refs = Iterator.continually(cm).takeWhile(_.find()).flatMap { m =>
+          if (m.group(1) != null) Iterator.single(m.group(1).toInt)
+          else {
+            val am = arrayRefRe.matcher(m.group(2))
+            Iterator.continually(am).takeWhile(_.find()).map(_.group(1).toInt)
+          }
+        }.toSeq
         refs.flatMap(n => objs.get(n)).map(streamData)
           .map(extractTextOps(_, fonts, cmap, composite))
       }
@@ -503,7 +514,13 @@ object DocumentParser {
       * handles them), never throw. */
     private def pageFonts(
         objs: scala.collection.mutable.LinkedHashMap[Int, String],
-        pageBody: String): Map[String, FontInfo] = {
+        pageBody: String,
+        // per-file memo of parsed /ToUnicode maps by OBJECT NUMBER:
+        // pages routinely share fonts, and re-inflating + re-scanning
+        // the same CMap stream per page is O(pages × fonts) redundant
+        // work on large documents
+        cmapMemo: scala.collection.mutable.HashMap[Int, Map[Int, String]])
+        : Map[String, FontInfo] = {
       val fontDict = dictValue(pageBody, "/Resources", objs)
         .flatMap(res => dictValue(res, "/Font", objs))
         .getOrElse(return Map.empty)
@@ -518,13 +535,15 @@ object DocumentParser {
             "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R")
           val tm = tuRe.matcher(fontBody)
           val fcmap =
-            if (tm.find())
-              objs.get(tm.group(1).toInt).map { o =>
-                val m = scala.collection.mutable.LinkedHashMap.empty[Int, String]
-                parseCmapInto(streamData(o), m)
-                m.toMap
-              }.getOrElse(Map.empty[Int, String])
-            else Map.empty[Int, String]
+            if (tm.find()) {
+              val tuObj = tm.group(1).toInt
+              cmapMemo.getOrElseUpdate(tuObj,
+                objs.get(tuObj).map { o =>
+                  val m = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+                  parseCmapInto(streamData(o), m)
+                  m.toMap
+                }.getOrElse(Map.empty[Int, String]))
+            } else Map.empty[Int, String]
           out += em.group(1) -> FontInfo(comp, fcmap)
         }
       }

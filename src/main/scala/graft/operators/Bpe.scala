@@ -77,17 +77,24 @@ object Bpe {
     * pair counts over the type table, argmax, rewrite — `nMerges`
     * small jobs + single-row collects, nothing corpus-sized. */
   def learnMerges(hist: DataFrame, nMerges: Int): Seq[Merge] = {
-    // localCheckpoint (eager), not cache: the histogram is tiny by
-    // contract (≤ the caller's vocabTypes cap) but its LINEAGE can be
-    // arbitrarily deep — inside TrainingPipeline.curate it carries the
-    // whole curation pipeline's analyzed plan, and every one of the
-    // 2·nMerges actions below would re-pay driver-side processing of
-    // that multi-MB plan (measured: 8 steps = 35.7 s against a
-    // pipeline-lineage histogram vs 2.8 s against a raw scan; the
-    // checkpoint makes both ~2.8 s). Training is already eager (it
-    // collects per step), so the eager cut costs nothing extra.
-    var h = hist.select(seqString(col("word")).as("ws"), col("cnt"))
-      .localCheckpoint(true)
+    // Collect the histogram and rebuild it as a LOCAL frame: it is
+    // tiny by contract (≤ the caller's vocabTypes cap) but its LINEAGE
+    // can be arbitrarily deep — inside TrainingPipeline.curate it
+    // carries the whole curation pipeline's analyzed plan, and every
+    // one of the 2·nMerges actions below would re-pay driver-side
+    // processing of that multi-MB plan (measured: 8 steps = 35.7 s
+    // against a pipeline-lineage histogram vs 2.8 s against a raw
+    // scan). Training is already eager (it collects per step), so the
+    // cut costs one bounded collect. A localCheckpoint would cut the
+    // lineage too, but its blocks are RDD-level persists that
+    // Dataset.unpersist can't release — a long-lived curate()-per-
+    // request session would leak one histogram's blocks per call; the
+    // local relation has nothing to leak.
+    val spark = hist.sparkSession
+    val seeded = hist.select(seqString(col("word")).as("ws"), col("cnt"))
+    var h = spark.createDataFrame(
+        java.util.Arrays.asList(seeded.collect(): _*), seeded.schema)
+      .cache()
     val merges = Seq.newBuilder[Merge]
     try {
       for (step <- 1 to nMerges) {

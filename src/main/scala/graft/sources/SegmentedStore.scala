@@ -95,8 +95,13 @@ object SegmentedStore {
   // without atomic rename get last-writer-wins of two COMPLETE
   // manifests — never a torn read, because the tmp file is fully
   // written and closed before the rename.
+  // getActiveSession is THREAD-local — a manifest touched from a
+  // non-session thread (HttpService's handler pool) must still resolve
+  // through the session's Hadoop config (s3a credentials, HA
+  // nameservices, fs.defaultFS set via spark.hadoop.*), so fall back
+  // to the process-wide default session before a bare Configuration
   private def manifestConf(): org.apache.hadoop.conf.Configuration =
-    SparkSession.getActiveSession
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 

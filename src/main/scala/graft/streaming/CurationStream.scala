@@ -60,7 +60,7 @@ object CurationStream {
       // bucket-prune probe's fixed cost only pays for itself against a
       // multi-GB tier (see [[PruneMinBytes]]); tests set 0 to force
       // the pruned path
-      statePruneMinBytes: Long = 2L << 30)
+      statePruneMinBytes: Long = CurationStream.PruneMinBytes)
 
   private[graft] val keysSchema = StructType(Seq(
     StructField("id", LongType), StructField("text_md5", StringType)))
@@ -569,6 +569,15 @@ object CurationStream {
     * near-dup) to one org_a already curated still survives and indexes
     * into org_b's tenant; only SAME-org duplicates drop (the
     * reference's tenant boundary, `tenant_schema.py:35-74`).
+    *
+    * State-identity boundary: scoped and unscoped dedup identities are
+    * DIFFERENT key spaces (md5(org‖text) vs md5(text); prefixed vs
+    * bare band keys) — a curation state written by the unscoped
+    * [[curateStream]] cannot be resumed by this composed stream (or
+    * vice versa): redelivered documents would match nothing and
+    * re-enter. Curation state is derived data; when switching modes,
+    * rebuild it by replaying the docs store through the new identity
+    * rather than pointing the new stream at the old stateDir.
     *
     * Replay safety: the serving ingest runs BEFORE the curation-state
     * append ([[CurationOutcome]].commit). A micro-batch that fails or

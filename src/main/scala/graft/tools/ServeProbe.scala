@@ -71,12 +71,15 @@ object ServeProbe {
         concat(col("text"), lit(".")).as("text"),
         lit("org_bench").as("organization_id"))
     println(f"seed: ${time(svc.ingestBatch(seed))}%.2f s")
+    // scoped seed — matches the probes' tenant, so the corpus-side
+    // dedup path genuinely runs (scoped/unscoped identities don't mix)
     println(f"state seed: ${
       time {
         CurationStream.curateBatch(
           graft.Tables(spark, sfDir, "documents").limit(seedN)
             .select(col("doc_id").as("id"),
-              concat(col("text"), lit(".")).as("text")), stateDir)
+              concat(col("text"), lit(".")).as("text"),
+              lit("org_bench").as("scope")), stateDir)
       }}%.2f s")
 
     for (i <- 1 to nProbes) {

@@ -128,10 +128,15 @@ object StreamBench {
             concat(col("text"), lit(".")).as("text"),
             lit("org_bench").as("organization_id"))
         svc.ingestBatch(seed)
+        // seed SCOPED (same tenant as the probes): scoped and unscoped
+        // identities don't mix — an unscoped seed would leave the
+        // probes zero corpus candidates and the rehearsal would time a
+        // strictly lighter workload than production
         CurationStream.curateBatch(
           graft.Tables(spark, sfDir, "documents").limit(n)
             .select(col("doc_id").as("id"),
-              concat(col("text"), lit(".")).as("text")),
+              concat(col("text"), lit(".")).as("text"),
+              lit("org_bench").as("scope")),
           stateDir)
         val probes = (1 to 3).map { i =>
           // 20 fresh docs per probe: half near-dup-ish of seeded

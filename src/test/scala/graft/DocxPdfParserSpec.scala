@@ -279,4 +279,30 @@ class DocxPdfParserSpec extends AnyFunSuite {
     assert(out.text == "ABCD\nPlain latin\n日本\n日本", out.text)
     assert(out.text == DocumentParser.PdfParser.parse(pdfMixedFontBytes).text)
   }
+
+  // pdflatex-style split page content: /Contents holds an ARRAY of
+  // stream refs, in reading order
+  private def pdfArrayContentsBytes: Array[Byte] = {
+    val c1 = "BT /F1 12 Tf 72 720 Td (First fragment.) Tj ET"
+    val c2 = "BT 72 700 Td (Second fragment.) Tj ET"
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj\n")
+    w(s"4 0 obj << /Length ${c1.length} >> stream\n")
+    w(c1)
+    w("\nendstream endobj\n")
+    w(s"5 0 obj << /Length ${c2.length} >> stream\n")
+    w(c2)
+    w("\nendstream endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf: /Contents array form extracts every fragment in order") {
+    val out = DocumentParser.PdfParser.parse(pdfArrayContentsBytes)
+    assert(out.text == "First fragment.\n\nSecond fragment.", out.text)
+  }
 }
