@@ -33,10 +33,13 @@ import graft.operators.{Clean, Dedup}
   *    any shingle explode — verified flat-in-state-size by
   *    `tools.StreamBench`, pinned in BASELINE.md);
   *  - every state table (keys / bands / toks / docs) is APPEND-ONLY —
-  *    a batch writes O(batch) files and rewrites nothing (the
-  *    [[graft.sources.TableStore.compact]] maintenance op applies when
-  *    small files accumulate; partition `bands` by band for pruned
-  *    delta joins at scale).
+  *    a batch writes O(batch) files and rewrites nothing;
+  *    [[compactState]] periodically folds the accumulated delta files
+  *    into a bucket-partitioned tier (bounding file count between
+  *    runs), and once a table's tier passes the prune threshold the
+  *    per-batch scan reads only the batch's own key buckets — the LSM
+  *    read shape that keeps state IO O(batch + delta) at a multi-GB
+  *    state instead of O(state).
   *
   * Keep-first semantics across time: a doc near-matching an
   * already-curated doc drops; two near-dups in one batch keep the
