@@ -42,14 +42,16 @@ object Clean {
 
   /** Row-local line cleanup: (id, n_lines, n_kept, cleaned). */
   def lineClean(docs: DataFrame, idCol: String, textCol: String,
-                minWords: Int = 3): DataFrame = {
+                minWords: Int = 3, keep: Seq[String] = Nil): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l => keepLine(l, minWords))
+    // row-local select; `keep` columns pass through so callers that
+    // need e.g. a tenant column downstream avoid a re-attach join
     docs.select(
-      col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
-      array_join(kept, "\n").as("cleaned"))
+      col(idCol) +:
+        size(lines).cast("long").as("n_lines") +:
+        size(kept).cast("long").as("n_kept") +:
+        array_join(kept, "\n").as("cleaned") +: keep.map(col): _*)
   }
 
   /** Cross-document repeated-line dedup, keep-first: a line occurring

@@ -31,22 +31,28 @@ object Dedup {
   /** MinHash signatures over 3-gram shingles: (id, sig array<long>).
     * Docs with fewer than 3 tokens have no shingles and are dropped. */
   def minhashSignatures(corpus: DataFrame, idCol: String, toksCol: String,
-                        k: Int): DataFrame = {
+                        k: Int, keep: Seq[String] = Nil): DataFrame = {
     val sh = TextFunctions.shingles(col(toksCol), 3)
     val hashes = transform(sh, s => TextFunctions.hash56(s) % TextFunctions.P31)
     // filter on the CHEAP precondition (≥3 tokens ⇒ ≥1 shingle) before
     // computing the sketch — an isNotNull filter on sig would get
-    // predicate-pushed and duplicate the whole sketch expression
+    // predicate-pushed and duplicate the whole sketch expression.
+    // `keep` columns pass through row-locally (the signature is a pure
+    // select) — callers that need a tenant column downstream avoid a
+    // re-attach join per batch
     corpus.filter(size(col(toksCol)) >= 3)
-      .select(col(idCol).as("id"), HashFunctions.minhashSig(hashes, k).as("sig"))
+      .select(col(idCol).as("id") +:
+        HashFunctions.minhashSig(hashes, k).as("sig") +: keep.map(col): _*)
   }
 
-  /** Explode signatures into (id, band, band_key) rows. */
-  private def banded(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
-    sigs.select(col("id"),
+  /** Explode signatures into (id, band, band_key) rows; `keep`
+    * columns pass through row-locally. */
+  private def banded(sigs: DataFrame, bands: Int, rows: Int,
+                     keep: Seq[String] = Nil): DataFrame =
+    sigs.select(col("id") +: keep.map(col) :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))))
-      .toDF("id", "band", "band_key")
+        md5(array_join(slice(col("sig"), b * rows + 1, lit(rows)), "_")))): _*)
+      .toDF(("id" +: keep :+ "band" :+ "band_key"): _*)
 
   /** LSH banding: explode signatures into (band, band_key) buckets and
     * self-join — candidates are pairs sharing any band. bandsRows = (b
@@ -104,8 +110,9 @@ object Dedup {
 
   /** The corpus band table [[lshCandidatesDelta]] joins against —
     * persist this (partitioned by band) and append each batch's bands. */
-  def bandTable(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
-    banded(sigs, bands, rows)
+  def bandTable(sigs: DataFrame, bands: Int, rows: Int,
+                keep: Seq[String] = Nil): DataFrame =
+    banded(sigs, bands, rows, keep)
 
   /** Exact Jaccard between candidate pairs over distinct 3-gram shingle
     * sets. Input candidates (id_a, id_b); corpus (id, toks).

@@ -404,22 +404,23 @@ object CurationStream {
     // 1: row-local normalize + C4 line clean (one fused pass); the
     // scoped exact key folds the scope into the md5 (NUL separator —
     // unambiguous, scopes are id-like strings)
+    // Scope rides THROUGH lineClean as a passthrough column — a
+    // re-attach join here cost ~0.5 s of broadcast-build jobs per
+    // batch for a value the row already had
+    val scopeKeep = if (scoped) Seq("scope") else Nil
     val cleaned0 = Clean.lineClean(
-        batch0.select(col("id").cast("long").as("id"),
-          TextFunctions.normalizeText(col("text")).as("text")),
-        "id", "text", cfg.minWordsPerLine)
+        batch0.select(Seq(col("id").cast("long").as("id"),
+          TextFunctions.normalizeText(col("text")).as("text")) ++
+          scopeKeep.map(col): _*),
+        "id", "text", cfg.minWordsPerLine, keep = scopeKeep)
       .filter(col("n_kept") > 0)
-      .select(col("id"), col("cleaned").as("text"))
     val cleaned =
       if (scoped)
-        cleaned0.join(
-            broadcast(batch0.select(col("id").cast("long").as("id"), col("scope"))),
-            Seq("id"))
-          .select(col("id"), col("text"),
-            md5(concat_ws("\u0000", col("scope"), col("text"))).as("text_md5"),
-            col("scope"))
-      else cleaned0.select(col("id"), col("text"),
-        md5(col("text")).as("text_md5"))
+        cleaned0.select(col("id"), col("cleaned").as("text"),
+          md5(concat_ws("\u0000", col("scope"), col("cleaned"))).as("text_md5"),
+          col("scope"))
+      else cleaned0.select(col("id"), col("cleaned").as("text"),
+        md5(col("cleaned")).as("text_md5"))
 
     // 1.5: optional Gopher quality gate (row-local verdict; the
     // batch-sized keep set broadcasts back onto the batch)
@@ -459,15 +460,17 @@ object CurationStream {
         TextFunctions.wsTokens(lower(col("text"))).as("toks")) ++
         (if (scoped) Seq(col("scope")) else Nil): _*)
       .cache()
-    val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK)
+    val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK,
+      keep = scopeKeep)
     // scoped mode prefixes every band key with the scope BEFORE the
     // corpus join (the lshCandidatesDeltaBanded hook): candidates —
     // and therefore near-dup drops — only ever pair within one scope.
     // The persisted band table stores the prefixed keys, so the scoping
-    // survives across batches.
+    // survives across batches. Scope is a row-local passthrough from
+    // the signature select — the old re-attach join cost a broadcast
+    // build per batch.
     val nb = (if (scoped)
-        Dedup.bandTable(sigs, cfg.bands, cfg.rows)
-          .join(broadcast(toks.select(col("id"), col("scope"))), Seq("id"))
+        Dedup.bandTable(sigs, cfg.bands, cfg.rows, keep = scopeKeep)
           .select(col("id"), col("band"),
             concat(col("scope"), lit("|"), col("band_key")).as("band_key"))
       else Dedup.bandTable(sigs, cfg.bands, cfg.rows))

@@ -36,9 +36,15 @@ object StreamBench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val base = graft.Tables(spark, sfDir, "documents")
+    // SPARK_GRAFT_SCOPED=1: run the x-factor rehearsal through the
+    // tenant-scoped identity (scope column on seeds AND probes) — the
+    // controlled comparison isolating what scoping itself costs
+    val scoped = sys.env.contains("SPARK_GRAFT_SCOPED")
+    def withScope(df: org.apache.spark.sql.DataFrame) =
+      if (scoped) df.withColumn("scope", lit("org_bench")) else df
+    val base = withScope(graft.Tables(spark, sfDir, "documents")
       .select(col("doc_id").as("id"),
-        concat(col("text"), lit(".")).as("text"))
+        concat(col("text"), lit(".")).as("text")))
 
     // distinct synthetic filler (60 unique hex words per doc): bulks
     // the curated STATE without tripping the near-dup drop — a
@@ -46,11 +52,11 @@ object StreamBench {
     // state would never grow. Both states also seed the real sf docs,
     // so identical probe batches hit identical candidate sets and the
     // only variable is state size.
-    def synthetic(n: Long) = spark.range(n)
+    def synthetic(n: Long) = withScope(spark.range(n)
       .select((col("id") + 5000000000L).as("id"),
         concat(concat_ws(" ", transform(sequence(lit(1), lit(60)),
           j => substring(md5(concat(col("id"), lit("_"), j)), 1, 8))),
-          lit(".")).as("text"))
+          lit(".")).as("text")))
 
     // SPARK_GRAFT_FACTORS=1,10,100 overrides the state sizes; the
     // default pair reproduces the r7 pin. COMPACT_STATE mode (below)
@@ -77,11 +83,11 @@ object StreamBench {
       // salted per batch — near-dup-ish of corpus content, so the LSH
       // delta path and Jaccard verification genuinely run
       def probeRound(tag: String) = (1 to nProbes).map { i =>
-        val probe = base.limit(probeSize)
+        val probe = withScope(base.limit(probeSize)
           .select((col("id") + 9000000000L + i.toLong * 1000000L +
             (if (tag == "c") 500000L else 0L)).as("id"),
             concat(col("text"),
-              lit(s" probe batch $tag$i distinct suffix")).as("text"))
+              lit(s" probe batch $tag$i distinct suffix")).as("text")))
         time { CurationStream.curateBatch(probe, stateDir, probeCfg) }
       }
       val probes = probeRound("")
