@@ -835,6 +835,14 @@ object DocumentParser {
             case "ET" => out.append('\n')
             case _ =>
           }
+          // every operator CONSUMES its operands: clear the pending
+          // name so Tf only ever sees the name of ITS OWN operand pair
+          // (`/F1 12 Tf`) — without this, a name-bearing operator
+          // sequence between text objects (marked content `/P <<…>> BDC`,
+          // XObject `/Im1 Do`) left its name as the "most recent" one
+          // and a spec-violating Tf with no name operand silently
+          // decoded with the wrong font
+          lastName = null
         } else if (c == '[') {
           // TJ array: collect every string element in order
           i += 1

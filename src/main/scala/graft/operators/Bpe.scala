@@ -46,6 +46,11 @@ object Bpe {
 
   case class Merge(step: Int, left: String, right: String, cnt: Long)
 
+  /** Defensive bound on [[learnMerges]]'s driver-side histogram
+    * collect — far above any sane vocabTypes cap (10-20k in-repo), far
+    * below driver-OOM territory (~2M short rows ≈ low hundreds of MB). */
+  val MaxHistTypes: Int = 2000000
+
   /** Corpus pass: lowercase alphabetic word-type histogram, top
     * `vocabTypes` by (count DESC, word ASC). */
   def wordHistogram(docs: DataFrame, textCol: String,
@@ -75,7 +80,16 @@ object Bpe {
 
   /** Learn `nMerges` merges from a (word, cnt) histogram. Each step:
     * pair counts over the type table, argmax, rewrite — `nMerges`
-    * small jobs + single-row collects, nothing corpus-sized. */
+    * small jobs + single-row collects, nothing corpus-sized.
+    *
+    * CONTRACT: `hist` must be a BOUNDED TYPE table (distinct words +
+    * counts, the shape [[wordHistogram]] produces under a vocabTypes
+    * cap — tens of thousands of rows), NOT a per-token stream: the
+    * histogram is collected to the driver once to cut its lineage (see
+    * below), so an uncapped input would land corpus-scale rows on the
+    * driver. Enforced defensively: more than [[MaxHistTypes]] rows
+    * fails fast with a clear message instead of exhausting driver
+    * memory. */
   def learnMerges(hist: DataFrame, nMerges: Int): Seq[Merge] = {
     // Collect the histogram and rebuild it as a LOCAL frame: it is
     // tiny by contract (≤ the caller's vocabTypes cap) but its LINEAGE
@@ -92,8 +106,14 @@ object Bpe {
     // local relation has nothing to leak.
     val spark = hist.sparkSession
     val seeded = hist.select(seqString(col("word")).as("ws"), col("cnt"))
+    // cap+1 probe: a contract violation fails with a message, not an OOM
+    val rows = seeded.limit(MaxHistTypes + 1).collect()
+    require(rows.length <= MaxHistTypes,
+      s"learnMerges: histogram exceeds $MaxHistTypes types — pass a " +
+        "vocabTypes-capped word histogram (see wordHistogram), not a " +
+        "raw token stream")
     var h = spark.createDataFrame(
-        java.util.Arrays.asList(seeded.collect(): _*), seeded.schema)
+        java.util.Arrays.asList(rows: _*), seeded.schema)
       .cache()
     val merges = Seq.newBuilder[Merge]
     try {

@@ -121,7 +121,17 @@ object SegmentedStore {
 
   /** Read the CURRENT manifest. A legacy CURRENT holding a bare
     * generation number (the pre-segment layout) maps to a
-    * single-generation manifest — old stores load unchanged. */
+    * single-generation manifest — old stores load unchanged.
+    *
+    * One-time `storeId` migration: a manifest written before the
+    * lineage id existed is re-written in place (the same atomic flip
+    * every mutation uses) with a freshly minted id, so EVERY manifest
+    * this function returns carries one and the per-dir view memo works
+    * from the first read — the pre-migration behavior (relist every
+    * partition dir on every flip, keyed on CURRENT's coarse mtime) is
+    * gone, fallback included. Safe under the store's single-writer
+    * contract: the rewrite changes no data reference, and a concurrent
+    * mutation's own flip would simply mint its own id. */
   def readManifest(root: String): Option[Manifest] = {
     val p = currentPath(root)
     val f = p.getFileSystem(manifestConf())
@@ -131,12 +141,19 @@ object SegmentedStore {
       val s =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      if (s.nonEmpty && s.forall(_.isDigit))
-        // legacy bare-number CURRENT: those generations built their
-        // LSH sidecar at the old fine default config
-        Some(Manifest(s"gen$s", Nil, s"gen$s", s.toInt,
-          Some(AnnKnn.DefaultTables), Some(AnnKnn.DefaultBits)))
-      else Some(parseJson(s).extract[Manifest])
+      val m =
+        if (s.nonEmpty && s.forall(_.isDigit))
+          // legacy bare-number CURRENT: those generations built their
+          // LSH sidecar at the old fine default config
+          Manifest(s"gen$s", Nil, s"gen$s", s.toInt,
+            Some(AnnKnn.DefaultTables), Some(AnnKnn.DefaultBits))
+        else parseJson(s).extract[Manifest]
+      if (m.storeId.isDefined) Some(m)
+      else {
+        val migrated = m.copy(storeId = Some(newStoreId()))
+        writeManifest(root, migrated)
+        Some(migrated)
+      }
     }
   }
 
@@ -213,7 +230,7 @@ object SegmentedStore {
     * exactly that re-listing. */
   def loadView(spark: SparkSession, root: String, m: Manifest,
                hint: Option[IndexBundle] = None): IndexBundle = {
-    val epoch = epochOf(spark, root, m)
+    val epoch = epochOf(m)
     def union(kind: String, s: Option[types.StructType]): DataFrame =
       m.dataDirs
         .flatMap(d => memoizedDirRead(spark, epoch, kind, s"$root/$d/$kind", s))
@@ -271,18 +288,15 @@ object SegmentedStore {
         size() > 256
     }
 
-  // Legacy epoch fallback for manifests written before storeId
-  // existed: CURRENT's mtime via the Hadoop FS (remote-FS-clean).
-  // Changes on every flip, so a legacy store gets the pre-r10
-  // relist-per-flip behavior until its first mutation mints a storeId.
-  private def generationToken(spark: SparkSession, root: String): String = {
-    val (f, p) = hadoopFs(spark, currentPath(root).toString)
-    try f.getFileStatus(p).getModificationTime.toString
-    catch { case _: java.io.IOException => "0" }
-  }
-
-  private def epochOf(spark: SparkSession, root: String, m: Manifest): String =
-    m.storeId.getOrElse("mtime:" + generationToken(spark, root))
+  // Every manifest carries a storeId: mutations mint one on flip and
+  // readManifest migrates legacy CURRENTs in place, so a storeId-less
+  // manifest can only be hand-constructed — fail fast rather than
+  // fall back to a coarse mtime token (the pre-r11 fallback served
+  // stale views on coarse-granularity filesystems).
+  private def epochOf(m: Manifest): String =
+    m.storeId.getOrElse(throw new IllegalStateException(
+      "manifest has no storeId — read it via SegmentedStore.readManifest " +
+        "(which migrates legacy manifests) instead of constructing it"))
 
   /** Memoized single-dir read (None when the dir is missing or holds
     * only commit markers). `schema` is used only on a memo miss; a
@@ -315,7 +329,7 @@ object SegmentedStore {
 
   private def memoizedUnion(spark: SparkSession, root: String, m: Manifest,
                             kind: String, dirs: Seq[String]): Option[DataFrame] = {
-    val epoch = epochOf(spark, root, m)
+    val epoch = epochOf(m)
     val schemaKey = (spark, root, kind)
     val hint = sidecarSchemaMemo.synchronized(
       Option(sidecarSchemaMemo.get(schemaKey)))

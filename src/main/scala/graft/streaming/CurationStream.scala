@@ -63,7 +63,15 @@ object CurationStream {
       // bucket-prune probe's fixed cost only pays for itself against a
       // multi-GB tier (see [[PruneMinBytes]]); tests set 0 to force
       // the pruned path
-      statePruneMinBytes: Long = CurationStream.PruneMinBytes)
+      statePruneMinBytes: Long = CurationStream.PruneMinBytes,
+      // > 0: the streams run [[compactState]] themselves whenever the
+      // keys table accumulates this many un-absorbed delta files —
+      // the curation-state mirror of the serving store's MaxSegments
+      // overflow, so a long-lived deployment never needs manual
+      // maintenance to keep per-batch state IO bounded. 0 = manual
+      // maintenance only (the batch/gate default: compaction cost
+      // then never lands inside a measured query).
+      autoCompactMinDeltaFiles: Int = 0)
 
   private[graft] val keysSchema = StructType(Seq(
     StructField("id", LongType), StructField("text_md5", StringType)))
@@ -108,8 +116,10 @@ object CurationStream {
   // crash between tier write, flip and delta GC never double-counts a
   // row (duplicated toks rows would skew Jaccard sizes) and never
   // loses one. Single-writer contract: compaction runs BETWEEN
-  // batches (the stream's foreachBatch is serial); it is maintenance,
-  // like [[graft.sources.SegmentedStore]]'s foldSegments.
+  // batches (the stream's foreachBatch is serial) and is additionally
+  // ENFORCED by a `_compaction.lock` lease; GC keeps a one-generation
+  // grace so readers of the previous manifest stay valid through a
+  // flip (see [[compactState]]).
 
   /** Bucket count of the compacted tier. 64 keeps the per-batch
     * pruned read at ≤ batch-distinct buckets while a compaction still
@@ -216,15 +226,25 @@ object CurationStream {
   // on EVERY batch (measured ~0.6 s/probe across the three tables at
   // a 500k-doc state). Reusing the resolved frame reuses its file
   // index; per-batch bucket filters plan against the memo without
-  // re-listing (the SegmentedStore sidecar-view-memo pattern). Bounded
-  // LRU; a superseded generation's entry ages out.
+  // re-listing (the SegmentedStore sidecar-view-memo pattern). Sized
+  // in units of STATE DIRS (16 concurrently active states × 3 tables —
+  // a smaller cap thrashed when >4 states shared one JVM, silently
+  // re-paying the listing the memo exists to avoid); [[compactState]]
+  // additionally evicts the generation it supersedes eagerly, so a
+  // retired tier's DataFrames (and their pinned file indexes) don't
+  // wait out the LRU.
   private val tierMemo =
     new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
       16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, String, String), DataFrame])
-          : Boolean = size() > 12
+          : Boolean = size() > 48
     }
+
+  private def evictTier(tierKey: String): Unit = tierMemo.synchronized {
+    val it = tierMemo.keySet().iterator()
+    while (it.hasNext) if (it.next()._2 == tierKey) it.remove()
+  }
 
   private def tierFrame(spark: SparkSession, stateDir: String, kind: String,
                         m: StateManifest, tierSchema: StructType): DataFrame = {
@@ -286,67 +306,121 @@ object CurationStream {
 
   /** Rewrite the full current state (previous tier + un-absorbed
     * deltas) into a fresh bucket-partitioned tier generation, flip the
-    * COMPACTED manifest, then best-effort-delete the absorbed delta
-    * files and the previous tier. O(state) — a scheduled maintenance
-    * event whose cost amortizes over the cheap O(batch) appends
-    * between runs, exactly like the serving store's segment fold. */
+    * COMPACTED manifest, then GC with a ONE-GENERATION grace: flipping
+    * v_n deletes tier v_{n-2} and the delta files v_{n-1} had absorbed,
+    * so a reader still holding the PREVIOUS manifest's frames (tier
+    * v_{n-1} plus its un-absorbed delta files) survives a concurrent
+    * flip — only a reader two generations behind can observe deleted
+    * files. The single-writer contract is ENFORCED with a lease file
+    * (`_compaction.lock`, atomic create-if-absent): a second concurrent
+    * compaction fails fast instead of corrupting the tier. A crashed
+    * compaction leaves the lock behind (remove it manually — it guards
+    * maintenance, never reads/appends) but never a broken state: the
+    * manifest flip stays the only visible transition.
+    *
+    * Race hygiene: each delta dir is LISTED ONCE and the new tier is
+    * built from the previous tier plus exactly that file set — a
+    * commit() racing the maintenance op (against the serial-foreachBatch
+    * contract) lands its append AFTER the listing and is harmlessly
+    * left as un-absorbed delta instead of double-counted.
+    *
+    * O(state) — a scheduled maintenance event whose cost amortizes over
+    * the cheap O(batch) appends between runs, exactly like the serving
+    * store's segment fold; the streams self-schedule it via
+    * [[Cfg.autoCompactMinDeltaFiles]]. */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
-    val m0 = readStateManifest(spark, stateDir)
-    val gen = m0.map(_.gen + 1).getOrElse(1)
-    val kinds = Seq(("keys", keysSchema), ("bands", bandsSchema),
-      ("toks", toksSchema))
-    val compacted = kinds.map { case (kind, schema) =>
-      val prevAbsorbed = m0.map(_.absorbed(kind)).getOrElse(Set.empty)
-      val fresh = deltaFiles(spark, s"$stateDir/$kind", prevAbsorbed)
-      val tierDir = s"$stateDir/_compacted/v$gen/$kind"
-      readState(spark, stateDir, kind, schema, m0, None)
-        .withColumn("bucket", bucketExpr(kind))
-        .repartition(StateBuckets, col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(tierDir)
-      val (fs, tp) = hadoopFs(spark, tierDir)
-      val bytes = fs.getContentSummary(tp).getLength
-      // absorbed going forward = everything this tier now contains
-      // that might STILL sit in the delta dir: the fresh files, plus
-      // previously-absorbed names whose GC delete failed
-      val freshNames = fresh.map(f =>
-        new org.apache.hadoop.fs.Path(f).getName).toSet
-      val stillThere = deltaFiles(spark, s"$stateDir/$kind", Set.empty)
-        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
-      kind -> ((prevAbsorbed ++ freshNames) & (stillThere ++ freshNames),
-        bytes)
-    }.toMap
-    val absorbedNow = compacted.view.mapValues(_._1).toMap
-    writeStateManifest(spark, stateDir, StateManifest(gen,
-      absorbedNow("keys").toList.sorted,
-      absorbedNow("bands").toList.sorted,
-      absorbedNow("toks").toList.sorted,
-      Some(compacted.view.mapValues(_._2).toMap),
-      Some(java.util.UUID.randomUUID().toString)))
-    // GC: absorbed delta files + the previous tier generation
-    kinds.foreach { case (kind, _) =>
-      val (fs, dir) = hadoopFs(spark, s"$stateDir/$kind")
-      absorbedNow(kind).foreach { n =>
-        try fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)
+    val (fs, root) = hadoopFs(spark, stateDir)
+    fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(stateDir, "_compaction.lock")
+    val lockOut =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"another compaction holds $lock (single-writer contract); " +
+              "remove the lock file if its owner crashed", e)
+      }
+    lockOut.close()
+    try {
+      val m0 = readStateManifest(spark, stateDir)
+      val gen = m0.map(_.gen + 1).getOrElse(1)
+      val kinds = Seq(("keys", keysSchema), ("bands", bandsSchema),
+        ("toks", toksSchema))
+      val compacted = kinds.map { case (kind, schema) =>
+        val prevAbsorbed = m0.map(_.absorbed(kind)).getOrElse(Set.empty)
+        // the ONE listing this tier's delta contribution comes from
+        val fresh = deltaFiles(spark, s"$stateDir/$kind", prevAbsorbed)
+        val tierSchema = schema.add(StructField("bucket", LongType))
+        val prevTier = m0.map(m =>
+            tierFrame(spark, stateDir, kind, m, tierSchema).drop("bucket"))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema))
+        val freshDf =
+          if (fresh.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+          else spark.read.schema(schema).parquet(fresh: _*)
+        val tierDir = s"$stateDir/_compacted/v$gen/$kind"
+        prevTier.unionByName(freshDf)
+          .withColumn("bucket", bucketExpr(kind))
+          .repartition(StateBuckets, col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(tierDir)
+        val (_, tp) = hadoopFs(spark, tierDir)
+        val bytes = fs.getContentSummary(tp).getLength
+        val freshNames = fresh.map(f =>
+          new org.apache.hadoop.fs.Path(f).getName).toSet
+        // absorbed going forward = files this tier contains that still
+        // sit in the delta dir: this generation's fresh set (kept on
+        // disk for the one-flip grace) plus previous-generation names
+        // whose grace just expired (deleted below; pruned from the
+        // list at the NEXT flip once the re-listing confirms them gone)
+        val stillThere = deltaFiles(spark, s"$stateDir/$kind", Set.empty)
+          .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+        kind -> ((prevAbsorbed ++ freshNames) & (stillThere ++ freshNames),
+          bytes, prevAbsorbed & stillThere)
+      }.toMap
+      val absorbedNow = compacted.view.mapValues(_._1).toMap
+      writeStateManifest(spark, stateDir, StateManifest(gen,
+        absorbedNow("keys").toList.sorted,
+        absorbedNow("bands").toList.sorted,
+        absorbedNow("toks").toList.sorted,
+        Some(compacted.view.mapValues(_._2).toMap),
+        Some(java.util.UUID.randomUUID().toString)))
+      // one-generation-grace GC: delete only what the PREVIOUS flip
+      // absorbed (this flip's fresh files stay, excluded from reads by
+      // the absorbed list) and the tier generation BEFORE the one just
+      // superseded — everything a v_{gen-1} reader references survives
+      kinds.foreach { case (kind, _) =>
+        val (_, dir) = hadoopFs(spark, s"$stateDir/$kind")
+        compacted(kind)._3.foreach { n =>
+          try fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+      if (gen >= 3) {
+        val (_, p) = hadoopFs(spark, s"$stateDir/_compacted/v${gen - 2}")
+        try fs.delete(p, true)
         catch { case scala.util.control.NonFatal(_) => () }
       }
-    }
-    m0.foreach { prev =>
-      val (fs, p) = hadoopFs(spark, s"$stateDir/_compacted/v${prev.gen}")
-      try fs.delete(p, true)
+      // evict the superseded generation's memoized frames eagerly —
+      // they pin a file index (and the session) until the LRU ages them
+      m0.foreach(m => evictTier(m.tierId.getOrElse(s"$stateDir#${m.gen}")))
+    } finally {
+      try fs.delete(lock, false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
   /** One micro-batch through the incremental pipeline (also the
     * batch-mode entry the specs drive directly). Returns the survivor
-    * count appended to `stateDir/docs`. */
+    * count appended to `stateDir/docs`; the batch's checkpoint blocks
+    * are deterministically released before returning. */
   def curateBatch(batch0: DataFrame, stateDir: String,
                   cfg: Cfg = Cfg()): Long = {
-    val s = curateSurvivors(batch0, stateDir, cfg)
-    val n = s.count() // served from the cache the core materialized
-    s.unpersist(false)
-    n
+    val out = curateSurvivorsDeferred(batch0, stateDir, cfg)
+    out.commit()
+    out.release()
+    out.n
   }
 
   /** [[curateSurvivorsDeferred]]'s result: the surviving rows (id,
@@ -358,10 +432,29 @@ object CurationStream {
     * curate→serve ordering), exactly once per outcome. `n` is the
     * survivor count, already paid for by the checkpoint
     * materialization — consumers branch on it instead of probing the
-    * frame with their own isEmpty/count jobs. The caller unpersists
-    * `survivors` to release its blocks. */
+    * frame with their own isEmpty/count jobs. `release()` unpersists
+    * the batch's localCheckpoint BLOCKS (Dataset.unpersist cannot —
+    * they are RDD-level persists under the frame): call it once, after
+    * `commit()` and every other consumer of `survivors`, after which
+    * the frame is gone for good (lineage-free means NOT recomputable).
+    * A long-lived stream that skips release strands batch-sized blocks
+    * until the ContextCleaner happens to collect them — and on a real
+    * cluster an executor loss turns an unreleased stale block into a
+    * failed batch, so the streams release deterministically. */
   final case class CurationOutcome(survivors: DataFrame, n: Long,
-                                   commit: () => Unit)
+                                   commit: () => Unit,
+                                   release: () => Unit)
+
+  /** Unpersist the checkpointed RDD under a `localCheckpoint()`ed
+    * frame — the only handle that actually frees the blocks
+    * (Dataset.unpersist only consults the plan cache, which a
+    * checkpoint never enters). */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** Back-compat batch core: compute survivors AND append state before
     * returning. */
@@ -392,14 +485,22 @@ object CurationStream {
                               cfg: Cfg = Cfg()): CurationOutcome = {
     val spark = batch0.sparkSession
     val scoped = batch0.columns.contains("scope")
-    if (batch0.isEmpty)
+    // scoped mode rejects null scopes up front: concat_ws would skip a
+    // null and silently fall back to the UNSCOPED key space (an
+    // unprefixed pseudo-tenant that crafted content could collide
+    // with), and the band-key prefix would go NULL — near-dedup
+    // silently off for those rows. Callers quarantine upstream
+    // (curateToServeStream mirrors ingestBatch's validation); this is
+    // the identity-integrity backstop.
+    val batch = if (scoped) batch0.filter(col("scope").isNotNull) else batch0
+    if (batch.isEmpty)
       return CurationOutcome(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType(Seq(StructField("id", LongType),
             StructField("text_md5", StringType),
             StructField("text", StringType),
             StructField("toks", ArrayType(StringType))))),
-        0L, () => ())
+        0L, () => (), () => ())
 
     // 1: row-local normalize + C4 line clean (one fused pass); the
     // scoped exact key folds the scope into the md5 (NUL separator —
@@ -409,7 +510,7 @@ object CurationStream {
     // batch for a value the row already had
     val scopeKeep = if (scoped) Seq("scope") else Nil
     val cleaned0 = Clean.lineClean(
-        batch0.select(Seq(col("id").cast("long").as("id"),
+        batch.select(Seq(col("id").cast("long").as("id"),
           TextFunctions.normalizeText(col("text")).as("text")) ++
           scopeKeep.map(col): _*),
         "id", "text", cfg.minWordsPerLine, keep = scopeKeep)
@@ -533,17 +634,40 @@ object CurationStream {
     // 5 (deferred): append survivors + their state — O(batch) writes,
     // no rewrite. Both frames are checkpointed above, so the closure
     // holds no lineage over caches or state paths.
-    CurationOutcome(survivors, n, () =>
-      if (n > 0) {
-        survivors.select("id", "text").write.mode("append")
-          .parquet(s"$stateDir/docs")
-        survivors.select("id", "text_md5").write.mode("append")
-          .parquet(s"$stateDir/keys")
-        survBands.foreach(_.write.mode("append").parquet(s"$stateDir/bands"))
-        survivors.select("id", "toks").write.mode("append")
-          .parquet(s"$stateDir/toks")
+    CurationOutcome(survivors, n,
+      () =>
+        if (n > 0) {
+          survivors.select("id", "text").write.mode("append")
+            .parquet(s"$stateDir/docs")
+          survivors.select("id", "text_md5").write.mode("append")
+            .parquet(s"$stateDir/keys")
+          survBands.foreach(_.write.mode("append").parquet(s"$stateDir/bands"))
+          survivors.select("id", "toks").write.mode("append")
+            .parquet(s"$stateDir/toks")
+        },
+      () => {
+        releaseLocalCheckpoint(survivors)
+        survBands.foreach(releaseLocalCheckpoint)
       })
   }
+
+  /** Auto-compaction trigger (the curation-state mirror of the serving
+    * store's MaxSegments overflow): when the keys table has accumulated
+    * `cfg.autoCompactMinDeltaFiles` un-absorbed delta files, fold the
+    * state into a fresh tier. Runs AFTER a batch's commit, inside the
+    * serial foreachBatch — the single-writer contract holds by
+    * construction. The probe is one listStatus of the keys dir (every
+    * batch appends the same number of files to each table, so keys
+    * stands in for all three). */
+  private def maybeAutoCompact(spark: SparkSession, stateDir: String,
+                               cfg: Cfg): Unit =
+    if (cfg.autoCompactMinDeltaFiles > 0) {
+      val absorbed = readStateManifest(spark, stateDir)
+        .map(_.absorbed("keys")).getOrElse(Set.empty)
+      if (deltaFiles(spark, s"$stateDir/keys", absorbed).size >=
+          cfg.autoCompactMinDeltaFiles)
+        compactState(spark, stateDir)
+    }
 
   /** The streaming front: each micro-batch runs [[curateBatch]].
     * `AvailableNow` drains what exists then stops (the restart-driven
@@ -556,7 +680,8 @@ object CurationStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, stateDir, cfg); ()
+        curateBatch(batch, stateDir, cfg)
+        maybeAutoCompact(batch.sparkSession, stateDir, cfg)
       }
 
   /** Curate→serve composed stream (the reference's upload→index
@@ -606,28 +731,36 @@ object CurationStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val withId = batch.withColumn("id",
-              xxhash64(col("organization_id"), col("filename"), col("text")))
-            .dropDuplicates("id")
-          val out = curateSurvivorsDeferred(
-            withId.select(col("id"), col("text"),
-              col("organization_id").as("scope")), stateDir, cfg)
-          // survivors are batch-bounded → broadcast the id set back
-          // onto the batch to recover filename/org for the store; the
-          // outcome's materialized count gates the ingest (an isEmpty
-          // probe here would be a redundant broadcast-build job)
-          if (out.n > 0) {
-            val keep = withId
-              .join(broadcast(out.survivors.select(col("id"))),
-                Seq("id"), "left_semi")
-              .drop("id")
-            svc.ingestBatch(keep); ()
-          }
-          out.commit()
-          out.survivors.unpersist(false)
-          ()
+        // quarantine rows a JSON ingest would 400 (null/short org id —
+        // ingestBatch's own validation, mirrored HERE because a null
+        // org must never reach the scoped dedup identity: its state
+        // rows would be junk a later ingest quarantine strands) — a
+        // row-local filter, no probe job. No isEmpty gate either: the
+        // core's own empty-check covers it (the former outer probe was
+        // one redundant job per micro-batch).
+        val valid = batch.filter(col("organization_id").isNotNull &&
+          col("filename").isNotNull && col("text").isNotNull &&
+          length(col("organization_id")) >= 3)
+        val withId = valid.withColumn("id",
+            xxhash64(col("organization_id"), col("filename"), col("text")))
+          .dropDuplicates("id")
+        val out = curateSurvivorsDeferred(
+          withId.select(col("id"), col("text"),
+            col("organization_id").as("scope")), stateDir, cfg)
+        // survivors are batch-bounded → broadcast the id set back
+        // onto the batch to recover filename/org for the store; the
+        // outcome's materialized count gates the ingest (an isEmpty
+        // probe here would be a redundant broadcast-build job)
+        if (out.n > 0) {
+          val keep = withId
+            .join(broadcast(out.survivors.select(col("id"))),
+              Seq("id"), "left_semi")
+            .drop("id")
+          svc.ingestBatch(keep); ()
         }
+        out.commit()
+        out.release()
+        maybeAutoCompact(batch.sparkSession, stateDir, cfg)
       }
 
   /** JSONL (id, text) stream over a watched directory. */

@@ -115,7 +115,7 @@ object ServeProbe {
         }
       }
       val tCommit = time { out.commit() }
-      out.survivors.unpersist(false)
+      out.release()
       println(f"probe $i: curate $tCur%.2f  ingest(${out.n}) $tIngest%.2f  " +
         f"commit $tCommit%.2f  cacheEntries $cacheEntries%d")
     }

@@ -171,7 +171,7 @@ object StreamBench {
               svc.ingestBatch(keep); ()
             }
             out.commit()
-            out.survivors.unpersist(false)
+            out.release()
           }
         }
         n -> probes

@@ -214,7 +214,7 @@ class CurateServeStreamSpec extends SparkSpec {
     for (i <- 1 to 3) {
       val out = CurationStream.curateSurvivorsDeferred(batch(i), state)
       out.commit()
-      out.survivors.unpersist(false)
+      out.release()
     }
     assert(cacheEntries == before,
       s"cache entries grew: $before -> $cacheEntries (per-batch plan leak)")

@@ -107,6 +107,65 @@ class CurationStreamSpec extends SparkSpec {
     assert(bandIds == Set(1L))
   }
 
+  test("checkpoint blocks release deterministically: storage entries flat across 20 micro-batches") {
+    val state = tmp()
+    def persisted(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def storedBlocks(): Int =
+      spark.sparkContext.getRDDStorageInfo.map(_.numCachedPartitions).sum
+    val before = persisted()
+    val blocksBefore = storedBlocks()
+    // mixed batches: survivors, dups, near-dups — every path that
+    // materializes a localCheckpoint (survivors + survivor bands)
+    for (b <- 0 until 20) {
+      val rows = Seq(
+        (1000L + b * 10, unique(1000 + b)),            // fresh survivor
+        (1001L + b * 10, baseText),                    // dup after batch 0
+        (1002L + b * 10, nearDup(s"r$b")))             // near-dup after batch 0
+      CurationStream.curateBatch(rows.toDF("id", "text"), state)
+      val leaked = persisted() -- before
+      assert(leaked.isEmpty,
+        s"batch $b stranded RDD blocks: $leaked — CurationOutcome.release " +
+          "must unpersist the localCheckpoint RDDs (Dataset.unpersist can't)")
+    }
+    assert(storedBlocks() <= blocksBefore,
+      "no new cached partitions may remain after 20 released batches")
+  }
+
+  test("scoped mode rejects null scopes instead of silently unscoping them") {
+    val state = tmp()
+    val rows = Seq((1L, baseText, "orgA"), (2L, unique(2), null))
+      .toDF("id", "text", "scope")
+    val n = CurationStream.curateBatch(rows, state)
+    assert(n == 1L, "the null-scope row must be quarantined, not curated")
+    val ids = spark.read.parquet(s"$state/docs").select($"id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
+  test("auto-compaction folds the state once the delta file count crosses the threshold") {
+    val state = tmp(); val in = tmp(); val ckpt = tmp()
+    def jesc(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n") + "\""
+    def dropJ(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(s"$in/$name"), rows.map { case (i, t) =>
+        s"""{"id": $i, "text": ${jesc(t)}}"""
+      }.mkString("\n"))
+    val cfg = CurationStream.Cfg(autoCompactMinDeltaFiles = 3)
+    for (b <- 0 until 4) {
+      dropJ(s"b$b.jsonl", Seq((100L + b) -> unique(100 + b)))
+      CurationStream.curateStream(
+        CurationStream.readDocs(spark, in), state, ckpt, cfg)
+        .start().awaitTermination()
+    }
+    val m = CurationStream.readStateManifest(spark, state)
+    assert(m.isDefined, "4 one-file batches over threshold 3 must have compacted")
+    // dedup semantics intact post-auto-compaction
+    assert(CurationStream.curateBatch(
+      Seq(200L -> unique(100), 201L -> unique(201)).toDF("id", "text"),
+      state, cfg) == 1L)
+  }
+
   test("deterministic: same batches, same survivors and state keys") {
     def run(): Set[(Long, String)] = {
       val state = tmp()

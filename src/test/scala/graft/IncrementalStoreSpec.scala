@@ -272,6 +272,41 @@ class IncrementalStoreSpec extends SparkSpec {
     assert((r \ "total_results").extract[Int] > 0)
   }
 
+  test("legacy manifest (no storeId) migrates in place on first read") {
+    val root = TmpDirs.create("graft_legacy_migrate")
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(20)))
+    // strip the lineage id — the exact shape a pre-r10 CURRENT has
+    val cur = Paths.get(root, "CURRENT")
+    val legacyJson = new String(Files.readAllBytes(cur), "UTF-8")
+      .replaceAll(""","?"storeId":"[^"]*"""", "")
+    Files.write(cur, legacyJson.getBytes("UTF-8"))
+    // the raw rewrite bypasses Hadoop's ChecksumFileSystem — drop the
+    // stale .crc sidecar so the fixture reads like a genuinely old file
+    Files.deleteIfExists(Paths.get(root, ".CURRENT.crc"))
+    assert(!new String(Files.readAllBytes(cur), "UTF-8").contains("storeId"))
+    // first read migrates: a minted id comes back AND lands on disk
+    val migrated = SegmentedStore.readManifest(root).get
+    assert(migrated.storeId.isDefined, "migration must mint a storeId")
+    assert(new String(Files.readAllBytes(cur), "UTF-8").contains("storeId"),
+      "migration must rewrite CURRENT via the atomic flip")
+    // idempotent: the next read returns the SAME id (no re-mint — the
+    // id is the per-dir view memo's immutability key, so churn would
+    // defeat the memo it exists for)
+    assert(SegmentedStore.readManifest(root).get.storeId == migrated.storeId)
+    // a service reopened over the migrated store carries the id across
+    // its next flip (memoized dirs stay valid post-migration)
+    val reopened = new QueryService(spark, root)
+    reopened.ingestBatch(docsDf(Seq(("mig_new.md",
+      "A post-migration delta document about heliograph restoration.", "org_a"))))
+    val m1 = SegmentedStore.readManifest(root).get
+    assert(m1.storeId == migrated.storeId, "flip must carry the migrated id")
+    assert(m1.segments.nonEmpty)
+    val r = parse(reopened.handle(
+      """{"op":"search","organization_id":"org_a","query":"heliograph restoration","limit":5}"""))
+    assert((r \ "total_results").extract[Int] > 0)
+  }
+
   test("file:-qualified store root works end-to-end (manifest + views via Hadoop FS)") {
     // every metadata path — CURRENT manifest read/write/flip, dir
     // probes, view listings, GC — must resolve through the Hadoop

@@ -107,7 +107,7 @@ class StateCompactionSpec extends SparkSpec {
       == Set(13L))
   }
 
-  test("tier scan is bucket-pruned; re-compaction absorbs later deltas and drops the old generation") {
+  test("tier scan is bucket-pruned; re-compaction absorbs later deltas with one-generation GC grace") {
     val state = tmp()
     survivorIds(state,
       (20L -> baseText) +: (21L to 40L).map(i => i -> unique(i.toInt)))
@@ -118,12 +118,20 @@ class StateCompactionSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert("""PartitionFilters: \[[^\]]*bucket""".r.findFirstIn(plan).isDefined,
       s"expected a NON-EMPTY partition filter on bucket in:\n$plan")
+    // a reader still holding generation-1 frames across the next flip:
+    // with the one-generation GC grace its tier (and its un-absorbed
+    // delta files) must survive a concurrent compaction
+    val oldReader = CurationStream.readState(spark, state, "keys",
+      CurationStream.keysSchema, Some(m1), None)
     // second generation: new batch -> new delta -> compact again
     survivorIds(state, Seq(41L -> unique(41), 42L -> unique(42)))
     CurationStream.compactState(spark, state)
     val m2 = CurationStream.readStateManifest(spark, state).get
     assert(m2.gen == 2)
-    assert(!Files.exists(Paths.get(s"$state/_compacted/v1")))
+    // grace: v1 retained through the v2 flip, deleted only at v3
+    assert(Files.exists(Paths.get(s"$state/_compacted/v1")))
+    assert(oldReader.count() == 21L,
+      "a generation-1 reader must survive the v2 flip")
     val all = CurationStream.readState(spark, state, "keys",
       CurationStream.keysSchema, Some(m2), None)
     assert(all.count() == 23L) // 21 + 2, each exactly once
@@ -132,5 +140,29 @@ class StateCompactionSpec extends SparkSpec {
     assert(survivorIds(state,
       Seq(43L -> unique(41), 44L -> nearDup("delta"), 45L -> unique(45)))
       == Set(45L))
+    CurationStream.compactState(spark, state)
+    val m3 = CurationStream.readStateManifest(spark, state).get
+    assert(m3.gen == 3)
+    assert(!Files.exists(Paths.get(s"$state/_compacted/v1")),
+      "the grace is ONE generation: v1 must be gone after the v3 flip")
+    assert(Files.exists(Paths.get(s"$state/_compacted/v2")))
+    assert(CurationStream.readState(spark, state, "keys",
+      CurationStream.keysSchema, Some(m3), None).count() == 24L)
+  }
+
+  test("the compaction lease enforces the single-writer contract") {
+    val state = tmp()
+    survivorIds(state, Seq(50L -> unique(50)))
+    // a stale/concurrent holder: the lock file exists
+    Files.createFile(Paths.get(s"$state/_compaction.lock"))
+    val e = intercept[IllegalStateException] {
+      CurationStream.compactState(spark, state)
+    }
+    assert(e.getMessage.contains("single-writer"))
+    Files.delete(Paths.get(s"$state/_compaction.lock"))
+    CurationStream.compactState(spark, state) // lock released -> proceeds
+    assert(CurationStream.readStateManifest(spark, state).exists(_.gen == 1))
+    // the lease is removed on completion
+    assert(!Files.exists(Paths.get(s"$state/_compaction.lock")))
   }
 }
