@@ -37,12 +37,12 @@ object SparkEntry {
       Analytics.queries ++ Curation.queries ++ Pii.queries ++
       IngestGates.queries ++ QueryGates.queries ++ StoreGates.queries ++
       Clean.queries ++ Quantize.queries ++ PqKnn.queries ++ Bpe.queries ++
-      Classifier.queries ++ Hll.queries ++ Cms.queries
+      Classifier.queries ++ Hll.queries ++ Cms.queries ++ CurationGates.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ RetrievalPack.oracle ++ TextPack.oracle ++
       Analytics.oracle ++ Curation.oracle ++ Pii.oracle ++
       IngestGates.oracle ++ QueryGates.oracle ++ StoreGates.oracle ++
       Clean.oracle ++ Quantize.oracle ++ PqKnn.oracle ++ Bpe.oracle ++
-      Classifier.oracle ++ Hll.oracle ++ Cms.oracle
+      Classifier.oracle ++ Hll.oracle ++ Cms.oracle ++ CurationGates.oracle
 }

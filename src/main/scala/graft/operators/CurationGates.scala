@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.streaming.CurationStream
+
+/** DuckDB-oracle gates for the streaming curation subsystems that
+  * rounds 8-10 pinned only in ScalaTest (VERDICT r10 asks #1/#2):
+  *
+  *  - q113 tenant-scoped streaming dedup identity: two micro-batches
+  *    through [[CurationStream.curateSurvivorsDeferred]] in SCOPED
+  *    mode — org_b's identical and near-dup copies of org_a's already-
+  *    curated documents must SURVIVE (exact key = md5(scope∥text), LSH
+  *    band keys scope-prefixed) while same-org copies drop (tenant
+  *    isolation, the reference's core invariant,
+  *    `tenant_schema.py:35-74`).
+  *  - q114 compacted-state equivalence: three batches with
+  *    [[CurationStream.compactState]] after the first and bucket
+  *    pruning FORCED on (statePruneMinBytes = 0) — the pruned LSM
+  *    read shape (tier partitions + un-absorbed delta files) must
+  *    yield exactly the survivor set the plain sequential semantics
+  *    produce. The oracle replays those semantics declaratively, so a
+  *    pruned-away bucket, a double-counted delta row (skewed Jaccard
+  *    sizes) or a lost key diverges the hash.
+  *
+  * The oracle twin replays the ENTIRE per-batch pipeline in DuckDB —
+  * normalize → C4 line clean → within-batch exact keep-first →
+  * cross-batch exact vs prior survivors → MinHash/LSH banding (scope-
+  * prefixed when scoped) vs prior survivors' bands + the batch's own
+  * self-join → exact-Jaccard verification at 0.8 → keep-first losers —
+  * phase by phase, reusing the building blocks already gate-proven
+  * pairwise (q99 normalize, q80 line clean, q37 wsTokens, q29/q30
+  * minhash + banding + Jaccard).
+  *
+  * Near-dup fixtures append two tokens to a ~25-token document, so the
+  * true Jaccard is ≈(k)/(k+2) ≥ 0.9 — well over the 0.8 threshold.
+  * Whether LSH *catches* a given pair (4 bands × 4 rows) is
+  * probabilistic per document but fully DETERMINISTIC given the
+  * fixture, and both engines replay the same bands, so the gate hashes
+  * identically while the CurateServeStreamSpec/StateCompactionSpec
+  * specs continue to pin the semantic guarantees on crafted corpora.
+  */
+object CurationGates {
+
+  private def docs(spark: SparkSession, dir: String) =
+    Tables(spark, dir, "documents")
+
+  /** Fixture texts: one well-formed line (≥3 words, terminal '.') so
+    * the C4 line rules keep it; the near-dup variant appends two
+    * tokens (prefix-shingle containment ⇒ Jaccard ≈ k/(k+2)). */
+  private val OrigTail = " closing marker sentence ends here."
+  private val NearTail = " closing marker sentence ends here today anyway."
+
+  private def orig: Column = concat(substring(col("text"), 1, 150), lit(OrigTail))
+  private def near: Column = concat(substring(col("text"), 1, 150), lit(NearTail))
+
+  private def origSql = s"substr(text, 1, 150) || '$OrigTail'"
+  private def nearSql = s"substr(text, 1, 150) || '$NearTail'"
+
+  // ---- q113: tenant-scoped streaming dedup identity ----------------------
+
+  /** Batch 1: orgA curates every doc_id ≡ 0 (mod 5). Batch 2 mixes
+    * cross-org exact/near copies (must survive), same-org exact/near
+    * copies (must drop), and fresh orgB originals. Output = the docs
+    * store after both batches. */
+  def scopedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val b1 = d.filter($"doc_id" % 5 === 0)
+      .select($"doc_id".cast("long").as("id"), orig.as("text"),
+        lit("orgA").as("scope"))
+    val b2 = d.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 10000000L).as("id"), orig.as("text"),
+        lit("orgB").as("scope"))
+      .unionByName(d.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 20000000L).as("id"), near.as("text"),
+          lit("orgB").as("scope")))
+      .unionByName(d.filter($"doc_id" % 15 === 0)
+        .select(($"doc_id" + 30000000L).as("id"), orig.as("text"),
+          lit("orgA").as("scope")))
+      .unionByName(d.filter($"doc_id" % 15 === 5)
+        .select(($"doc_id" + 40000000L).as("id"), near.as("text"),
+          lit("orgA").as("scope")))
+      .unionByName(d.filter($"doc_id" % 25 === 1)
+        .select(($"doc_id" + 50000000L).as("id"), orig.as("text"),
+          lit("orgB").as("scope")))
+    val state = TmpDirs.create("graft_q113_state")
+    CurationStream.curateBatch(b1, state)
+    CurationStream.curateBatch(b2, state)
+    spark.read.parquet(s"$state/docs")
+      .select($"id", md5($"text").as("text_md5"))
+      .orderBy($"id")
+  }
+
+  private val scopedBatches = Seq(
+    s"""b1 AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id, 'orgA' AS scope, $origSql AS raw
+       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin,
+    s"""b2 AS (
+       |  SELECT CAST(doc_id + 10000000 AS BIGINT) AS id, 'orgB' AS scope, $origSql AS raw
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 20000000 AS BIGINT), 'orgB', $nearSql
+       |  FROM documents WHERE doc_id % 10 = 5
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 30000000 AS BIGINT), 'orgA', $origSql
+       |  FROM documents WHERE doc_id % 15 = 0
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 40000000 AS BIGINT), 'orgA', $nearSql
+       |  FROM documents WHERE doc_id % 15 = 5
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 50000000 AS BIGINT), 'orgB', $origSql
+       |  FROM documents WHERE doc_id % 25 = 1)""".stripMargin)
+
+  // ---- q114: compacted-state (LSM tier) equivalence -----------------------
+
+  /** Batch 1 curates doc_id ≡ 0 (mod 3); the state is then compacted
+    * into the 64-bucket tier. Batch 2 (bucket-pruned tier reads,
+    * forced) mixes exact/near copies of batch 1 with fresh docs; batch
+    * 3 reads tier + batch 2's UN-ABSORBED delta files and must drop
+    * exact copies of batch-2 survivors through that delta path. */
+  def compactedState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val cfg = CurationStream.Cfg(statePruneMinBytes = 0L)
+    val b1 = d.filter($"doc_id" % 3 === 0)
+      .select($"doc_id".cast("long").as("id"), orig.as("text"))
+    val b2 = d.filter($"doc_id" % 9 === 0)
+      .select(($"doc_id" + 10000000L).as("id"), orig.as("text"))
+      .unionByName(d.filter($"doc_id" % 9 === 3)
+        .select(($"doc_id" + 20000000L).as("id"), near.as("text")))
+      .unionByName(d.filter($"doc_id" % 6 === 1)
+        .select(($"doc_id" + 30000000L).as("id"), orig.as("text")))
+    val b3 = d.filter($"doc_id" % 12 === 1)
+      .select(($"doc_id" + 40000000L).as("id"), orig.as("text"))
+      .unionByName(d.filter($"doc_id" % 9 === 6)
+        .select(($"doc_id" + 50000000L).as("id"), near.as("text")))
+      .unionByName(d.filter($"doc_id" % 15 === 2)
+        .select(($"doc_id" + 60000000L).as("id"), orig.as("text")))
+    val state = TmpDirs.create("graft_q114_state")
+    CurationStream.curateBatch(b1, state, cfg)
+    CurationStream.compactState(spark, state)
+    CurationStream.curateBatch(b2, state, cfg)
+    CurationStream.curateBatch(b3, state, cfg)
+    spark.read.parquet(s"$state/docs")
+      .select($"id", md5($"text").as("text_md5"))
+      .orderBy($"id")
+  }
+
+  private val compactedBatches = Seq(
+    s"""b1 AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS id, $origSql AS raw
+       |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+    s"""b2 AS (
+       |  SELECT CAST(doc_id + 10000000 AS BIGINT) AS id, $origSql AS raw
+       |  FROM documents WHERE doc_id % 9 = 0
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 20000000 AS BIGINT), $nearSql
+       |  FROM documents WHERE doc_id % 9 = 3
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 30000000 AS BIGINT), $origSql
+       |  FROM documents WHERE doc_id % 6 = 1)""".stripMargin,
+    s"""b3 AS (
+       |  SELECT CAST(doc_id + 40000000 AS BIGINT) AS id, $origSql AS raw
+       |  FROM documents WHERE doc_id % 12 = 1
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 50000000 AS BIGINT), $nearSql
+       |  FROM documents WHERE doc_id % 9 = 6
+       |  UNION ALL
+       |  SELECT CAST(doc_id + 60000000 AS BIGINT), $origSql
+       |  FROM documents WHERE doc_id % 15 = 2)""".stripMargin)
+
+  // ---- the sequential-curation replay generator ---------------------------
+
+  /** The C4 keep rule in DuckDB (the q80-proven translation of
+    * [[Clean.keepLine]] at minWords = 3). */
+  private val keepLineSql =
+    "len(regexp_split_to_array(trim(l), '\\s+')) >= 3" +
+      " AND regexp_matches(trim(l), '[.!?]\"?$')" +
+      " AND NOT contains(lower(l), 'lorem ipsum')" +
+      " AND NOT contains(lower(l), 'javascript')" +
+      " AND NOT contains(l, '{')"
+
+  /** Emit the full WITH-clause replay of `n` sequential curation
+    * batches over CTEs `b1..bn` (columns id, raw — plus scope when
+    * `scoped`), ending in the survivors' (id, md5(cleaned)) union.
+    * Mirrors [[CurationStream.curateSurvivorsDeferred]] stage by
+    * stage; see the object doc for the mapping. */
+  private def replaySql(batches: Seq[String], scoped: Boolean): String = {
+    val n = batches.size
+    val sc = if (scoped) ", scope" else ""
+    val keyExpr =
+      if (scoped) "md5(scope || chr(0) || cleaned)" else "md5(cleaned)"
+    val bandKeyExpr =
+      "md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '_'))"
+    val hsExpr =
+      s"list_transform(${TextFunctions.shinglesSql("toks", 3)}, s -> ${TextFunctions.hashModSql("s")})"
+    val phases = (1 to n).map { p =>
+      val seenKeys =
+        if (p == 1) ""
+        else (1 until p).map(q => s"SELECT key FROM sv$q").mkString(
+          "\n  WHERE key NOT IN (", " UNION ALL ", ")")
+      val corpusBands =
+        if (p == 1) ""
+        else s""",
+          |cb$p AS (${(1 until p).map(q =>
+            s"SELECT d.id, d.band, d.band_key FROM bp$q d JOIN sv$q s ON s.id = d.id")
+            .mkString(" UNION ALL ")})""".stripMargin
+      val candVsCorpus =
+        if (p == 1) ""
+        else s"""SELECT a.id AS id_a, b.id AS id_b FROM bp$p a JOIN cb$p b
+          |    ON a.band = b.band AND a.band_key = b.band_key AND a.id <> b.id
+          |  UNION ALL
+          |  """.stripMargin
+      val sizes = (1 to p).map(q => s"SELECT * FROM sz$q").mkString(" UNION ALL ")
+      val shUnion = (1 to p).map(q => s"SELECT * FROM sh$q").mkString(" UNION ALL ")
+      s"""cl$p AS (
+         |  SELECT id$sc,
+         |    list_filter(string_split(${TextFunctions.normalizeTextSql("raw")}, chr(10)),
+         |      l -> $keepLineSql) AS kept
+         |  FROM b$p),
+         |kk$p AS (
+         |  SELECT id$sc, cleaned, $keyExpr AS key,
+         |    ${TextFunctions.wsTokensSql("lower(cleaned)")} AS toks
+         |  FROM (SELECT id$sc, list_aggregate(kept, 'string_agg', chr(10)) AS cleaned
+         |        FROM cl$p WHERE len(kept) > 0) c0),
+         |e$p AS (
+         |  SELECT t.* FROM kk$p t
+         |  JOIN (SELECT key, MIN(id) AS id FROM kk$p GROUP BY key) m
+         |    ON m.key = t.key AND m.id = t.id),
+         |f$p AS (
+         |  SELECT * FROM e$p$seenKeys),
+         |sh$p AS (
+         |  SELECT id, unnest(list_distinct(${TextFunctions.shinglesSql("toks", 3)})) AS sh
+         |  FROM f$p),
+         |sz$p AS (SELECT id, COUNT(*) AS n_sh FROM sh$p GROUP BY id),
+         |sg$p AS (
+         |  SELECT id$sc, ${HashFunctions.minhashSigSql("hs", 16)} AS sig
+         |  FROM (SELECT id$sc, $hsExpr AS hs FROM f$p) h WHERE len(hs) > 0),
+         |bd$p AS (
+         |  SELECT id$sc, unnest(list_transform(range(4), b ->
+         |    {'band': b, 'band_key': $bandKeyExpr}), recursive := true)
+         |  FROM sg$p),
+         |bp$p AS (
+         |  SELECT id, band,
+         |    ${if (scoped) "scope || '|' || band_key" else "band_key"} AS band_key
+         |  FROM bd$p)$corpusBands,
+         |cd$p AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |  ${candVsCorpus}SELECT a.id AS id_a, b.id AS id_b FROM bp$p a JOIN bp$p b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id) u),
+         |jc$p AS (
+         |  SELECT i.id_a, i.id_b FROM
+         |    (SELECT c.id_a, c.id_b, COUNT(*) AS ni FROM cd$p c
+         |      JOIN ($shUnion) sa ON sa.id = c.id_a
+         |      JOIN ($shUnion) sb ON sb.id = c.id_b AND sb.sh = sa.sh
+         |      GROUP BY c.id_a, c.id_b) i
+         |    JOIN ($sizes) za ON za.id = i.id_a
+         |    JOIN ($sizes) zb ON zb.id = i.id_b
+         |  WHERE CAST(i.ni AS DOUBLE) / (za.n_sh + zb.n_sh - i.ni) >= 0.8),
+         |ls$p AS (
+         |  SELECT DISTINCT CASE WHEN j.id_b IN (SELECT id FROM f$p)
+         |    THEN j.id_b ELSE j.id_a END AS id FROM jc$p j),
+         |sv$p AS (
+         |  SELECT * FROM f$p WHERE id NOT IN (SELECT id FROM ls$p))""".stripMargin
+    }
+    val finalUnion = (1 to n).map(p => s"SELECT id, cleaned FROM sv$p")
+      .mkString(" UNION ALL ")
+    s"""WITH ${(batches ++ phases).mkString(",\n")}
+       |SELECT id, md5(cleaned) AS text_md5 FROM ($finalUnion) s
+       |ORDER BY id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_scoped_dedup" -> (scopedDedup _),
+    "q114_compacted_state" -> (compactedState _))
+
+  val oracle: Map[String, String] = Map(
+    "q113_scoped_dedup" -> replaySql(scopedBatches, scoped = true),
+    "q114_compacted_state" -> replaySql(compactedBatches, scoped = false))
+}
