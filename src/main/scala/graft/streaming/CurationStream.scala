@@ -414,12 +414,17 @@ object CurationStream {
   /** One micro-batch through the incremental pipeline (also the
     * batch-mode entry the specs drive directly). Returns the survivor
     * count appended to `stateDir/docs`; the batch's checkpoint blocks
-    * are deterministically released before returning. */
+    * are deterministically released before returning, and
+    * [[Cfg.autoCompactMinDeltaFiles]] (when set) runs the LSM fold
+    * right here — curateBatch IS the per-micro-batch unit, so every
+    * front-end (stream, rehearsal tool, direct caller) gets the same
+    * self-maintaining state. */
   def curateBatch(batch0: DataFrame, stateDir: String,
                   cfg: Cfg = Cfg()): Long = {
     val out = curateSurvivorsDeferred(batch0, stateDir, cfg)
     out.commit()
     out.release()
+    maybeAutoCompact(batch0.sparkSession, stateDir, cfg)
     out.n
   }
 
@@ -637,12 +642,20 @@ object CurationStream {
     CurationOutcome(survivors, n,
       () =>
         if (n > 0) {
-          survivors.select("id", "text").write.mode("append")
+          // right-size the append: a micro-batch must land ONE file per
+          // table, not one per upstream shuffle partition — per-batch
+          // delta FILE COUNT is what every later batch lists and reads
+          // until the next compaction (50 batches × 16 partitions = 800
+          // tiny files was the measured drift: +0.6 s/batch by batch 50).
+          // Bulk backfills keep parallel writers (1 per ~10k docs, ≤32).
+          val parts = math.max(1, math.min(32, (n / 10000L).toInt))
+          survivors.select("id", "text").coalesce(parts).write.mode("append")
             .parquet(s"$stateDir/docs")
-          survivors.select("id", "text_md5").write.mode("append")
-            .parquet(s"$stateDir/keys")
-          survBands.foreach(_.write.mode("append").parquet(s"$stateDir/bands"))
-          survivors.select("id", "toks").write.mode("append")
+          survivors.select("id", "text_md5").coalesce(parts).write
+            .mode("append").parquet(s"$stateDir/keys")
+          survBands.foreach(_.coalesce(parts).write.mode("append")
+            .parquet(s"$stateDir/bands"))
+          survivors.select("id", "toks").coalesce(parts).write.mode("append")
             .parquet(s"$stateDir/toks")
         },
       () => {
@@ -654,11 +667,12 @@ object CurationStream {
   /** Auto-compaction trigger (the curation-state mirror of the serving
     * store's MaxSegments overflow): when the keys table has accumulated
     * `cfg.autoCompactMinDeltaFiles` un-absorbed delta files, fold the
-    * state into a fresh tier. Runs AFTER a batch's commit, inside the
-    * serial foreachBatch — the single-writer contract holds by
-    * construction. The probe is one listStatus of the keys dir (every
-    * batch appends the same number of files to each table, so keys
-    * stands in for all three). */
+    * state into a fresh tier. Runs AFTER a batch's commit, inside
+    * [[curateBatch]] — batches are serial per state (the foreachBatch
+    * contract), so the single-writer lease holds by construction. The
+    * probe is one listStatus of the keys dir (every batch appends the
+    * same number of files to each table, so keys stands in for all
+    * three). */
   private def maybeAutoCompact(spark: SparkSession, stateDir: String,
                                cfg: Cfg): Unit =
     if (cfg.autoCompactMinDeltaFiles > 0) {
@@ -680,8 +694,7 @@ object CurationStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, stateDir, cfg)
-        maybeAutoCompact(batch.sparkSession, stateDir, cfg)
+        curateBatch(batch, stateDir, cfg); () // incl. auto-compaction
       }
 
   /** Curate→serve composed stream (the reference's upload→index

@@ -88,7 +88,7 @@ object ServeProbe {
         .select(
           concat(lit(s"probe_${i}_"), col("doc_id"), lit(".md")).as("filename"),
           when(col("doc_id") % 2 === 0,
-            concat(col("text"), lit(s". probe $i tail")))
+            concat(col("text"), lit(s". probe $i tail line.")))
             .otherwise(concat(lit(s"unique probe $i payload "),
               md5(concat(col("doc_id"), lit(i))), lit(" "), col("text"),
               lit(s" salted $i."))).as("text"),

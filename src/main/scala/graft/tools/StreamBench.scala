@@ -58,6 +58,56 @@ object StreamBench {
           j => substring(md5(concat(col("id"), lit("_"), j)), 1, 8))),
           lit(".")).as("text")))
 
+    // SPARK_GRAFT_LONGRUN=<nBatches>: the hands-off endurance run —
+    // N micro-batches through curateBatch with AUTO-compaction on
+    // (threshold SPARK_GRAFT_AUTOCOMPACT, default 40 delta files) and
+    // NO manual maintenance. The pin: probe times stay flat (no
+    // creeping per-batch cost from accumulating delta files or leaked
+    // blocks) and the keys-table file count stays bounded (compaction
+    // genuinely fires and absorbs). Batches that trigger a compaction
+    // include its O(state) cost — visible as periodic spikes, not a
+    // trend.
+    sys.env.get("SPARK_GRAFT_LONGRUN").foreach { nStr =>
+      val nBatches = nStr.toInt
+      val threshold = sys.env.getOrElse("SPARK_GRAFT_AUTOCOMPACT", "40").toInt
+      val cfg = CurationStream.Cfg(autoCompactMinDeltaFiles = threshold)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_longrun").toString
+      CurationStream.curateBatch(base, stateDir, cfg) // real-corpus seed
+      def keysFiles(): Int = {
+        val d = new java.io.File(s"$stateDir/keys")
+        Option(d.listFiles).map(_.count(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))).getOrElse(0)
+      }
+      def persistedRdds(): Int = spark.sparkContext.getPersistentRDDs.size
+      val rows = (1 to nBatches).map { i =>
+        // 80% batch-unique synthetic docs (the state must actually
+        // GROW for compaction to have deltas to absorb) + 20%
+        // near-dups of the seeded corpus (the LSH + Jaccard drop path
+        // runs every batch)
+        val fresh = withScope(spark.range(probeSize * 4L / 5)
+          .select((lit(7000000000L) + lit(i.toLong * 100000L) + col("id")).as("id"),
+            concat(concat_ws(" ", transform(sequence(lit(1), lit(40)),
+              j => substring(md5(concat(col("id"), lit(s"_lr${i}_"), j)), 1, 8))),
+              lit(" end.")).as("text")))
+        val nearDups = withScope(base.limit(probeSize / 5)
+          .select((col("id") + 8000000000L + i.toLong * 1000000L).as("id"),
+            concat(col("text"), lit(s" longrun batch $i suffix ends.")).as("text")))
+        val probe = fresh.unionByName(nearDups)
+        val t = time { CurationStream.curateBatch(probe, stateDir, cfg) }
+        (t, keysFiles(), persistedRdds())
+      }
+      val gen = CurationStream.readStateManifest(spark, stateDir)
+        .map(_.gen).getOrElse(0)
+      println(s"""{"longrun":{"batches":$nBatches,"threshold":$threshold,""" +
+        s""""compactions":$gen,"max_keys_files":${rows.map(_._2).max},""" +
+        s""""final_keys_files":${rows.last._2},""" +
+        s""""max_persisted_rdds":${rows.map(_._3).max},""" +
+        s""""probe_secs":[${rows.map(r => f"${r._1}%.2f").mkString(",")}]}}""")
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_FACTORS=1,10,100 overrides the state sizes; the
     // default pair reproduces the r7 pin. COMPACT_STATE mode (below)
     // wants the biggest state it can seed.
@@ -87,7 +137,7 @@ object StreamBench {
           .select((col("id") + 9000000000L + i.toLong * 1000000L +
             (if (tag == "c") 500000L else 0L)).as("id"),
             concat(col("text"),
-              lit(s" probe batch $tag$i distinct suffix")).as("text")))
+              lit(s" probe batch $tag$i distinct suffix ends.")).as("text")))
         time { CurationStream.curateBatch(probe, stateDir, probeCfg) }
       }
       val probes = probeRound("")
@@ -152,7 +202,7 @@ object StreamBench {
             .select(
               concat(lit(s"probe_${i}_"), col("doc_id"), lit(".md")).as("filename"),
               when(col("doc_id") % 2 === 0,
-                concat(col("text"), lit(s". probe $i tail")))
+                concat(col("text"), lit(s". probe $i tail line.")))
                 .otherwise(concat(lit(s"unique probe $i payload "),
                   md5(concat(col("doc_id"), lit(i))), lit(" "), col("text"),
                   lit(s" salted $i."))).as("text"),
