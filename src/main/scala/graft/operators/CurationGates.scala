@@ -45,8 +45,15 @@ import graft.streaming.CurationStream
   */
 object CurationGates {
 
+  /** Fixture cap: the gate's fixture is the FIRST [[FixtureCap]]
+    * doc_ids at any scale factor — identical to the driver's full
+    * sf0.01 table, constant-cost in the sf0.1 bench (the gate checks
+    * SEMANTICS; the scale story is StreamBench's job). */
+  val FixtureCap = 500L
+
   private def docs(spark: SparkSession, dir: String) =
     Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < FixtureCap)
 
   /** Fixture texts: one well-formed line (≥3 words, terminal '.') so
     * the C4 line rules keep it; the near-dup variant appends two
@@ -56,6 +63,17 @@ object CurationGates {
 
   private def orig: Column = concat(substring(col("text"), 1, 150), lit(OrigTail))
   private def near: Column = concat(substring(col("text"), 1, 150), lit(NearTail))
+
+  /** Collect a fixture batch and rebuild it as a LOCAL frame: the
+    * batches are gate-bounded (≤ ~300 rows) but their 5-way-union ×
+    * string-expression lineage is a multi-MB analyzed plan, and the
+    * curation core's ~40 jobs/batch each re-pay driver-side processing
+    * of it (measured: localizing cut q113 28 → ~10 s with identical
+    * output — the learnMerges lineage-cut lesson applied to gates). */
+  private def localize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
 
   private def origSql = s"substr(text, 1, 150) || '$OrigTail'"
   private def nearSql = s"substr(text, 1, 150) || '$NearTail'"
@@ -88,8 +106,8 @@ object CurationGates {
         .select(($"doc_id" + 50000000L).as("id"), orig.as("text"),
           lit("orgB").as("scope")))
     val state = TmpDirs.create("graft_q113_state")
-    CurationStream.curateBatch(b1, state)
-    CurationStream.curateBatch(b2, state)
+    CurationStream.curateBatch(localize(b1), state)
+    CurationStream.curateBatch(localize(b2), state)
     spark.read.parquet(s"$state/docs")
       .select($"id", md5($"text").as("text_md5"))
       .orderBy($"id")
@@ -98,22 +116,22 @@ object CurationGates {
   private val scopedBatches = Seq(
     s"""b1 AS (
        |  SELECT CAST(doc_id AS BIGINT) AS id, 'orgA' AS scope, $origSql AS raw
-       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin,
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 5 = 0)""".stripMargin,
     s"""b2 AS (
        |  SELECT CAST(doc_id + 10000000 AS BIGINT) AS id, 'orgB' AS scope, $origSql AS raw
-       |  FROM documents WHERE doc_id % 10 = 0
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 10 = 0
        |  UNION ALL
        |  SELECT CAST(doc_id + 20000000 AS BIGINT), 'orgB', $nearSql
-       |  FROM documents WHERE doc_id % 10 = 5
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 10 = 5
        |  UNION ALL
        |  SELECT CAST(doc_id + 30000000 AS BIGINT), 'orgA', $origSql
-       |  FROM documents WHERE doc_id % 15 = 0
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 15 = 0
        |  UNION ALL
        |  SELECT CAST(doc_id + 40000000 AS BIGINT), 'orgA', $nearSql
-       |  FROM documents WHERE doc_id % 15 = 5
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 15 = 5
        |  UNION ALL
        |  SELECT CAST(doc_id + 50000000 AS BIGINT), 'orgB', $origSql
-       |  FROM documents WHERE doc_id % 25 = 1)""".stripMargin)
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 25 = 1)""".stripMargin)
 
   // ---- q114: compacted-state (LSM tier) equivalence -----------------------
 
@@ -141,10 +159,10 @@ object CurationGates {
       .unionByName(d.filter($"doc_id" % 15 === 2)
         .select(($"doc_id" + 60000000L).as("id"), orig.as("text")))
     val state = TmpDirs.create("graft_q114_state")
-    CurationStream.curateBatch(b1, state, cfg)
+    CurationStream.curateBatch(localize(b1), state, cfg)
     CurationStream.compactState(spark, state)
-    CurationStream.curateBatch(b2, state, cfg)
-    CurationStream.curateBatch(b3, state, cfg)
+    CurationStream.curateBatch(localize(b2), state, cfg)
+    CurationStream.curateBatch(localize(b3), state, cfg)
     spark.read.parquet(s"$state/docs")
       .select($"id", md5($"text").as("text_md5"))
       .orderBy($"id")
@@ -153,25 +171,25 @@ object CurationGates {
   private val compactedBatches = Seq(
     s"""b1 AS (
        |  SELECT CAST(doc_id AS BIGINT) AS id, $origSql AS raw
-       |  FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 3 = 0)""".stripMargin,
     s"""b2 AS (
        |  SELECT CAST(doc_id + 10000000 AS BIGINT) AS id, $origSql AS raw
-       |  FROM documents WHERE doc_id % 9 = 0
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 9 = 0
        |  UNION ALL
        |  SELECT CAST(doc_id + 20000000 AS BIGINT), $nearSql
-       |  FROM documents WHERE doc_id % 9 = 3
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 9 = 3
        |  UNION ALL
        |  SELECT CAST(doc_id + 30000000 AS BIGINT), $origSql
-       |  FROM documents WHERE doc_id % 6 = 1)""".stripMargin,
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 6 = 1)""".stripMargin,
     s"""b3 AS (
        |  SELECT CAST(doc_id + 40000000 AS BIGINT) AS id, $origSql AS raw
-       |  FROM documents WHERE doc_id % 12 = 1
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 12 = 1
        |  UNION ALL
        |  SELECT CAST(doc_id + 50000000 AS BIGINT), $nearSql
-       |  FROM documents WHERE doc_id % 9 = 6
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 9 = 6
        |  UNION ALL
        |  SELECT CAST(doc_id + 60000000 AS BIGINT), $origSql
-       |  FROM documents WHERE doc_id % 15 = 2)""".stripMargin)
+       |  FROM documents WHERE doc_id < 500 AND doc_id % 15 = 2)""".stripMargin)
 
   // ---- the sequential-curation replay generator ---------------------------
 
