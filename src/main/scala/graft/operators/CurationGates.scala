@@ -160,7 +160,11 @@ object CurationGates {
         .select(($"doc_id" + 60000000L).as("id"), orig.as("text")))
     val state = TmpDirs.create("graft_q114_state")
     CurationStream.curateBatch(localize(b1), state, cfg)
-    CurationStream.compactState(spark, state)
+    // full 64-bucket tier even for this small fixture (adaptive sizing
+    // would pick the floor) so the gate's forced-prune reads construct
+    // real partition filters over the production fan-out
+    CurationStream.compactState(spark, state,
+      targetBuckets = Some(CurationStream.StateBuckets))
     CurationStream.curateBatch(localize(b2), state, cfg)
     CurationStream.curateBatch(localize(b3), state, cfg)
     spark.read.parquet(s"$state/docs")

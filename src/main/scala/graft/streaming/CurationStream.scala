@@ -121,10 +121,23 @@ object CurationStream {
   // grace so readers of the previous manifest stay valid through a
   // flip (see [[compactState]]).
 
-  /** Bucket count of the compacted tier. 64 keeps the per-batch
-    * pruned read at ≤ batch-distinct buckets while a compaction still
-    * writes only ~64 files per table. */
+  /** MAXIMUM bucket count of the compacted tier (and the count every
+    * pre-adaptive tier was written with). [[compactState]] sizes each
+    * generation's actual count to its input bytes (one bucket per
+    * ~[[TierBucketBytes]], floor [[MinStateBuckets]], cap here) and
+    * records it in the manifest — a small state's tier is a handful of
+    * files instead of 192 (the measured +1 s/batch scan-floor step at
+    * toy scale), while a multi-GB tier keeps the full fan-out for
+    * pruning. */
   val StateBuckets = 64
+
+  /** Target bytes per tier bucket (all three tables combined). */
+  val TierBucketBytes: Long = 32L << 20
+
+  /** Bucket floor: even a tiny tier keeps a few buckets so the pruned
+    * read path (partition filter construction, probe collects) stays
+    * exercised end-to-end at every scale. */
+  val MinStateBuckets = 8
 
   /** COMPACTED manifest: tier generation + absorbed delta file names
     * per state table (names still present in the delta dir are
@@ -141,7 +154,13 @@ object CurationStream {
                                  // dir path repeats) can never collide
                                  // on — the SegmentedStore storeId
                                  // lesson
-                                 tierId: Option[String] = None) {
+                                 tierId: Option[String] = None,
+                                 // bucket count THIS tier was written
+                                 // with; absent on pre-adaptive
+                                 // manifests, whose tiers used the old
+                                 // fixed StateBuckets — read and write
+                                 // sides always agree through this field
+                                 tierBuckets: Option[Int] = None) {
     def absorbed(kind: String): Set[String] = kind match {
       case "keys" => absorbedKeys.toSet
       case "bands" => absorbedBands.toSet
@@ -149,6 +168,7 @@ object CurationStream {
     }
     def bytesOf(kind: String): Long =
       tierBytes.flatMap(_.get(kind)).getOrElse(0L)
+    def buckets: Int = tierBuckets.getOrElse(StateBuckets)
   }
 
   /** Tier size below which a batch reads the tier WHOLE instead of
@@ -196,19 +216,22 @@ object CurationStream {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** The bucket a state row lands in — the SAME Spark expression
-    * computes the write-side partition value and the read-side probe
-    * set, so the two can never disagree. */
-  private def bucketExpr(kind: String): org.apache.spark.sql.Column =
+  /** The bucket a state row lands in — the SAME Spark expression (and
+    * the manifest-carried bucket count) computes the write-side
+    * partition value and the read-side probe set, so the two can never
+    * disagree. */
+  private def bucketExpr(kind: String, buckets: Int): org.apache.spark.sql.Column =
     kind match {
-      case "keys" => pmod(xxhash64(col("text_md5")), lit(StateBuckets.toLong))
-      case "bands" => pmod(xxhash64(col("band_key")), lit(StateBuckets.toLong))
-      case _ => pmod(xxhash64(col("id")), lit(StateBuckets.toLong))
+      case "keys" => pmod(xxhash64(col("text_md5")), lit(buckets.toLong))
+      case "bands" => pmod(xxhash64(col("band_key")), lit(buckets.toLong))
+      case _ => pmod(xxhash64(col("id")), lit(buckets.toLong))
     }
 
-  /** Data files currently in a delta dir, minus `absorbed` names. */
-  private def deltaFiles(spark: SparkSession, dir: String,
-                         absorbed: Set[String]): Seq[String] = {
+  /** Data files currently in a delta dir with their sizes, minus
+    * `absorbed` names — ONE listing serves both the read set and the
+    * compaction sizing. */
+  private def deltaStatus(spark: SparkSession, dir: String,
+                          absorbed: Set[String]): Seq[(String, Long)] = {
     val (fs, p) = hadoopFs(spark, dir)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq
@@ -216,8 +239,12 @@ object CurationStream {
         val n = s.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") && !absorbed.contains(n)
       })
-      .map(_.getPath.toString)
+      .map(s => (s.getPath.toString, s.getLen))
   }
+
+  private def deltaFiles(spark: SparkSession, dir: String,
+                         absorbed: Set[String]): Seq[String] =
+    deltaStatus(spark, dir, absorbed).map(_._1)
 
   // Per-(session, state, generation, table) memo of the tier base
   // frame. A tier generation's 64-bucket directory tree is IMMUTABLE
@@ -277,7 +304,7 @@ object CurationStream {
       val tierSchema = schema.add(StructField("bucket", LongType))
       val tier0 = tierFrame(spark, stateDir, kind, man, tierSchema)
       val tier = (buckets match {
-        case Some(bs) if bs.size < StateBuckets =>
+        case Some(bs) if bs.size < man.buckets =>
           tier0.filter(col("bucket").isin(bs: _*))
         case _ => tier0
       }).drop("bucket")
@@ -296,12 +323,13 @@ object CurationStream {
 
   /** Distinct tier buckets a batch-bounded frame can touch, as literal
     * values for the partition filter (None = every bucket — skip the
-    * filter). The collect is bounded by `StateBuckets` rows whatever
-    * the batch size. */
-  private def batchBuckets(df: DataFrame, kind: String): Option[Seq[Long]] = {
-    val bs = df.select(bucketExpr(kind).as("b")).distinct()
+    * filter). The collect is bounded by the tier's bucket count
+    * whatever the batch size. */
+  private def batchBuckets(df: DataFrame, kind: String,
+                           buckets: Int): Option[Seq[Long]] = {
+    val bs = df.select(bucketExpr(kind, buckets).as("b")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    if (bs.size >= StateBuckets) None else Some(bs)
+    if (bs.size >= buckets) None else Some(bs)
   }
 
   /** Rewrite the full current state (previous tier + un-absorbed
@@ -328,7 +356,8 @@ object CurationStream {
     * the cheap O(batch) appends between runs, exactly like the serving
     * store's segment fold; the streams self-schedule it via
     * [[Cfg.autoCompactMinDeltaFiles]]. */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
+  def compactState(spark: SparkSession, stateDir: String,
+                   targetBuckets: Option[Int] = None): Unit = {
     val (fs, root) = hadoopFs(spark, stateDir)
     fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(stateDir, "_compaction.lock")
@@ -346,10 +375,21 @@ object CurationStream {
       val gen = m0.map(_.gen + 1).getOrElse(1)
       val kinds = Seq(("keys", keysSchema), ("bands", bandsSchema),
         ("toks", toksSchema))
-      val compacted = kinds.map { case (kind, schema) =>
+      // the ONE listing per table this tier's delta contribution comes
+      // from — also the sizing input for the adaptive bucket count
+      val listed = kinds.map { case (kind, schema) =>
         val prevAbsorbed = m0.map(_.absorbed(kind)).getOrElse(Set.empty)
-        // the ONE listing this tier's delta contribution comes from
-        val fresh = deltaFiles(spark, s"$stateDir/$kind", prevAbsorbed)
+        (kind, schema, prevAbsorbed,
+          deltaStatus(spark, s"$stateDir/$kind", prevAbsorbed))
+      }
+      val inputBytes = listed.map { case (kind, _, _, fresh) =>
+        m0.map(_.bytesOf(kind)).getOrElse(0L) + fresh.map(_._2).sum
+      }.sum
+      val buckets = targetBuckets.getOrElse(math.max(MinStateBuckets,
+        math.min(StateBuckets,
+          (inputBytes / TierBucketBytes + 1).toInt)))
+      val compacted = listed.map { case (kind, schema, prevAbsorbed, freshSt) =>
+        val fresh = freshSt.map(_._1)
         val tierSchema = schema.add(StructField("bucket", LongType))
         val prevTier = m0.map(m =>
             tierFrame(spark, stateDir, kind, m, tierSchema).drop("bucket"))
@@ -361,8 +401,8 @@ object CurationStream {
           else spark.read.schema(schema).parquet(fresh: _*)
         val tierDir = s"$stateDir/_compacted/v$gen/$kind"
         prevTier.unionByName(freshDf)
-          .withColumn("bucket", bucketExpr(kind))
-          .repartition(StateBuckets, col("bucket"))
+          .withColumn("bucket", bucketExpr(kind, buckets))
+          .repartition(buckets, col("bucket"))
           .write.partitionBy("bucket").mode("overwrite")
           .parquet(tierDir)
         val (_, tp) = hadoopFs(spark, tierDir)
@@ -385,7 +425,8 @@ object CurationStream {
         absorbedNow("bands").toList.sorted,
         absorbedNow("toks").toList.sorted,
         Some(compacted.view.mapValues(_._2).toMap),
-        Some(java.util.UUID.randomUUID().toString)))
+        Some(java.util.UUID.randomUUID().toString),
+        Some(buckets)))
       // one-generation-grace GC: delete only what the PREVIOUS flip
       // absorbed (this flip's fresh files stay, excluded from reads by
       // the absorbed list) and the tier generation BEFORE the one just
@@ -551,9 +592,8 @@ object CurationStream {
     // tier is big enough that the skipped scan exceeds it).
     val stateM = readStateManifest(spark, stateDir)
     def prune(kind: String, probe: => DataFrame): Option[Seq[Long]] =
-      if (stateM.exists(_.bytesOf(kind) >= cfg.statePruneMinBytes))
-        batchBuckets(probe, kind)
-      else None
+      stateM.filter(_.bytesOf(kind) >= cfg.statePruneMinBytes)
+        .flatMap(m => batchBuckets(probe, kind, m.buckets))
     val seen = readState(spark, stateDir, "keys", keysSchema, stateM,
       prune("keys", exactB))
     val hits = seen.join(
