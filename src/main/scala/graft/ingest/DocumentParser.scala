@@ -830,7 +830,10 @@ object DocumentParser {
             case "Tj" | "TJ" | "'" | "\"" =>
               if (lastString != null) { out.append(lastString); lastString = null }
             case "Tf" =>
-              curFont = if (lastName != null) fonts.getOrElse(lastName, null) else null
+              // a Tf whose name operand was already consumed by an
+              // earlier operator (spec-violating `/Tag BDC 12 Tf`)
+              // keeps the CURRENT font — never a stale foreign name
+              if (lastName != null) curFont = fonts.getOrElse(lastName, null)
             case "Td" | "TD" | "T*" => out.append('\n')
             case "ET" => out.append('\n')
             case _ =>

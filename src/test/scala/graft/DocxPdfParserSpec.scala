@@ -280,6 +280,53 @@ class DocxPdfParserSpec extends AnyFunSuite {
     assert(out.text == DocumentParser.PdfParser.parse(pdfMixedFontBytes).text)
   }
 
+  // marked-content noise around Tf: BDC's tag name (/F1 — deliberately
+  // a KNOWN font name) and a property dict's /MCID must never leak
+  // into font selection; a spec-violating name-less Tf keeps the
+  // current font instead of adopting the stale tag
+  private def pdfMarkedContentBytes: Array[Byte] = {
+    val cmapData =
+      """begincmap
+        |2 beginbfchar
+        |<0001> <65E5>
+        |<0002> <672C>
+        |endbfchar
+        |endcmap
+        |""".stripMargin
+    val content =
+      "BT /F2 12 Tf 72 720 Td <00010002> Tj " +
+        // tag named like a real font + a dict name, then a MALFORMED
+        // name-less Tf: the pre-r11 heuristic decoded the next string
+        // through /F1 (the "most recent name"), garbling the CIDs
+        "/F1 <</MCID 0>> BDC 0 -20 Td 14 Tf <00010002> Tj EMC " +
+        // a well-formed text object after the noise still switches
+        "/F1 10 Tf 0 -20 Td (plain tail) Tj ET"
+    val bos = new ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources 9 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content)
+    w("\nendstream endobj\n")
+    w("9 0 obj << /Font << /F1 10 0 R /F2 11 0 R >> >> endobj\n")
+    w("10 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w("11 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 12 0 R >> endobj\n")
+    w(s"12 0 obj << /Length ${cmapData.length} >> stream\n")
+    w(cmapData)
+    w("\nendstream endobj\n")
+    w("%%EOF\n")
+    bos.toByteArray
+  }
+
+  test("pdf marked content: tag/dict names never leak into Tf font selection") {
+    val out = DocumentParser.PdfParser.parse(pdfMarkedContentBytes)
+    // both CID strings decode through /F2 (the current font survives
+    // the name-less Tf); the trailing object's real /F1 Tf still works
+    assert(out.text == "日本\n日本\nplain tail", out.text)
+  }
+
   // pdflatex-style split page content: /Contents holds an ARRAY of
   // stream refs, in reading order
   private def pdfArrayContentsBytes: Array[Byte] = {
