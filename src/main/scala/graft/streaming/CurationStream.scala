@@ -339,8 +339,10 @@ object CurationStream {
     * so a reader still holding the PREVIOUS manifest's frames (tier
     * v_{n-1} plus its un-absorbed delta files) survives a concurrent
     * flip — only a reader two generations behind can observe deleted
-    * files. The single-writer contract is ENFORCED with a lease file
-    * (`_compaction.lock`, atomic create-if-absent): a second concurrent
+    * files. The single-writer contract is ENFORCED with a two-layer
+    * lease — an in-process registry (deterministic for same-JVM races)
+    * plus the `_compaction.lock` file (create-if-absent; atomic on
+    * HDFS, best-effort on the local FS): a second concurrent
     * compaction fails fast instead of corrupting the tier. A crashed
     * compaction leaves the lock behind (remove it manually — it guards
     * maintenance, never reads/appends) but never a broken state: the
@@ -356,15 +358,28 @@ object CurationStream {
     * the cheap O(batch) appends between runs, exactly like the serving
     * store's segment fold; the streams self-schedule it via
     * [[Cfg.autoCompactMinDeltaFiles]]. */
+  // In-process lease layer: two threads of one driver racing
+  // compactState are serialized DETERMINISTICALLY here (the Hadoop
+  // create-if-absent below is the cross-process guard — atomic on
+  // HDFS, check-then-create on the local FS, so it alone can't close
+  // a same-JVM race window).
+  private val compactionLeases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def compactState(spark: SparkSession, stateDir: String,
                    targetBuckets: Option[Int] = None): Unit = {
     val (fs, root) = hadoopFs(spark, stateDir)
     fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(stateDir, "_compaction.lock")
+    if (!compactionLeases.add(stateDir))
+      throw new IllegalStateException(
+        s"another compaction holds the in-process lease for $stateDir " +
+          "(single-writer contract)")
     val lockOut =
       try fs.create(lock, false)
       catch {
         case e: java.io.IOException =>
+          compactionLeases.remove(stateDir)
           throw new IllegalStateException(
             s"another compaction holds $lock (single-writer contract); " +
               "remove the lock file if its owner crashed", e)
@@ -449,6 +464,8 @@ object CurationStream {
     } finally {
       try fs.delete(lock, false)
       catch { case scala.util.control.NonFatal(_) => () }
+      compactionLeases.remove(stateDir)
+      ()
     }
   }
 

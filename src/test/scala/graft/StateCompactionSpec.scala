@@ -155,6 +155,37 @@ class StateCompactionSpec extends SparkSpec {
       CurationStream.keysSchema, Some(m3), None).count() == 24L)
   }
 
+  test("two compactions racing: exactly one wins the lease, state stays sound") {
+    val state = tmp()
+    survivorIds(state, (60L to 75L).map(i => i -> unique(i.toInt)))
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        gate.await()
+        try { CurationStream.compactState(spark, state); outcomes.add("ok") }
+        catch {
+          case e: IllegalStateException if e.getMessage.contains("single-writer") =>
+            outcomes.add("lease")
+          case scala.util.control.NonFatal(e) =>
+            outcomes.add(s"unexpected: $e")
+        }
+      }, s"compact-race-$i")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val res = outcomes.toArray.map(_.toString).sorted.toSeq
+    // both may serialize cleanly (ok+ok: the loser started after the
+    // winner released) but NEVER two concurrent holders or a crash
+    assert(res.forall(r => r == "ok" || r == "lease"), res.toString)
+    assert(res.contains("ok"), res.toString)
+    // the state is intact and maintains dedup semantics afterwards
+    val m = CurationStream.readStateManifest(spark, state).get
+    assert(CurationStream.readState(spark, state, "keys",
+      CurationStream.keysSchema, Some(m), None).count() == 16L)
+    assert(survivorIds(state, Seq(80L -> unique(60), 81L -> unique(81)))
+      == Set(81L))
+  }
+
   test("the compaction lease enforces the single-writer contract") {
     val state = tmp()
     survivorIds(state, Seq(50L -> unique(50)))
