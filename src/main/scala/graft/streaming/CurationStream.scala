@@ -371,7 +371,10 @@ object CurationStream {
     val (fs, root) = hadoopFs(spark, stateDir)
     fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(stateDir, "_compaction.lock")
-    if (!compactionLeases.add(stateDir))
+    // lease key = the QUALIFIED path: `/x/state`, `file:/x/state` and
+    // `/x/state/` must contend for one lease, not three
+    val leaseKey = fs.makeQualified(root).toString
+    if (!compactionLeases.add(leaseKey))
       throw new IllegalStateException(
         s"another compaction holds the in-process lease for $stateDir " +
           "(single-writer contract)")
@@ -379,7 +382,7 @@ object CurationStream {
       try fs.create(lock, false)
       catch {
         case e: java.io.IOException =>
-          compactionLeases.remove(stateDir)
+          compactionLeases.remove(leaseKey)
           throw new IllegalStateException(
             s"another compaction holds $lock (single-writer contract); " +
               "remove the lock file if its owner crashed", e)
@@ -464,7 +467,7 @@ object CurationStream {
     } finally {
       try fs.delete(lock, false)
       catch { case scala.util.control.NonFatal(_) => () }
-      compactionLeases.remove(stateDir)
+      compactionLeases.remove(leaseKey)
       ()
     }
   }
