@@ -17,14 +17,20 @@ import graft.streaming.CurationStream
   *    band keys scope-prefixed) while same-org copies drop (tenant
   *    isolation, the reference's core invariant,
   *    `tenant_schema.py:35-74`).
-  *  - q114 compacted-state equivalence: three batches with
-  *    [[CurationStream.compactState]] after the first and bucket
-  *    pruning FORCED on (statePruneMinBytes = 0) — the pruned LSM
-  *    read shape (tier partitions + un-absorbed delta files) must
-  *    yield exactly the survivor set the plain sequential semantics
-  *    produce. The oracle replays those semantics declaratively, so a
-  *    pruned-away bucket, a double-counted delta row (skewed Jaccard
-  *    sizes) or a lost key diverges the hash.
+  *  - q114 compacted-state equivalence: [[CurationStream.compactState]]
+  *    after the first batch and bucket pruning FORCED on
+  *    (statePruneMinBytes = 0) — the pruned LSM read shape (tier
+  *    partitions + un-absorbed delta files) must yield exactly the
+  *    survivor set the plain sequential semantics produce. The oracle
+  *    replays those semantics declaratively, so a pruned-away bucket,
+  *    a double-counted delta row (skewed Jaccard sizes) or a lost key
+  *    diverges the hash.
+  *
+  * Both gates read ONE shared state build (b1 → compact → b2 → b3,
+  * [[builtState]]): q113 snapshots it below [[B3Base]] (= after b2),
+  * q114 reads it whole — 3 batches + 1 compaction paid once instead
+  * of the former two disjoint states' 5 + 1 (the r11 suite's two
+  * heaviest entries, 20 s combined).
   *
   * The oracle twin replays the ENTIRE per-batch pipeline in DuckDB —
   * normalize → C4 line clean → within-batch exact keep-first →
@@ -78,37 +84,88 @@ object CurationGates {
   private def origSql = s"substr(text, 1, 150) || '$OrigTail'"
   private def nearSql = s"substr(text, 1, 150) || '$NearTail'"
 
+  // ---- shared fixture state: ONE build serves both gates ------------------
+
+  /** Ids at or above this are batch-3 rows; q113's snapshot is the
+    * store filtered BELOW it (the docs store is append-only, so the
+    * post-b2 state is exactly the sub-[[B3Base]] id range). */
+  private val B3Base = 60000000L
+
+  // one build per documents dir (Verify and Bench each run q113 then
+  // q114 in one session — the second gate reads the memoized store for
+  // ~free; SPARK_GRAFT_ONLY=q114 alone still builds on demand)
+  private val sharedState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the shared 3-batch scoped state ONCE per dir:
+    * b1 → [[CurationStream.compactState]] (full 64-bucket tier even
+    * for this small fixture — adaptive sizing would pick the floor —
+    * so the forced-prune reads construct real partition filters over
+    * the production fan-out) → b2 (reads the PRUNED TIER) → b3 (reads
+    * tier ∪ b2's UN-ABSORBED delta files). The former layout ran five
+    * batches + a compaction across two separate states (q113 6.25 s +
+    * q114 13.75 s — the suite's two heaviest entries); this build is
+    * three batches + one compaction paid once, covering the same
+    * paths: scoped identity in b2, tier-exact / delta-band / fresh in
+    * b3. */
+  private def builtState(spark: SparkSession, dir: String): String =
+    sharedState.computeIfAbsent(dir, _ => {
+      import spark.implicits._
+      val d = docs(spark, dir)
+      val cfg = CurationStream.Cfg(statePruneMinBytes = 0L)
+      // b1: orgA curates every doc_id ≡ 0 (mod 5)
+      val b1 = d.filter($"doc_id" % 5 === 0)
+        .select($"doc_id".cast("long").as("id"), orig.as("text"),
+          lit("orgA").as("scope"))
+      // b2: cross-org exact/near copies (survive), same-org exact/near
+      // copies (drop), fresh orgB originals — all against the tier
+      val b2 = d.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 10000000L).as("id"), orig.as("text"),
+          lit("orgB").as("scope"))
+        .unionByName(d.filter($"doc_id" % 10 === 5)
+          .select(($"doc_id" + 20000000L).as("id"), near.as("text"),
+            lit("orgB").as("scope")))
+        .unionByName(d.filter($"doc_id" % 15 === 0)
+          .select(($"doc_id" + 30000000L).as("id"), orig.as("text"),
+            lit("orgA").as("scope")))
+        .unionByName(d.filter($"doc_id" % 15 === 5)
+          .select(($"doc_id" + 40000000L).as("id"), near.as("text"),
+            lit("orgA").as("scope")))
+        .unionByName(d.filter($"doc_id" % 25 === 1)
+          .select(($"doc_id" + 50000000L).as("id"), orig.as("text"),
+            lit("orgB").as("scope")))
+      // b3: same-org exact copies of b1 survivors (drop via the TIER
+      // read), same-org near copies of b2 survivors (drop via the
+      // un-absorbed DELTA bands), fresh orgA docs (survive)
+      val b3 = d.filter($"doc_id" % 15 === 0)
+        .select(($"doc_id" + B3Base).as("id"), orig.as("text"),
+          lit("orgA").as("scope"))
+        .unionByName(d.filter($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 70000000L).as("id"), near.as("text"),
+            lit("orgB").as("scope")))
+        .unionByName(d.filter($"doc_id" % 25 === 2)
+          .select(($"doc_id" + 80000000L).as("id"), orig.as("text"),
+            lit("orgA").as("scope")))
+      val state = TmpDirs.create("graft_q113_q114_state")
+      CurationStream.curateBatch(localize(b1), state, cfg)
+      CurationStream.compactState(spark, state,
+        targetBuckets = Some(CurationStream.StateBuckets))
+      CurationStream.curateBatch(localize(b2), state, cfg)
+      CurationStream.curateBatch(localize(b3), state, cfg)
+      state
+    })
+
   // ---- q113: tenant-scoped streaming dedup identity ----------------------
 
-  /** Batch 1: orgA curates every doc_id ≡ 0 (mod 5). Batch 2 mixes
-    * cross-org exact/near copies (must survive), same-org exact/near
-    * copies (must drop), and fresh orgB originals. Output = the docs
-    * store after both batches. */
+  /** Output = the docs store after b1+b2 (the sub-[[B3Base]] snapshot
+    * of the shared state): org_b's identical and near-dup copies of
+    * org_a's already-curated documents survive, same-org copies drop.
+    * The compaction between b1 and b2 must be invisible here — its
+    * equivalence is exactly q114's guarantee. */
   def scopedDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = docs(spark, dir)
-    val b1 = d.filter($"doc_id" % 5 === 0)
-      .select($"doc_id".cast("long").as("id"), orig.as("text"),
-        lit("orgA").as("scope"))
-    val b2 = d.filter($"doc_id" % 10 === 0)
-      .select(($"doc_id" + 10000000L).as("id"), orig.as("text"),
-        lit("orgB").as("scope"))
-      .unionByName(d.filter($"doc_id" % 10 === 5)
-        .select(($"doc_id" + 20000000L).as("id"), near.as("text"),
-          lit("orgB").as("scope")))
-      .unionByName(d.filter($"doc_id" % 15 === 0)
-        .select(($"doc_id" + 30000000L).as("id"), orig.as("text"),
-          lit("orgA").as("scope")))
-      .unionByName(d.filter($"doc_id" % 15 === 5)
-        .select(($"doc_id" + 40000000L).as("id"), near.as("text"),
-          lit("orgA").as("scope")))
-      .unionByName(d.filter($"doc_id" % 25 === 1)
-        .select(($"doc_id" + 50000000L).as("id"), orig.as("text"),
-          lit("orgB").as("scope")))
-    val state = TmpDirs.create("graft_q113_state")
-    CurationStream.curateBatch(localize(b1), state)
-    CurationStream.curateBatch(localize(b2), state)
-    spark.read.parquet(s"$state/docs")
+    spark.read.parquet(s"${builtState(spark, dir)}/docs")
+      .filter($"id" < B3Base)
       .select($"id", md5($"text").as("text_md5"))
       .orderBy($"id")
   }
@@ -116,84 +173,47 @@ object CurationGates {
   private val scopedBatches = Seq(
     s"""b1 AS (
        |  SELECT CAST(doc_id AS BIGINT) AS id, 'orgA' AS scope, $origSql AS raw
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 5 = 0)""".stripMargin,
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 5 = 0)""".stripMargin,
     s"""b2 AS (
        |  SELECT CAST(doc_id + 10000000 AS BIGINT) AS id, 'orgB' AS scope, $origSql AS raw
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 10 = 0
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 10 = 0
        |  UNION ALL
        |  SELECT CAST(doc_id + 20000000 AS BIGINT), 'orgB', $nearSql
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 10 = 5
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 10 = 5
        |  UNION ALL
        |  SELECT CAST(doc_id + 30000000 AS BIGINT), 'orgA', $origSql
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 15 = 0
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 15 = 0
        |  UNION ALL
        |  SELECT CAST(doc_id + 40000000 AS BIGINT), 'orgA', $nearSql
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 15 = 5
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 15 = 5
        |  UNION ALL
        |  SELECT CAST(doc_id + 50000000 AS BIGINT), 'orgB', $origSql
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 25 = 1)""".stripMargin)
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 25 = 1)""".stripMargin)
 
   // ---- q114: compacted-state (LSM tier) equivalence -----------------------
 
-  /** Batch 1 curates doc_id ≡ 0 (mod 3); the state is then compacted
-    * into the 64-bucket tier. Batch 2 (bucket-pruned tier reads,
-    * forced) mixes exact/near copies of batch 1 with fresh docs; batch
-    * 3 reads tier + batch 2's UN-ABSORBED delta files and must drop
-    * exact copies of batch-2 survivors through that delta path. */
+  /** Output = the FULL docs store of the shared state: b2 read the
+    * forced-prune 64-bucket tier, b3 read tier ∪ b2's un-absorbed
+    * delta files, and the oracle replays the plain sequential
+    * semantics — a pruned-away bucket, a double-counted delta row
+    * (skewed Jaccard sizes) or a lost key diverges the hash. */
   def compactedState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = docs(spark, dir)
-    val cfg = CurationStream.Cfg(statePruneMinBytes = 0L)
-    val b1 = d.filter($"doc_id" % 3 === 0)
-      .select($"doc_id".cast("long").as("id"), orig.as("text"))
-    val b2 = d.filter($"doc_id" % 9 === 0)
-      .select(($"doc_id" + 10000000L).as("id"), orig.as("text"))
-      .unionByName(d.filter($"doc_id" % 9 === 3)
-        .select(($"doc_id" + 20000000L).as("id"), near.as("text")))
-      .unionByName(d.filter($"doc_id" % 6 === 1)
-        .select(($"doc_id" + 30000000L).as("id"), orig.as("text")))
-    val b3 = d.filter($"doc_id" % 12 === 1)
-      .select(($"doc_id" + 40000000L).as("id"), orig.as("text"))
-      .unionByName(d.filter($"doc_id" % 9 === 6)
-        .select(($"doc_id" + 50000000L).as("id"), near.as("text")))
-      .unionByName(d.filter($"doc_id" % 15 === 2)
-        .select(($"doc_id" + 60000000L).as("id"), orig.as("text")))
-    val state = TmpDirs.create("graft_q114_state")
-    CurationStream.curateBatch(localize(b1), state, cfg)
-    // full 64-bucket tier even for this small fixture (adaptive sizing
-    // would pick the floor) so the gate's forced-prune reads construct
-    // real partition filters over the production fan-out
-    CurationStream.compactState(spark, state,
-      targetBuckets = Some(CurationStream.StateBuckets))
-    CurationStream.curateBatch(localize(b2), state, cfg)
-    CurationStream.curateBatch(localize(b3), state, cfg)
-    spark.read.parquet(s"$state/docs")
+    spark.read.parquet(s"${builtState(spark, dir)}/docs")
       .select($"id", md5($"text").as("text_md5"))
       .orderBy($"id")
   }
 
-  private val compactedBatches = Seq(
-    s"""b1 AS (
-       |  SELECT CAST(doc_id AS BIGINT) AS id, $origSql AS raw
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 3 = 0)""".stripMargin,
-    s"""b2 AS (
-       |  SELECT CAST(doc_id + 10000000 AS BIGINT) AS id, $origSql AS raw
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 9 = 0
-       |  UNION ALL
-       |  SELECT CAST(doc_id + 20000000 AS BIGINT), $nearSql
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 9 = 3
-       |  UNION ALL
-       |  SELECT CAST(doc_id + 30000000 AS BIGINT), $origSql
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 6 = 1)""".stripMargin,
+  private val b3Cte =
     s"""b3 AS (
-       |  SELECT CAST(doc_id + 40000000 AS BIGINT) AS id, $origSql AS raw
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 12 = 1
+       |  SELECT CAST(doc_id + $B3Base AS BIGINT) AS id, 'orgA' AS scope, $origSql AS raw
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 15 = 0
        |  UNION ALL
-       |  SELECT CAST(doc_id + 50000000 AS BIGINT), $nearSql
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 9 = 6
+       |  SELECT CAST(doc_id + 70000000 AS BIGINT), 'orgB', $nearSql
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 10 = 0
        |  UNION ALL
-       |  SELECT CAST(doc_id + 60000000 AS BIGINT), $origSql
-       |  FROM documents WHERE doc_id < 500 AND doc_id % 15 = 2)""".stripMargin)
+       |  SELECT CAST(doc_id + 80000000 AS BIGINT), 'orgA', $origSql
+       |  FROM documents WHERE doc_id < $FixtureCap AND doc_id % 25 = 2)""".stripMargin
 
   // ---- the sequential-curation replay generator ---------------------------
 
@@ -302,5 +322,5 @@ object CurationGates {
 
   val oracle: Map[String, String] = Map(
     "q113_scoped_dedup" -> replaySql(scopedBatches, scoped = true),
-    "q114_compacted_state" -> replaySql(compactedBatches, scoped = false))
+    "q114_compacted_state" -> replaySql(scopedBatches :+ b3Cte, scoped = true))
 }

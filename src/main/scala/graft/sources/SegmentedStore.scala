@@ -123,15 +123,19 @@ object SegmentedStore {
     * generation number (the pre-segment layout) maps to a
     * single-generation manifest — old stores load unchanged.
     *
-    * One-time `storeId` migration: a manifest written before the
-    * lineage id existed is re-written in place (the same atomic flip
-    * every mutation uses) with a freshly minted id, so EVERY manifest
-    * this function returns carries one and the per-dir view memo works
-    * from the first read — the pre-migration behavior (relist every
-    * partition dir on every flip, keyed on CURRENT's coarse mtime) is
-    * gone, fallback included. Safe under the store's single-writer
-    * contract: the rewrite changes no data reference, and a concurrent
-    * mutation's own flip would simply mint its own id. */
+    * Legacy `storeId` fallback: a manifest written before the lineage
+    * id existed gets one derived as a CONTENT HASH of the CURRENT
+    * bytes — deterministic, so every concurrent reader (and every
+    * re-read) computes the SAME id and the per-dir view memo works
+    * from the first read, and READ-ONLY: this path never writes (a
+    * reader's rewrite could land after a concurrent mutation's flip
+    * and, rename being last-writer-wins OVERWRITE, revert CURRENT —
+    * and it would break read-only mounts: snapshot serving, restored
+    * backups, non-writer credentials). The hash is also safe under
+    * old-code writers: a storeId-less mutation changes CURRENT's
+    * bytes, so the derived id changes with the view it names. The id
+    * is persisted only by a MUTATION's own flip (which carries
+    * `m.storeId` forward into the manifest it writes). */
   def readManifest(root: String): Option[Manifest] = {
     val p = currentPath(root)
     val f = p.getFileSystem(manifestConf())
@@ -149,12 +153,17 @@ object SegmentedStore {
             Some(AnnKnn.DefaultTables), Some(AnnKnn.DefaultBits))
         else parseJson(s).extract[Manifest]
       if (m.storeId.isDefined) Some(m)
-      else {
-        val migrated = m.copy(storeId = Some(newStoreId()))
-        writeManifest(root, migrated)
-        Some(migrated)
-      }
+      else Some(m.copy(storeId = Some(legacyStoreId(s))))
     }
+  }
+
+  /** Deterministic id for a storeId-less (legacy) manifest: md5 of the
+    * CURRENT bytes. Same bytes → same id across readers and processes;
+    * any mutation that changes the manifest changes the id with it. */
+  private def legacyStoreId(manifestText: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(manifestText.getBytes("UTF-8"))
+    "legacy-" + d.map("%02x".format(_)).mkString
   }
 
   /** Atomically install `m` as CURRENT (write aside + rename-with-

@@ -273,6 +273,12 @@ object CurationStream {
     while (it.hasNext) if (it.next()._2 == tierKey) it.remove()
   }
 
+  /** Observability hook for the soak rehearsals: live tier-frame memo
+    * entries (≤ 3 per live generation — eager eviction on supersede is
+    * what the deep-generation soak pins). */
+  private[graft] def tierMemoSize: Int =
+    tierMemo.synchronized { tierMemo.size() }
+
   private def tierFrame(spark: SparkSession, stateDir: String, kind: String,
                         m: StateManifest, tierSchema: StructType): DataFrame = {
     // tierId is the collision-proof key; legacy manifests without one
@@ -342,11 +348,18 @@ object CurationStream {
     * files. The single-writer contract is ENFORCED with a two-layer
     * lease — an in-process registry (deterministic for same-JVM races)
     * plus the `_compaction.lock` file (create-if-absent; atomic on
-    * HDFS, best-effort on the local FS): a second concurrent
-    * compaction fails fast instead of corrupting the tier. A crashed
-    * compaction leaves the lock behind (remove it manually — it guards
-    * maintenance, never reads/appends) but never a broken state: the
-    * manifest flip stays the only visible transition.
+    * HDFS server-side and via NIO O_EXCL on the local FS; best-effort
+    * only on object stores without atomic create): a second concurrent
+    * compaction fails fast instead of corrupting the tier. The lock
+    * carries its holder's identity and acquisition timestamp, so a
+    * crashed compaction can't wedge maintenance forever: a new
+    * acquirer TAKES OVER a lock older than [[CompactionLockTtlMs]]
+    * (delete + re-create-if-absent — one winner on HDFS) and verifies
+    * its own token landed before proceeding. A live-but-held lock
+    * still fails fast; a crash mid-compaction never leaves a broken
+    * state either way: the manifest flip stays the only visible
+    * transition, and an abandoned `_compacted/v{gen}` dir is simply
+    * overwritten by the next successful run at that generation.
     *
     * Race hygiene: each delta dir is LISTED ONCE and the new tier is
     * built from the previous tier plus exactly that file set — a
@@ -359,15 +372,100 @@ object CurationStream {
     * store's segment fold; the streams self-schedule it via
     * [[Cfg.autoCompactMinDeltaFiles]]. */
   // In-process lease layer: two threads of one driver racing
-  // compactState are serialized DETERMINISTICALLY here (the Hadoop
-  // create-if-absent below is the cross-process guard — atomic on
-  // HDFS, check-then-create on the local FS, so it alone can't close
-  // a same-JVM race window).
+  // compactState are serialized DETERMINISTICALLY here, with a
+  // same-JVM error message independent of the FS; the lock file below
+  // is the cross-process guard.
   private val compactionLeases =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Stale-lock TTL: a `_compaction.lock` older than this is treated
+    * as abandoned by a crashed holder and taken over. Generous — a
+    * healthy compaction is an O(state) fold measured in seconds-to-
+    * minutes even at multi-GB state; a holder alive past the TTL on a
+    * truly huge tier should raise the constant, not race it. */
+  val CompactionLockTtlMs: Long = 30L * 60 * 1000
+
+  /** Acquire the cross-process lock file: create-if-absent with the
+    * holder's token + timestamp as content. If the lock exists and its
+    * timestamp (content; file mtime for a legacy empty lock) is older
+    * than `ttlMs`, take it over — delete + retry the atomic create,
+    * then RE-READ to confirm our token won (belt-and-braces where the
+    * create is atomic — HDFS, local NIO — and the narrowing guard on
+    * stores where it isn't). Returns the winning token; throws
+    * IllegalStateException when a live holder has it. */
+  private def acquireLockFile(fs: org.apache.hadoop.fs.FileSystem,
+                              lock: org.apache.hadoop.fs.Path,
+                              ttlMs: Long): String = {
+    val token = java.util.UUID.randomUUID().toString
+    // On the local FS Hadoop's create(path, overwrite=false) is
+    // CHECK-then-create — two processes can slip through the window —
+    // while NIO's createFile is a real O_CREAT|O_EXCL. HDFS's create
+    // is atomic server-side, so each scheme gets a genuinely atomic
+    // create-if-absent (object stores without atomic create remain
+    // best-effort; the post-takeover token re-read below narrows it).
+    val localLock: Option[java.nio.file.Path] =
+      if ("file" == Option(fs.getUri.getScheme).getOrElse(""))
+        Some(java.nio.file.Paths.get(lock.toUri.getPath))
+      else None
+    def tryCreate(): Boolean =
+      try {
+        val content = s"$token ${System.currentTimeMillis()}".getBytes("UTF-8")
+        localLock match {
+          case Some(p) =>
+            java.nio.file.Files.createFile(p) // atomic O_EXCL
+            java.nio.file.Files.write(p, content)
+          case None =>
+            val out = fs.create(lock, false)
+            try out.write(content) finally out.close()
+        }
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    def holderTs(): Option[Long] =
+      try {
+        val in = fs.open(lock)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+        s.split("\\s+") match {
+          case Array(_, ts) if ts.forall(_.isDigit) => Some(ts.toLong)
+          // legacy empty lock (pre-owner format): age by file mtime
+          case _ => Some(fs.getFileStatus(lock).getModificationTime)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def ownToken(): Boolean =
+      try {
+        val in = fs.open(lock)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+        s.startsWith(token)
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (tryCreate()) return token
+    holderTs() match {
+      case None =>
+        // the lock vanished between create and read — its holder just
+        // released; one clean retry
+        if (tryCreate()) return token
+      case Some(ts) if System.currentTimeMillis() - ts > ttlMs =>
+        log.warn(s"taking over stale compaction lock $lock " +
+          s"(age ${System.currentTimeMillis() - ts} ms > ttl $ttlMs ms — " +
+          "abandoned by a crashed holder)")
+        try fs.delete(lock, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        if (tryCreate() && ownToken()) return token
+      case Some(_) => ()
+    }
+    throw new IllegalStateException(
+      s"another compaction holds $lock (single-writer contract); " +
+        s"a crashed holder's lock is reclaimed after ${ttlMs / 1000} s")
+  }
+
   def compactState(spark: SparkSession, stateDir: String,
-                   targetBuckets: Option[Int] = None): Unit = {
+                   targetBuckets: Option[Int] = None,
+                   lockTtlMs: Long = CompactionLockTtlMs): Unit = {
     val (fs, root) = hadoopFs(spark, stateDir)
     fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(stateDir, "_compaction.lock")
@@ -378,16 +476,12 @@ object CurationStream {
       throw new IllegalStateException(
         s"another compaction holds the in-process lease for $stateDir " +
           "(single-writer contract)")
-    val lockOut =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          compactionLeases.remove(leaseKey)
-          throw new IllegalStateException(
-            s"another compaction holds $lock (single-writer contract); " +
-              "remove the lock file if its owner crashed", e)
-      }
-    lockOut.close()
+    try acquireLockFile(fs, lock, lockTtlMs)
+    catch {
+      case e: IllegalStateException =>
+        compactionLeases.remove(leaseKey)
+        throw e
+    }
     try {
       val m0 = readStateManifest(spark, stateDir)
       val gen = m0.map(_.gen + 1).getOrElse(1)
@@ -732,7 +826,14 @@ object CurationStream {
     * contract), so the single-writer lease holds by construction. The
     * probe is one listStatus of the keys dir (every batch appends the
     * same number of files to each table, so keys stands in for all
-    * three). */
+    * three).
+    *
+    * Degrades, never poisons: compaction is MAINTENANCE — its failure
+    * (a held lease, a transient IO error) must not fail a batch whose
+    * commit already landed, so any failure here is logged and skipped;
+    * the un-absorbed delta files stay put and the very next batch
+    * re-triggers the fold (and a crashed holder's stale lock is taken
+    * over after [[CompactionLockTtlMs]], so the skip is bounded). */
   private def maybeAutoCompact(spark: SparkSession, stateDir: String,
                                cfg: Cfg): Unit =
     if (cfg.autoCompactMinDeltaFiles > 0) {
@@ -740,7 +841,12 @@ object CurationStream {
         .map(_.absorbed("keys")).getOrElse(Set.empty)
       if (deltaFiles(spark, s"$stateDir/keys", absorbed).size >=
           cfg.autoCompactMinDeltaFiles)
-        compactState(spark, stateDir)
+        try compactState(spark, stateDir)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"auto-compaction of $stateDir skipped " +
+              s"(will retry next batch): ${e.getMessage}")
+        }
     }
 
   /** The streaming front: each micro-batch runs [[curateBatch]].

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CurationStream
+
+/** Cross-process single-writer rehearsal: two SEPARATE JVM drivers
+  * race [[CurationStream.curateBatch]] (with auto-compaction on) and
+  * [[CurationStream.compactState]] against ONE shared state dir — the
+  * layer the in-process CyclicBarrier spec cannot reach. The lock
+  * file's create-if-absent is atomic on the local FS via NIO O_EXCL
+  * (and on HDFS server-side), so the expected outcome is one winner
+  * per cycle, lease failures surfacing as clean skips, and a sound
+  * state afterwards.
+  *
+  * Driven by tools/cross_process_race.sh; each role prints ONE JSON
+  * line.
+  *
+  *  - `curate <state> curate <nBatches> <idOffset>`: n micro-batches
+  *    of unique synthetic docs with autoCompactMinDeltaFiles=2 — every
+  *    batch both appends AND attempts the maintenance fold (lease
+  *    failures degrade to skips by contract).
+  *  - `compact <state> compact <nAttempts>`: hammer compactState
+  *    directly, 150 ms apart, counting ok / lease-denied / unexpected.
+  *  - `verify <state> verify`: post-race invariants — keys-view count
+  *    equals docs count (no double-counted or lost delta), an exact
+  *    copy of a survivor still drops (dedup semantics), no lock file
+  *    left behind, manifest generation present.
+  */
+object CrossProcessRace {
+  def main(args: Array[String]): Unit = {
+    val stateDir = args(0)
+    val role = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synthetic(n: Int, offset: Long) = spark.range(n)
+      .select((col("id") + offset).as("id"),
+        concat(concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          j => substring(md5(concat(col("id"), lit("_"), j)), 1, 8))),
+          lit(" end.")).as("text"))
+
+    role match {
+      case "curate" =>
+        val nBatches = args(2).toInt
+        val offset = args(3).toLong
+        val cfg = CurationStream.Cfg(autoCompactMinDeltaFiles = 2)
+        var appended = 0L
+        val secs = (1 to nBatches).map { i =>
+          val t0 = System.nanoTime()
+          appended += CurationStream.curateBatch(
+            synthetic(40, offset + i * 10000L), stateDir, cfg)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(s"""{"curate":{"batches":$nBatches,"appended":$appended,""" +
+          s""""batch_secs":[${secs.map(s => f"$s%.2f").mkString(",")}]}}""")
+      case "compact" =>
+        val nAttempts = args(2).toInt
+        var ok, lease, other = 0
+        (1 to nAttempts).foreach { _ =>
+          try { CurationStream.compactState(spark, stateDir); ok += 1 }
+          catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("single-writer") => lease += 1
+            case scala.util.control.NonFatal(e) =>
+              other += 1
+              System.err.println(s"[race] unexpected: $e")
+          }
+          Thread.sleep(150)
+        }
+        println(s"""{"compact":{"attempts":$nAttempts,"ok":$ok,""" +
+          s""""lease_denied":$lease,"unexpected":$other}}""")
+      case "verify" =>
+        val docs = spark.read.parquet(s"$stateDir/docs")
+        val nDocs = docs.count()
+        val m = CurationStream.readStateManifest(spark, stateDir)
+        val nKeys = CurationStream.readState(spark, stateDir, "keys",
+          CurationStream.keysSchema, m, None).count()
+        // exact copy of an existing survivor must drop through
+        // whatever tier/delta shape the race left behind
+        val survivor = docs.orderBy("id").limit(1).collect()(0)
+        val dup = spark.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(99999999999L, survivor.getString(1))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        val dupSurvived = CurationStream.curateBatch(dup, stateDir)
+        val lockLeft = new java.io.File(
+          s"$stateDir/_compaction.lock").exists()
+        println(s"""{"verify":{"docs":$nDocs,"keys_view":$nKeys,""" +
+          s""""keys_match_docs":${nKeys == nDocs},""" +
+          s""""dup_dropped":${dupSurvived == 0L},""" +
+          s""""gen":${m.map(_.gen).getOrElse(0)},""" +
+          s""""lock_left":$lockLeft}}""")
+      case r => sys.error(s"unknown role $r")
+    }
+    spark.stop()
+  }
+}

@@ -99,10 +99,23 @@ object StreamBench {
       }
       val gen = CurationStream.readStateManifest(spark, stateDir)
         .map(_.gen).getOrElse(0)
+      // deep-generation pins (the ≥5-generation soak): only the
+      // one-flip-grace pair v_{n-1}/v_n may remain on disk, the lease
+      // must be released (no lock file), and the tier memo must hold
+      // only the LIVE generation's frames (≤3 — eager eviction on
+      // supersede, not LRU aging)
+      val tierDirs = Option(new java.io.File(s"$stateDir/_compacted")
+        .listFiles).map(_.filter(_.isDirectory).map(_.getName).sorted.toSeq)
+        .getOrElse(Nil)
+      val lockLeft =
+        new java.io.File(s"$stateDir/_compaction.lock").exists()
       println(s"""{"longrun":{"batches":$nBatches,"threshold":$threshold,""" +
         s""""compactions":$gen,"max_keys_files":${rows.map(_._2).max},""" +
         s""""final_keys_files":${rows.last._2},""" +
         s""""max_persisted_rdds":${rows.map(_._3).max},""" +
+        s""""tier_dirs":[${tierDirs.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""lock_left":$lockLeft,""" +
+        s""""tier_memo_entries":${CurationStream.tierMemoSize},""" +
         s""""probe_secs":[${rows.map(r => f"${r._1}%.2f").mkString(",")}]}}""")
       spark.stop()
       return

@@ -272,7 +272,7 @@ class IncrementalStoreSpec extends SparkSpec {
     assert((r \ "total_results").extract[Int] > 0)
   }
 
-  test("legacy manifest (no storeId) migrates in place on first read") {
+  test("legacy manifest (no storeId) reads read-only: content-hash id, no rewrite") {
     val root = TmpDirs.create("graft_legacy_migrate")
     val svc = new QueryService(spark, root)
     svc.ingestBatch(docsDf(seedRows(20)))
@@ -285,24 +285,39 @@ class IncrementalStoreSpec extends SparkSpec {
     // stale .crc sidecar so the fixture reads like a genuinely old file
     Files.deleteIfExists(Paths.get(root, ".CURRENT.crc"))
     assert(!new String(Files.readAllBytes(cur), "UTF-8").contains("storeId"))
-    // first read migrates: a minted id comes back AND lands on disk
-    val migrated = SegmentedStore.readManifest(root).get
-    assert(migrated.storeId.isDefined, "migration must mint a storeId")
-    assert(new String(Files.readAllBytes(cur), "UTF-8").contains("storeId"),
-      "migration must rewrite CURRENT via the atomic flip")
-    // idempotent: the next read returns the SAME id (no re-mint — the
-    // id is the per-dir view memo's immutability key, so churn would
-    // defeat the memo it exists for)
-    assert(SegmentedStore.readManifest(root).get.storeId == migrated.storeId)
-    // a service reopened over the migrated store carries the id across
-    // its next flip (memoized dirs stay valid post-migration)
-    val reopened = new QueryService(spark, root)
-    reopened.ingestBatch(docsDf(Seq(("mig_new.md",
+    val legacyBytes = Files.readAllBytes(cur).toSeq
+    // first read derives a deterministic id and does NOT touch disk —
+    // a legacy store on a read-only mount (snapshot serving, restored
+    // backup, non-writer credentials) must keep serving. The test JVM
+    // runs as root so a chmod can't enforce read-only; the contract is
+    // pinned as "the read path leaves CURRENT byte-identical".
+    val m = SegmentedStore.readManifest(root).get
+    assert(m.storeId.exists(_.startsWith("legacy-")),
+      s"legacy manifest must derive a content-hash id, got ${m.storeId}")
+    assert(Files.readAllBytes(cur).toSeq == legacyBytes,
+      "readManifest must not rewrite CURRENT on the read path")
+    // deterministic across readers: a second read (a stand-in for a
+    // concurrent reader in another process — the id is a pure function
+    // of the manifest bytes) returns the SAME id, so the per-dir view
+    // memo is stable without any on-disk mint
+    assert(SegmentedStore.readManifest(root).get.storeId == m.storeId)
+    // a read-only consumer serves views end-to-end without writing
+    val reader = new QueryService(spark, root)
+    val r0 = parse(reader.handle(
+      """{"op":"search","organization_id":"org_a","query":"retrieval indexing","limit":5}"""))
+    assert((r0 \ "total_results").extract[Int] > 0)
+    assert(Files.readAllBytes(cur).toSeq == legacyBytes,
+      "serving a legacy store must not rewrite CURRENT either")
+    // the id lands on disk only via a MUTATION's own flip, which
+    // carries it forward (memoized dirs stay valid post-persist)
+    reader.ingestBatch(docsDf(Seq(("mig_new.md",
       "A post-migration delta document about heliograph restoration.", "org_a"))))
     val m1 = SegmentedStore.readManifest(root).get
-    assert(m1.storeId == migrated.storeId, "flip must carry the migrated id")
+    assert(m1.storeId == m.storeId, "flip must carry the derived id")
+    assert(new String(Files.readAllBytes(cur), "UTF-8").contains("storeId"),
+      "a mutation's flip persists the id")
     assert(m1.segments.nonEmpty)
-    val r = parse(reopened.handle(
+    val r = parse(reader.handle(
       """{"op":"search","organization_id":"org_a","query":"heliograph restoration","limit":5}"""))
     assert((r \ "total_results").extract[Int] > 0)
   }

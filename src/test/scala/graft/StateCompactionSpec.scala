@@ -189,7 +189,8 @@ class StateCompactionSpec extends SparkSpec {
   test("the compaction lease enforces the single-writer contract") {
     val state = tmp()
     survivorIds(state, Seq(50L -> unique(50)))
-    // a stale/concurrent holder: the lock file exists
+    // a live concurrent holder: the lock file exists with a fresh
+    // timestamp (empty lock → mtime fallback, which is now)
     Files.createFile(Paths.get(s"$state/_compaction.lock"))
     val e = intercept[IllegalStateException] {
       CurationStream.compactState(spark, state)
@@ -200,5 +201,54 @@ class StateCompactionSpec extends SparkSpec {
     assert(CurationStream.readStateManifest(spark, state).exists(_.gen == 1))
     // the lease is removed on completion
     assert(!Files.exists(Paths.get(s"$state/_compaction.lock")))
+  }
+
+  test("a crashed compaction's stale lock is taken over; a held lease degrades, never poisons") {
+    val state = tmp()
+    val auto = CurationStream.Cfg(autoCompactMinDeltaFiles = 1)
+    val lock = Paths.get(s"$state/_compaction.lock")
+
+    // --- crashed holder: owner+timestamp in the lock, long past TTL.
+    // The next curateBatch must BOTH ingest and compact — no manual
+    // lock removal (the r11 wedge: crash → restart → every batch
+    // failed until an operator deleted the lock by hand).
+    Files.createDirectories(Paths.get(state))
+    Files.write(lock, "dead-owner-uuid 1000".getBytes("UTF-8"))
+    assert(CurationStream.curateBatch(
+      batch(Seq(1L -> unique(1))), state, auto) == 1L)
+    val m1 = CurationStream.readStateManifest(spark, state)
+    assert(m1.exists(_.gen >= 1), "stale lock must be taken over, not wedge")
+    assert(!Files.exists(lock), "takeover's own lease is released on completion")
+
+    // --- legacy empty lock aged past TTL: mtime fallback takes over too
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(1000))
+    assert(CurationStream.curateBatch(
+      batch(Seq(2L -> unique(2))), state, auto) == 1L)
+    assert(CurationStream.readStateManifest(spark, state).get.gen
+      > m1.get.gen, "aged empty lock must also be reclaimed")
+    assert(!Files.exists(lock))
+
+    // --- live holder (fresh lock): maintenance skips, the batch still
+    // lands — compaction failure must not fail a committed batch
+    Files.write(lock,
+      s"live-owner-uuid ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val genHeld = CurationStream.readStateManifest(spark, state).get.gen
+    assert(CurationStream.curateBatch(
+      batch(Seq(3L -> unique(3))), state, auto) == 1L)
+    assert(CurationStream.readStateManifest(spark, state).get.gen == genHeld,
+      "a held lease skips compaction instead of failing the batch")
+    assert(Files.exists(lock), "a live holder's lock is left alone")
+
+    // --- holder releases: the very next batch folds the backlog
+    Files.delete(lock)
+    assert(CurationStream.curateBatch(
+      batch(Seq(4L -> unique(4))), state, auto) == 1L)
+    assert(CurationStream.readStateManifest(spark, state).get.gen > genHeld,
+      "the skipped fold re-triggers once the lease frees")
+    // dedup semantics intact across all four regimes
+    assert(survivorIds(state, Seq(10L -> unique(1), 11L -> unique(11)))
+      == Set(11L))
   }
 }
