@@ -494,6 +494,18 @@ object CurationStream {
         (kind, schema, prevAbsorbed,
           deltaStatus(spark, s"$stateDir/$kind", prevAbsorbed))
       }
+      // NOTHING to fold → no-op (unless the caller asks to RE-BUCKET an
+      // existing tier to a different fan-out). An empty fold is not
+      // harmless: it rewrites the whole O(state) tier AND burns a
+      // GC-grace generation, so a compactor looping on a quiet state
+      // would delete files out from under same-generation readers for
+      // zero benefit (the cross-process race rehearsal surfaced exactly
+      // that: a 150 ms-cadence compactor out-generationed every
+      // in-flight batch). The manifest, tier and absorbed lists are
+      // already exactly what this fold would produce.
+      if (listed.forall(_._4.isEmpty) && m0.isDefined &&
+          targetBuckets.forall(b => m0.exists(_.buckets == b)))
+        return
       val inputBytes = listed.map { case (kind, _, _, fresh) =>
         m0.map(_.bytesOf(kind)).getOrElse(0L) + fresh.map(_._2).sum
       }.sum
@@ -576,11 +588,53 @@ object CurationStream {
     * self-maintaining state. */
   def curateBatch(batch0: DataFrame, stateDir: String,
                   cfg: Cfg = Cfg()): Long = {
-    val out = curateSurvivorsDeferred(batch0, stateDir, cfg)
+    val out = retryOnStaleState(stateDir) {
+      curateSurvivorsDeferred(batch0, stateDir, cfg)
+    }
     out.commit()
     out.release()
     maybeAutoCompact(batch0.sparkSession, stateDir, cfg)
     out.n
+  }
+
+  /** Re-plan a batch whose state files were GC'd UNDER it: the
+    * one-generation grace protects a reader one compaction behind, but
+    * a slow batch racing an EXTERNAL compactor (another process — the
+    * in-process path runs compaction between batches, where this can't
+    * happen) can fall ≥2 generations back and lose a listed delta/tier
+    * file mid-scan (surfaced by the cross-process race rehearsal).
+    * Every state read happens inside [[curateSurvivorsDeferred]] —
+    * before the outcome's commit() writes anything — so re-running it
+    * against the FRESH manifest re-derives the same survivors with
+    * zero duplicated side effects. A failed attempt's already-
+    * checkpointed blocks wait for the ContextCleaner (rare path,
+    * batch-bounded). */
+  private def retryOnStaleState[T](stateDir: String)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case scala.util.control.NonFatal(e)
+            if attempt < 3 && isStaleFileRead(e) =>
+          attempt += 1
+          log.warn(s"state files under $stateDir vanished mid-batch " +
+            "(concurrent compaction GC past the one-generation grace); " +
+            s"replanning from the fresh manifest (attempt $attempt)")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def isStaleFileRead(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      val m = Option(c.getMessage).getOrElse("")
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST"))
+        return true
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    false
   }
 
   /** [[curateSurvivorsDeferred]]'s result: the surviving rows (id,
@@ -620,7 +674,9 @@ object CurationStream {
     * returning. */
   def curateSurvivors(batch0: DataFrame, stateDir: String,
                       cfg: Cfg = Cfg()): DataFrame = {
-    val out = curateSurvivorsDeferred(batch0, stateDir, cfg)
+    val out = retryOnStaleState(stateDir) {
+      curateSurvivorsDeferred(batch0, stateDir, cfg)
+    }
     out.commit()
     out.survivors
   }
@@ -923,9 +979,11 @@ object CurationStream {
         val withId = valid.withColumn("id",
             xxhash64(col("organization_id"), col("filename"), col("text")))
           .dropDuplicates("id")
-        val out = curateSurvivorsDeferred(
-          withId.select(col("id"), col("text"),
-            col("organization_id").as("scope")), stateDir, cfg)
+        val out = retryOnStaleState(stateDir) {
+          curateSurvivorsDeferred(
+            withId.select(col("id"), col("text"),
+              col("organization_id").as("scope")), stateDir, cfg)
+        }
         // survivors are batch-bounded → broadcast the id set back
         // onto the batch to recover filename/org for the store; the
         // outcome's materialized count gates the ingest (an isEmpty

@@ -203,6 +203,25 @@ class StateCompactionSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$state/_compaction.lock")))
   }
 
+  test("an empty fold is a no-op; an explicit re-bucket still folds") {
+    val state = tmp()
+    survivorIds(state, Seq(90L -> unique(90), 91L -> unique(91)))
+    CurationStream.compactState(spark, state)
+    val m1 = CurationStream.readStateManifest(spark, state).get
+    // nothing new to fold → the generation must NOT advance: an empty
+    // fold would rewrite the whole tier and burn a GC-grace window,
+    // deleting files under same-generation readers for zero benefit
+    CurationStream.compactState(spark, state)
+    assert(CurationStream.readStateManifest(spark, state).get.gen == m1.gen)
+    // but a re-bucket request is a real change and folds
+    CurationStream.compactState(spark, state,
+      targetBuckets = Some(m1.buckets + 3))
+    val m2 = CurationStream.readStateManifest(spark, state).get
+    assert(m2.gen == m1.gen + 1 && m2.buckets == m1.buckets + 3)
+    assert(survivorIds(state, Seq(95L -> unique(90), 96L -> unique(96)))
+      == Set(96L))
+  }
+
   test("a crashed compaction's stale lock is taken over; a held lease degrades, never poisons") {
     val state = tmp()
     val auto = CurationStream.Cfg(autoCompactMinDeltaFiles = 1)

@@ -35,7 +35,12 @@ run curate "$N_BATCHES" 2000000 > /tmp/xproc_curate.json &
 PID_A=$!
 run compact "$N_COMPACT" > /tmp/xproc_compact.json &
 PID_B=$!
-wait "$PID_A" "$PID_B"
+# wait each pid SEPARATELY — `wait A B` returns only the last status,
+# which silently swallowed a crashed curate process in the first run
+set +e
+wait "$PID_A"; ST_A=$?
+wait "$PID_B"; ST_B=$?
+set -e
 cat /tmp/xproc_curate.json /tmp/xproc_compact.json
 
 # post-race invariants (single process, quiesced state)
@@ -43,6 +48,11 @@ run verify > /tmp/xproc_verify.json
 cat /tmp/xproc_verify.json
 
 fail=0
+[ "$ST_A" -eq 0 ] || { echo "FAIL: curate process exited $ST_A"; fail=1; }
+[ "$ST_B" -eq 0 ] || { echo "FAIL: compact process exited $ST_B"; fail=1; }
+# all synthetic docs are unique → every batch's 40 rows must survive
+WANT_DOCS=$((40 * (1 + N_BATCHES)))
+grep -q "\"docs\":$WANT_DOCS," /tmp/xproc_verify.json || { echo "FAIL: expected $WANT_DOCS docs"; fail=1; }
 grep -q '"unexpected":0' /tmp/xproc_compact.json || { echo "FAIL: compactor saw unexpected errors"; fail=1; }
 grep -q '"keys_match_docs":true' /tmp/xproc_verify.json || { echo "FAIL: keys view diverged from docs"; fail=1; }
 grep -q '"dup_dropped":true' /tmp/xproc_verify.json || { echo "FAIL: dedup semantics broken post-race"; fail=1; }
