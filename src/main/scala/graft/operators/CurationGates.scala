@@ -108,8 +108,20 @@ object CurationGates {
     * three batches + one compaction paid once, covering the same
     * paths: scoped identity in b2, tier-exact / delta-band / fresh in
     * b3. */
-  private def builtState(spark: SparkSession, dir: String): String =
-    sharedState.computeIfAbsent(dir, _ => {
+  /** q113 (the suite-order first consumer) always REBUILDS and
+    * republishes the memo — a min-of-n bench rep of q113 must pay the
+    * real build, not a memo hit — while q114 reuses the latest build
+    * (its honest cost IS the marginal read when it follows q113). */
+  private def builtState(spark: SparkSession, dir: String,
+                         rebuild: Boolean = false): String = {
+    if (rebuild) {
+      val s = buildState(spark, dir)
+      sharedState.put(dir, s)
+      s
+    } else sharedState.computeIfAbsent(dir, _ => buildState(spark, dir))
+  }
+
+  private def buildState(spark: SparkSession, dir: String): String = {
       import spark.implicits._
       val d = docs(spark, dir)
       val cfg = CurationStream.Cfg(statePruneMinBytes = 0L)
@@ -153,7 +165,7 @@ object CurationGates {
       CurationStream.curateBatch(localize(b2), state, cfg)
       CurationStream.curateBatch(localize(b3), state, cfg)
       state
-    })
+  }
 
   // ---- q113: tenant-scoped streaming dedup identity ----------------------
 
@@ -164,7 +176,7 @@ object CurationGates {
     * equivalence is exactly q114's guarantee. */
   def scopedDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"${builtState(spark, dir)}/docs")
+    spark.read.parquet(s"${builtState(spark, dir, rebuild = true)}/docs")
       .filter($"id" < B3Base)
       .select($"id", md5($"text").as("text_md5"))
       .orderBy($"id")
