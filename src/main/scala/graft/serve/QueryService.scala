@@ -37,7 +37,11 @@ import graft.sources.SegmentedStore.Manifest
 class QueryService(
     val spark: SparkSession,
     storeRoot: String,
-    embedder: Embedder = FeatureHashEmbedder()) {
+    embedder: Embedder = FeatureHashEmbedder(),
+    // read-path bound on cross-instance staleness; Long.MaxValue
+    // disables the preemptive re-check (specs use it to pin the
+    // error-driven rebase-and-retry path deterministically)
+    freshnessWindowMs: Long = 1000L) {
 
   implicit private val formats: Formats = DefaultFormats
 
@@ -223,8 +227,20 @@ class QueryService(
 
   // the read-path handle; None until first ingest (or store preload).
   // Startup GC reclaims crash orphans and grace-retained dirs from a
-  // previous process (no in-flight readers can exist yet).
-  SegmentedStore.gcOrphans(spark, storeRoot)
+  // previous process (no in-flight readers exist in THIS process yet).
+  // Held under the mutation lease: a PEER instance mid-mutation has
+  // written segment dirs CURRENT doesn't reference yet — exactly what
+  // gcOrphans would reap; the lease serializes startup GC behind the
+  // peer's flip. A peer's in-flight READS of dirs we reap recover via
+  // its own readOp rebase-and-retry.
+  {
+    val (fs0, lock0) = storeLockPath
+    if (fs0.exists(new org.apache.hadoop.fs.Path(storeRoot))) {
+      val lease0 = graft.sources.FsLease.acquireBlocking(fs0, lock0)
+      try SegmentedStore.gcOrphans(spark, storeRoot)
+      finally lease0.release()
+    }
+  }
   // @volatile: reader threads dereference these between a mutation's
   // assignment and its retire (the writeLock publication point); a
   // stale reference is safe (grace-protected) but a torn one is not
@@ -234,8 +250,88 @@ class QueryService(
 
   // serializes every store-mutating path (JSON ingest/delete and the
   // streaming ingestBatch): two concurrent merges would both read gen
-  // N and race the CURRENT flip, silently dropping one delta
-  private val updateLock = new Object
+  // N and race the CURRENT flip, silently dropping one delta.
+  // A ReentrantLock (not Object.synchronized) so the read-path
+  // freshness probe can TRY it and skip when a mutation is running —
+  // blocking there would serialize reads behind multi-second
+  // mutations, and the running mutation rebases anyway.
+  private val updateLock = new java.util.concurrent.locks.ReentrantLock()
+
+  private def withUpdateLock[A](f: => A): A = {
+    updateLock.lock()
+    try f finally updateLock.unlock()
+  }
+
+  // ---- multi-instance (cross-process) coordination ------------------------
+  // The reference serves one database from MANY API workers; this
+  // store's equivalent is several QueryService instances (threads OR
+  // processes) over one root. Three mechanisms make that safe:
+  //  1. every mutation holds the `_store.lock` FsLease (atomic
+  //     create-if-absent + crashed-holder TTL takeover) and REBASES
+  //     from the on-disk CURRENT before building — a peer's flip is
+  //     never overwritten, segment seq numbers never collide;
+  //  2. reads re-check CURRENT at most once per [[FreshnessWindowMs]]
+  //     and rebase when a peer flipped — bounded staleness without a
+  //     per-request manifest read;
+  //  3. a read whose memoized view lost files to a peer's fold/GC
+  //     (one-flip grace is per-instance; a peer can't see our
+  //     in-flight readers) rebases and retries once ([[readOp]]).
+  // Single-instance deployments pay one ~1 KB manifest read per second
+  // of active reads and four tiny FS ops per mutation — noise against
+  // the O(delta) segment write.
+
+  private def storeLockPath = {
+    val p = new org.apache.hadoop.fs.Path(storeRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, new org.apache.hadoop.fs.Path(p, "_store.lock"))
+  }
+
+  private def withMutationLease[A](f: => A): A = withUpdateLock {
+    val (fs, lock) = storeLockPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(storeRoot))
+    val lease = graft.sources.FsLease.acquireBlocking(fs, lock)
+    try { rebaseIfStale(); f } finally lease.release()
+  }
+
+  /** Re-read CURRENT and adopt it when a peer instance flipped it.
+    * Caller must hold `updateLock`. Our own flips write exactly what
+    * memory holds, so same-instance mutations never rebase. */
+  private def rebaseIfStale(): Unit = {
+    val disk = SegmentedStore.readManifest(storeRoot)
+    if (disk != manifest) {
+      bundle = disk.map(m =>
+        SegmentedStore.loadView(spark, storeRoot, m, hint = bundle))
+      manifest = disk
+    }
+    lastFreshCheck = System.currentTimeMillis()
+  }
+
+  @volatile private var lastFreshCheck = 0L
+
+  private def windowExpired: Boolean =
+    System.currentTimeMillis() - lastFreshCheck > freshnessWindowMs
+
+  private def ensureFresh(): Unit =
+    if (windowExpired && updateLock.tryLock()) {
+      try { if (windowExpired) rebaseIfStale() }
+      finally updateLock.unlock()
+    }
+
+  /** Read-op shell: freshness check BEFORE taking the read lock (the
+    * rebase needs `updateLock`, and a mutation holding `updateLock`
+    * blocks on the write lock — taking them in the other order would
+    * deadlock), then one rebase-and-retry if a peer's fold deleted
+    * files our memoized view still references. */
+  private def readOp[A](f: => A): A = {
+    ensureFresh()
+    try withReadLock(f)
+    catch {
+      case scala.util.control.NonFatal(e)
+          if graft.sources.FsLease.isStaleFileRead(e) =>
+        withUpdateLock { rebaseIfStale() }
+        withReadLock(f)
+    }
+  }
 
   /** Handle one JSON request line, return one JSON response line. */
   def handle(line: String): String = handleLine(line)._1
@@ -254,11 +350,11 @@ class QueryService(
         // read ops hold the store read-lock for their whole execution:
         // concurrent with each other AND with ingest/flip; only the
         // retire unlink waits for them (see storeLock above)
-        case "stats"        => withReadLock(stats())
+        case "stats"        => readOp(stats())
         case "ingest"       => ingest(req)
-        case "search"       => withReadLock(search(req))
-        case "documents"    => withReadLock(listDocuments(req))
-        case "get_document" => withReadLock(getDocument(req))
+        case "search"       => readOp(search(req))
+        case "documents"    => readOp(listDocuments(req))
+        case "get_document" => readOp(getDocument(req))
         case "delete"       => delete(req)
         case other => err(400, s"unknown op: '$other'")
       }
@@ -413,7 +509,7 @@ class QueryService(
     // same bound as ingestBatch: past it the isin probe would bloat
     // the plan — the distributed anti-join takes over
     val ids = if (docs.length <= IdProbeBound) Some(docs.map(_._1)) else None
-    val nChunks = updateLock.synchronized {
+    val nChunks = withMutationLease {
       ingestNew(df, Seq(ctx.organizationId), knownIds = ids)
     }
     JObject(
@@ -482,7 +578,7 @@ class QueryService(
     * same filename + content hash). Each batch appends one O(delta)
     * segment, so per-batch cost is independent of store size. Returns
     * chunks ingested (0 when every row was already present). */
-  def ingestBatch(docs: DataFrame): Long = updateLock.synchronized {
+  def ingestBatch(docs: DataFrame): Long = withMutationLease {
     val keyed = docs
       .filter(col("filename").isNotNull && col("text").isNotNull &&
         col("organization_id").isNotNull &&
@@ -754,10 +850,11 @@ class QueryService(
     // snapshot path (exact df/idf/stats recompute over survivors, a
     // fresh compacted generation) rather than carrying tombstones into
     // the append-only segment scheme
-    // re-read the CURRENT bundle inside the mutation lock: rebuilding
+    // re-read the CURRENT bundle inside the mutation lease: rebuilding
     // from the pre-lock capture would silently drop any docs a
-    // concurrent ingest landed between the probe and the lock
-    updateLock.synchronized {
+    // concurrent ingest (this instance OR a peer) landed between the
+    // probe and the lock
+    withMutationLease {
       persistFull(Pipeline.cascadeDelete(requireBundle, Seq(id)))
     }
     JObject(

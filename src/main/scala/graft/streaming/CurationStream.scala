@@ -381,87 +381,13 @@ object CurationStream {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Stale-lock TTL: a `_compaction.lock` older than this is treated
-    * as abandoned by a crashed holder and taken over. Generous — a
-    * healthy compaction is an O(state) fold measured in seconds-to-
+    * as abandoned by a crashed holder and taken over (the
+    * [[graft.sources.FsLease]] semantics — atomic create-if-absent,
+    * owner token + timestamp, post-takeover token re-read). Generous —
+    * a healthy compaction is an O(state) fold measured in seconds-to-
     * minutes even at multi-GB state; a holder alive past the TTL on a
     * truly huge tier should raise the constant, not race it. */
-  val CompactionLockTtlMs: Long = 30L * 60 * 1000
-
-  /** Acquire the cross-process lock file: create-if-absent with the
-    * holder's token + timestamp as content. If the lock exists and its
-    * timestamp (content; file mtime for a legacy empty lock) is older
-    * than `ttlMs`, take it over — delete + retry the atomic create,
-    * then RE-READ to confirm our token won (belt-and-braces where the
-    * create is atomic — HDFS, local NIO — and the narrowing guard on
-    * stores where it isn't). Returns the winning token; throws
-    * IllegalStateException when a live holder has it. */
-  private def acquireLockFile(fs: org.apache.hadoop.fs.FileSystem,
-                              lock: org.apache.hadoop.fs.Path,
-                              ttlMs: Long): String = {
-    val token = java.util.UUID.randomUUID().toString
-    // On the local FS Hadoop's create(path, overwrite=false) is
-    // CHECK-then-create — two processes can slip through the window —
-    // while NIO's createFile is a real O_CREAT|O_EXCL. HDFS's create
-    // is atomic server-side, so each scheme gets a genuinely atomic
-    // create-if-absent (object stores without atomic create remain
-    // best-effort; the post-takeover token re-read below narrows it).
-    val localLock: Option[java.nio.file.Path] =
-      if ("file" == Option(fs.getUri.getScheme).getOrElse(""))
-        Some(java.nio.file.Paths.get(lock.toUri.getPath))
-      else None
-    def tryCreate(): Boolean =
-      try {
-        val content = s"$token ${System.currentTimeMillis()}".getBytes("UTF-8")
-        localLock match {
-          case Some(p) =>
-            java.nio.file.Files.createFile(p) // atomic O_EXCL
-            java.nio.file.Files.write(p, content)
-          case None =>
-            val out = fs.create(lock, false)
-            try out.write(content) finally out.close()
-        }
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
-      }
-    def holderTs(): Option[Long] =
-      try {
-        val in = fs.open(lock)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-        s.split("\\s+") match {
-          case Array(_, ts) if ts.forall(_.isDigit) => Some(ts.toLong)
-          // legacy empty lock (pre-owner format): age by file mtime
-          case _ => Some(fs.getFileStatus(lock).getModificationTime)
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
-    def ownToken(): Boolean =
-      try {
-        val in = fs.open(lock)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-        s.startsWith(token)
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (tryCreate()) return token
-    holderTs() match {
-      case None =>
-        // the lock vanished between create and read — its holder just
-        // released; one clean retry
-        if (tryCreate()) return token
-      case Some(ts) if System.currentTimeMillis() - ts > ttlMs =>
-        log.warn(s"taking over stale compaction lock $lock " +
-          s"(age ${System.currentTimeMillis() - ts} ms > ttl $ttlMs ms — " +
-          "abandoned by a crashed holder)")
-        try fs.delete(lock, false)
-        catch { case scala.util.control.NonFatal(_) => () }
-        if (tryCreate() && ownToken()) return token
-      case Some(_) => ()
-    }
-    throw new IllegalStateException(
-      s"another compaction holds $lock (single-writer contract); " +
-        s"a crashed holder's lock is reclaimed after ${ttlMs / 1000} s")
-  }
+  val CompactionLockTtlMs: Long = graft.sources.FsLease.DefaultTtlMs
 
   def compactState(spark: SparkSession, stateDir: String,
                    targetBuckets: Option[Int] = None,
@@ -476,12 +402,16 @@ object CurationStream {
       throw new IllegalStateException(
         s"another compaction holds the in-process lease for $stateDir " +
           "(single-writer contract)")
-    try acquireLockFile(fs, lock, lockTtlMs)
-    catch {
-      case e: IllegalStateException =>
-        compactionLeases.remove(leaseKey)
-        throw e
-    }
+    val fileLease =
+      try graft.sources.FsLease.acquire(fs, lock, lockTtlMs)
+      catch {
+        case e: IllegalStateException =>
+          compactionLeases.remove(leaseKey)
+          throw new IllegalStateException(
+            s"another compaction holds $lock (single-writer contract); " +
+              s"a crashed holder's lock is reclaimed after " +
+              s"${lockTtlMs / 1000} s", e)
+      }
     try {
       val m0 = readStateManifest(spark, stateDir)
       val gen = m0.map(_.gen + 1).getOrElse(1)
@@ -571,8 +501,7 @@ object CurationStream {
       // they pin a file index (and the session) until the LRU ages them
       m0.foreach(m => evictTier(m.tierId.getOrElse(s"$stateDir#${m.gen}")))
     } finally {
-      try fs.delete(lock, false)
-      catch { case scala.util.control.NonFatal(_) => () }
+      fileLease.release()
       compactionLeases.remove(leaseKey)
       ()
     }
@@ -625,17 +554,8 @@ object CurationStream {
     sys.error("unreachable")
   }
 
-  private def isStaleFileRead(e: Throwable): Boolean = {
-    var c: Throwable = e
-    while (c != null) {
-      val m = Option(c.getMessage).getOrElse("")
-      if (c.isInstanceOf[java.io.FileNotFoundException] ||
-          m.contains("FAILED_READ_FILE") || m.contains("FILE_NOT_EXIST"))
-        return true
-      c = if (c.getCause eq c) null else c.getCause
-    }
-    false
-  }
+  private def isStaleFileRead(e: Throwable): Boolean =
+    graft.sources.FsLease.isStaleFileRead(e)
 
   /** [[curateSurvivorsDeferred]]'s result: the surviving rows (id,
     * text — plus text_md5/toks, and scope when the batch was scoped)

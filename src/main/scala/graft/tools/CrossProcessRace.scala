@@ -101,6 +101,53 @@ object CrossProcessRace {
           s""""dup_dropped":${dupSurvived == 0L},""" +
           s""""gen":${m.map(_.gen).getOrElse(0)},""" +
           s""""lock_left":$lockLeft}}""")
+      // ---- serving-store race (tools/serve_race.sh): two JVMs each
+      // run a QueryService over ONE store root and ingest concurrently;
+      // the `_store.lock` mutation lease + pre-mutation rebase must
+      // compose every flip (no lost segments), and the post-race
+      // verifier must find every document from both writers.
+      case "serve" =>
+        val nBatches = args(2).toInt
+        val tag = args(3)
+        val svc = new graft.serve.QueryService(spark, stateDir)
+        var chunks = 0L
+        val secs = (1 to nBatches).map { i =>
+          val docs = spark.range(20).select(
+            concat(lit(s"${tag}_b${i}_"), col("id"), lit(".md"))
+              .as("filename"),
+            concat(lit("Serve race document "), col("id"),
+              lit(s" of batch $i from $tag carrying marker ${tag}mark$i " +
+                "plus steady shared retrieval vocabulary for indexing."))
+              .as("text"),
+            lit("org_race").as("organization_id"))
+          val t0 = System.nanoTime()
+          chunks += svc.ingestBatch(docs)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(s"""{"serve":{"tag":"$tag","batches":$nBatches,""" +
+          s""""chunks":$chunks,""" +
+          s""""batch_secs":[${secs.map(s => f"$s%.2f").mkString(",")}]}}""")
+      case "serveverify" =>
+        val expectDocs = args(2).toInt
+        val tagA = args(3)
+        val tagB = args(4)
+        val svc = new graft.serve.QueryService(spark, stateDir)
+        implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+        import org.json4s.jackson.JsonMethods.parse
+        val stats = parse(svc.handle(
+          """{"op":"stats","organization_id":"org_race"}"""))
+        val nDocs = (stats \ "database" \ "documents")
+          .extract[Long]
+        def found(tag: String): Boolean =
+          (parse(svc.handle(
+            s"""{"op":"search","organization_id":"org_race",""" +
+              s""""query":"${tag}mark1 marker","limit":5}"""))
+            \ "total_results").extract[Int] > 0
+        val lockLeft = new java.io.File(s"$stateDir/_store.lock").exists()
+        println(s"""{"serveverify":{"docs":$nDocs,""" +
+          s""""docs_match":${nDocs == expectDocs},""" +
+          s""""found_a":${found(tagA)},"found_b":${found(tagB)},""" +
+          s""""lock_left":$lockLeft}}""")
       case r => sys.error(s"unknown role $r")
     }
     spark.stop()
