@@ -244,9 +244,22 @@ class QueryService(
   // @volatile: reader threads dereference these between a mutation's
   // assignment and its retire (the writeLock publication point); a
   // stale reference is safe (grace-protected) but a torn one is not
-  @volatile private var manifest: Option[Manifest] = SegmentedStore.readManifest(storeRoot)
-  @volatile private var bundle: Option[IndexBundle] =
-    manifest.map(m => SegmentedStore.loadView(spark, storeRoot, m))
+  // initial load retries once on the stale-file class: a peer instance
+  // can flip (and grace-GC) between our readManifest and the loadView
+  // listing — the second attempt reads the post-flip CURRENT
+  private val initialLoad: (Option[Manifest], Option[IndexBundle]) = {
+    def attempt(): (Option[Manifest], Option[IndexBundle]) = {
+      val m = SegmentedStore.readManifest(storeRoot)
+      (m, m.map(x => SegmentedStore.loadView(spark, storeRoot, x)))
+    }
+    try attempt()
+    catch {
+      case scala.util.control.NonFatal(e)
+          if graft.sources.FsLease.isStaleFileRead(e) => attempt()
+    }
+  }
+  @volatile private var manifest: Option[Manifest] = initialLoad._1
+  @volatile private var bundle: Option[IndexBundle] = initialLoad._2
 
   // serializes every store-mutating path (JSON ingest/delete and the
   // streaming ingestBatch): two concurrent merges would both read gen
@@ -286,11 +299,18 @@ class QueryService(
     (fs, new org.apache.hadoop.fs.Path(p, "_store.lock"))
   }
 
-  private def withMutationLease[A](f: => A): A = withUpdateLock {
+  // file lease FIRST, updateLock second: a mutation waiting minutes on
+  // a peer's lease must not hold updateLock for the wait — readers'
+  // error-recovery rebase needs it for milliseconds. Same-JVM
+  // mutations serialize on the file lease itself (the loser polls);
+  // lock ORDER is uniform (lease ≺ updateLock ≺ storeLock.write), so
+  // no inversion with the read path (updateLock only)
+  private def withMutationLease[A](f: => A): A = {
     val (fs, lock) = storeLockPath
     fs.mkdirs(new org.apache.hadoop.fs.Path(storeRoot))
     val lease = graft.sources.FsLease.acquireBlocking(fs, lock)
-    try { rebaseIfStale(); f } finally lease.release()
+    try withUpdateLock { rebaseIfStale(); f }
+    finally lease.release()
   }
 
   /** Re-read CURRENT and adopt it when a peer instance flipped it.
@@ -321,17 +341,18 @@ class QueryService(
     * rebase needs `updateLock`, and a mutation holding `updateLock`
     * blocks on the write lock — taking them in the other order would
     * deadlock), then one rebase-and-retry if a peer's fold deleted
-    * files our memoized view still references. */
-  private def readOp[A](f: => A): A = {
-    ensureFresh()
-    try withReadLock(f)
+    * files our memoized view still references. `ensureFresh` sits
+    * INSIDE the try: its own rebase's loadView can hit the same
+    * stale-file class (a peer double-flips mid-listing) and deserves
+    * the same recovery. */
+  private def readOp[A](f: => A): A =
+    try { ensureFresh(); withReadLock(f) }
     catch {
       case scala.util.control.NonFatal(e)
           if graft.sources.FsLease.isStaleFileRead(e) =>
         withUpdateLock { rebaseIfStale() }
         withReadLock(f)
     }
-  }
 
   /** Handle one JSON request line, return one JSON response line. */
   def handle(line: String): String = handleLine(line)._1
@@ -841,7 +862,11 @@ class QueryService(
     // before would let two full mutation flips land between the capture
     // and the probe, planning over dirs the second flip already retired
     // — the double-flip race storeLock exists to close.
-    val owned = withReadLock {
+    // readOp (not bare withReadLock): the probe needs the same
+    // freshness check and peer-flip rebase-and-retry as every other
+    // read — a doc just ingested through a peer instance must not 404,
+    // and a peer's double flip must not 500 the request
+    val owned = readOp {
       Filters.tenantScope(requireBundle.chunks, ctx)
         .filter(col("document_id") === id).limit(1).count() > 0
     }

@@ -153,16 +153,25 @@ object SegmentedStore {
             Some(AnnKnn.DefaultTables), Some(AnnKnn.DefaultBits))
         else parseJson(s).extract[Manifest]
       if (m.storeId.isDefined) Some(m)
-      else Some(m.copy(storeId = Some(legacyStoreId(s))))
+      else Some(m.copy(storeId = Some(legacyStoreId(s, f.getFileStatus(p)))))
     }
   }
 
-  /** Deterministic id for a storeId-less (legacy) manifest: md5 of the
-    * CURRENT bytes. Same bytes → same id across readers and processes;
-    * any mutation that changes the manifest changes the id with it. */
-  private def legacyStoreId(manifestText: String): String = {
+  /** Deterministic id for a storeId-less (legacy) manifest: md5 over
+    * the CURRENT bytes PLUS its (mtime, length). Same file → same id
+    * across concurrent readers and processes (the read-only-mount
+    * guarantee); the mtime term keeps the wipe-and-reseed protection
+    * the storeId exists for — an old-format reseed at the same root
+    * can write byte-identical CURRENT contents (a bare "0"), and
+    * content alone would hand the NEW lineage the OLD lineage's memo
+    * epoch, serving deleted files out of the per-dir view memo. */
+  private def legacyStoreId(manifestText: String,
+                            status: org.apache.hadoop.fs.FileStatus)
+      : String = {
+    val seed =
+      s"${status.getModificationTime}:${status.getLen}:$manifestText"
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(manifestText.getBytes("UTF-8"))
+      .digest(seed.getBytes("UTF-8"))
     "legacy-" + d.map("%02x".format(_)).mkString
   }
 

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FsLease
+
+/** The lease file's contract in isolation (no Spark): contention,
+  * crashed-holder takeover, heartbeat liveness past the TTL, and
+  * token-checked release. The in-situ layers live in
+  * StateCompactionSpec (compaction) and MultiInstanceSpec +
+  * tools/serve_race.sh (serving). */
+class FsLeaseSpec extends AnyFunSuite {
+
+  private def freshLock() = {
+    val dir = Files.createTempDirectory("graft_fslease")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_test.lock")
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p,
+      Paths.get(s"$dir/_test.lock"))
+  }
+
+  test("acquire/contend/release round-trip") {
+    val (fs, lock, nio) = freshLock()
+    val l1 = FsLease.acquire(fs, lock)
+    assert(Files.exists(nio))
+    val e = intercept[IllegalStateException] { FsLease.acquire(fs, lock) }
+    assert(e.getMessage.contains("single-writer"))
+    l1.release()
+    assert(!Files.exists(nio), "release removes the holder's own lock")
+    FsLease.acquire(fs, lock).release() // re-acquirable
+  }
+
+  test("a crashed holder's stale lock is taken over; a live one is not") {
+    val (fs, lock, nio) = freshLock()
+    // crashed holder: ancient embedded timestamp, no heartbeat
+    Files.write(nio, "dead-owner 1000".getBytes("UTF-8"))
+    val l = FsLease.acquire(fs, lock, ttlMs = 60000)
+    assert(new String(Files.readAllBytes(nio), "UTF-8").startsWith(l.token),
+      "takeover must install the new holder's token")
+    l.release()
+    // live holder: fresh timestamp → contention, not takeover
+    Files.write(nio,
+      s"live-owner ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    intercept[IllegalStateException] { FsLease.acquire(fs, lock) }
+    assert(Files.exists(nio), "a live peer's lock is left alone")
+  }
+
+  test("heartbeat keeps a long-running holder alive past its TTL") {
+    val (fs, lock, nio) = freshLock()
+    val l = FsLease.acquire(fs, lock, ttlMs = 2500) // heartbeat ~every 1 s
+    try {
+      Thread.sleep(4000) // well past the raw TTL
+      // the heartbeat refreshed the timestamp, so a would-be taker
+      // sees a LIVE holder — the TTL only reaps dead processes
+      intercept[IllegalStateException] {
+        FsLease.acquire(fs, lock, ttlMs = 2500)
+      }
+      assert(new String(Files.readAllBytes(nio), "UTF-8").startsWith(l.token))
+    } finally l.release()
+    assert(!Files.exists(nio))
+  }
+
+  test("release is token-checked: a superseded holder can't remove its successor's lock") {
+    val (fs, lock, nio) = freshLock()
+    val l1 = FsLease.acquire(fs, lock)
+    // simulate a takeover having replaced the lock (the l1 process
+    // stalled; a peer reclaimed): the file now carries ANOTHER token
+    Files.write(nio,
+      s"successor-token ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    l1.release()
+    assert(Files.exists(nio),
+      "release must not delete a lock it no longer owns")
+    assert(new String(Files.readAllBytes(nio), "UTF-8")
+      .startsWith("successor-token"))
+    Files.delete(nio)
+  }
+}
