@@ -442,7 +442,14 @@ object CurationStream {
       val buckets = targetBuckets.getOrElse(math.max(MinStateBuckets,
         math.min(StateBuckets,
           (inputBytes / TierBucketBytes + 1).toInt)))
-      val compacted = listed.map { case (kind, schema, prevAbsorbed, freshSt) =>
+      // the three table folds are mutually independent (disjoint input
+      // dirs, disjoint tier output dirs) — run them CONCURRENTLY, the
+      // same collapse the serving store applies to its sidecar writes:
+      // compaction wall-clock becomes the slowest table, not the sum
+      val folded =
+        new Array[(String, (Set[String], Long, Set[String]))](listed.size)
+      graft.sources.SegmentedStore.awaitAll(listed.zipWithIndex.map {
+          case ((kind, schema, prevAbsorbed, freshSt), i) => () => {
         val fresh = freshSt.map(_._1)
         val tierSchema = schema.add(StructField("bucket", LongType))
         val prevTier = m0.map(m =>
@@ -470,9 +477,11 @@ object CurationStream {
         // list at the NEXT flip once the re-listing confirms them gone)
         val stillThere = deltaFiles(spark, s"$stateDir/$kind", Set.empty)
           .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
-        kind -> ((prevAbsorbed ++ freshNames) & (stillThere ++ freshNames),
-          bytes, prevAbsorbed & stillThere)
-      }.toMap
+        folded(i) =
+          kind -> (((prevAbsorbed ++ freshNames) & (stillThere ++ freshNames),
+            bytes, prevAbsorbed & stillThere))
+      }})
+      val compacted = folded.toMap
       val absorbedNow = compacted.view.mapValues(_._1).toMap
       writeStateManifest(spark, stateDir, StateManifest(gen,
         absorbedNow("keys").toList.sorted,
@@ -779,14 +788,17 @@ object CurationStream {
           // tiny files was the measured drift: +0.6 s/batch by batch 50).
           // Bulk backfills keep parallel writers (1 per ~10k docs, ≤32).
           val parts = math.max(1, math.min(32, (n / 10000L).toInt))
-          survivors.select("id", "text").coalesce(parts).write.mode("append")
-            .parquet(s"$stateDir/docs")
-          survivors.select("id", "text_md5").coalesce(parts).write
-            .mode("append").parquet(s"$stateDir/keys")
-          survBands.foreach(_.coalesce(parts).write.mode("append")
-            .parquet(s"$stateDir/bands"))
-          survivors.select("id", "toks").coalesce(parts).write.mode("append")
-            .parquet(s"$stateDir/toks")
+          // the four appends read the same CHECKPOINTED frames into
+          // disjoint dirs — concurrent, wall-clock = the slowest one
+          graft.sources.SegmentedStore.awaitAll(Seq(
+            () => survivors.select("id", "text").coalesce(parts)
+              .write.mode("append").parquet(s"$stateDir/docs"),
+            () => survivors.select("id", "text_md5").coalesce(parts)
+              .write.mode("append").parquet(s"$stateDir/keys"),
+            () => survivors.select("id", "toks").coalesce(parts)
+              .write.mode("append").parquet(s"$stateDir/toks")) ++
+            survBands.map(b => () => b.coalesce(parts).write
+              .mode("append").parquet(s"$stateDir/bands")).toSeq)
         },
       () => {
         releaseLocalCheckpoint(survivors)
