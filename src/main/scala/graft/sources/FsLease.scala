@@ -17,16 +17,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    (floor 1 s), so a live holder is never mistaken for a crashed
   *    one no matter how long its fold/compaction legitimately runs;
   *    the TTL only reaps locks whose heartbeat died with its process.
+  *    The heartbeat re-checks its OWN token before each rewrite — a
+  *    holder that stalled past the TTL and was superseded observes the
+  *    loss, logs it, and stops instead of clobbering its successor.
   *  - a lock older than `ttlMs` (content timestamp; file mtime for a
   *    legacy empty lock) was abandoned by a crashed holder: CLAIM it
-  *    by atomic rename-aside — of N concurrent takers exactly ONE
-  *    rename succeeds, so a taker can only remove the stale lock it
-  *    claimed, never a peer taker's freshly-won live lock — then
-  *    delete the claim, re-create, and RE-READ to confirm the token.
+  *    by atomic rename-aside (of N concurrent takers exactly one
+  *    rename of the same source succeeds), then VERIFY the claimed
+  *    bytes equal the stale content observed — a rename that instead
+  *    grabbed a peer taker's freshly re-created LIVE lock is detected
+  *    and restored. Then delete the claim, re-create, and RE-READ to
+  *    confirm the token. A residual window needs THREE takers
+  *    interleaving within milliseconds on a ≥TTL-stale lock — and the
+  *    restore path still heals the two-deep case.
   *  - a live holder → IllegalStateException (callers either fail fast,
   *    degrade, or poll via [[acquireBlocking]]).
   *  - release deletes the lock only while it still carries the lease's
-  *    OWN token (never a successor's).
+  *    OWN token (never a successor's); an UNREADABLE lock is deleted
+  *    anyway (availability default — a leaked lock wedges writers for
+  *    the full TTL), only a provably-foreign or already-missing one is
+  *    left alone.
   *
   * Same-JVM determinism is the CALLER's layer (an in-process registry
   * or lock), not this file's.
@@ -41,23 +51,36 @@ object FsLease {
                                       val token: String) {
     @volatile private[FsLease] var heartbeat
         : Option[java.util.concurrent.ScheduledFuture[_]] = None
+    // checked by the heartbeat runnable right before its rewrite, so a
+    // release() racing an in-flight beat can't have the lock re-created
+    // behind it (cancel(true) interrupts a SLEEPING beat; this flag
+    // stops one already past the cancel check)
+    @volatile private[FsLease] var closed = false
 
     /** Idempotent; never throws (release runs in `finally` blocks).
-      * Deletes the lock ONLY when it still carries this lease's token:
-      * a holder that somehow outlived the TTL and was taken over must
-      * not remove the NEW holder's live lock on its way out. */
+      * Deletes the lock ONLY when it still carries this lease's token
+      * or is unreadable (availability default); a successor's live
+      * lock and an already-deleted one are left alone. */
     def release(): Unit = {
-      heartbeat.foreach(_.cancel(false))
+      closed = true
+      heartbeat.foreach(_.cancel(true))
       heartbeat = None
       try {
-        val stillOurs =
+        val shouldDelete =
           try {
             val in = fs.open(path)
             val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                     finally in.close()
             s.startsWith(token)
-          } catch { case scala.util.control.NonFatal(_) => false }
-        if (stillOurs) { fs.delete(path, false); () }
+          } catch {
+            case _: java.io.FileNotFoundException => false // already gone
+            // unreadable ≠ foreign: fail OPEN — leaking the lock wedges
+            // every writer for the full TTL, while deleting a racing
+            // successor's lock needs the taken-over-while-alive case
+            // the heartbeat already guards
+            case scala.util.control.NonFatal(_) => true
+          }
+        if (shouldDelete) { fs.delete(path, false); () }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
@@ -68,6 +91,13 @@ object FsLease {
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "fs-lease-heartbeat"); t.setDaemon(true); t
     })
+
+  private def readRaw(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def acquire(fs: FileSystem, lock: Path,
               ttlMs: Long = DefaultTtlMs): Lease = {
@@ -94,64 +124,99 @@ object FsLease {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.io.IOException => false
       }
-    def holderTs(): Option[Long] =
-      try {
-        val in = fs.open(lock)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-        s.split("\\s+") match {
-          case Array(_, ts) if ts.forall(_.isDigit) => Some(ts.toLong)
-          // legacy empty lock (pre-owner format): age by file mtime
-          case _ => Some(fs.getFileStatus(lock).getModificationTime)
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
-    def ownToken(): Boolean =
-      try {
-        val in = fs.open(lock)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-        s.startsWith(token)
-      } catch { case scala.util.control.NonFatal(_) => false }
-    // While held, refresh the lock's timestamp at ttl/3 (floor 1 s):
-    // a LIVE holder is never mistaken for a crashed one no matter how
-    // long its fold/compaction legitimately runs — the TTL only ever
-    // reaps processes whose heartbeat died with them. The rewrite is
-    // not atomic; a reader catching it mid-write falls back to the
-    // file mtime, which the write refreshes anyway.
+    def holderTs(raw: String): Option[Long] =
+      raw.trim.split("\\s+") match {
+        case Array(_, ts) if ts.nonEmpty && ts.forall(_.isDigit) =>
+          Some(ts.toLong)
+        // legacy empty lock (pre-owner format): age by file mtime
+        case _ =>
+          try Some(fs.getFileStatus(lock).getModificationTime)
+          catch { case scala.util.control.NonFatal(_) => None }
+      }
+    def ownToken(): Boolean = readRaw(fs, lock).exists(_.startsWith(token))
+    // While held, refresh the lock's timestamp at ttl/3 (floor 1 s) —
+    // but only while the lock still carries OUR token: a holder that
+    // stalled past the TTL and was superseded must observe the loss
+    // and stop, not clobber its successor. The rewrite itself is not
+    // atomic; a reader catching it mid-write falls back to the file
+    // mtime, which the write refreshes anyway.
     def armed(l: Lease): Lease = {
       val period = math.max(1000L, ttlMs / 3)
       l.heartbeat = Some(heartbeats.scheduleAtFixedRate(
-        () => try writeContent(createOnly = false)
-              catch { case scala.util.control.NonFatal(_) => () },
+        () => try {
+          if (!l.closed) {
+            val current = readRaw(fs, lock)
+            if (current.exists(_.startsWith(token))) {
+              if (!l.closed) writeContent(createOnly = false)
+            } else {
+              log.warn(s"lease $lock no longer carries this holder's " +
+                "token (released, or superseded after a stall past the " +
+                "TTL) — stopping its heartbeat")
+              l.heartbeat.foreach(_.cancel(false))
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // failures are retried next period, but NEVER silently: a
+            // persistently failing heartbeat means this live holder
+            // will look crashed and be reaped at the TTL
+            log.warn(s"lease heartbeat for $lock failed " +
+              s"(holder will look stale if this persists): ${e.getMessage}")
+        },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       l
     }
     if (tryCreate()) return armed(new Lease(fs, lock, token))
-    holderTs() match {
-      case None =>
+    val observed = readRaw(fs, lock)
+    observed.map(r => (r, holderTs(r))) match {
+      case None | Some((_, None)) =>
         // the lock vanished between create and read — its holder just
         // released; one clean retry
         if (tryCreate()) return armed(new Lease(fs, lock, token))
-      case Some(ts) if System.currentTimeMillis() - ts > ttlMs =>
-        // atomic CLAIM before removal: rename the stale lock aside —
-        // of N concurrent takers exactly ONE rename succeeds (rename
-        // fails once the source is gone), so a taker can only ever
-        // remove the stale lock it claimed, never a peer taker's
-        // freshly-won LIVE lock (the delete-then-create shape raced
-        // exactly that way)
+      case Some((raw, Some(ts)))
+          if System.currentTimeMillis() - ts > ttlMs =>
+        // sweep claim litter a crashed previous taker left behind
+        // (rare path: runs only when a takeover is already warranted)
+        try fs.listStatus(lock.getParent).toSeq
+          .filter(_.getPath.getName.startsWith(s"${lock.getName}.takeover."))
+          .filter(_.getModificationTime < System.currentTimeMillis() - ttlMs)
+          .foreach(st =>
+            try { fs.delete(st.getPath, false); () }
+            catch { case scala.util.control.NonFatal(_) => () })
+        catch { case scala.util.control.NonFatal(_) => () }
+        // atomic CLAIM before removal: of N concurrent takers exactly
+        // one rename of the same source succeeds, and the claimed
+        // bytes are then VERIFIED against the stale content observed —
+        // a rename that instead grabbed a peer taker's freshly
+        // re-created LIVE lock (source re-created between our read and
+        // our rename) is detected and restored
         val claim = new Path(lock.getParent,
           s"${lock.getName}.takeover.$token")
         val claimed =
           try fs.rename(lock, claim)
           catch { case scala.util.control.NonFatal(_) => false }
         if (claimed) {
-          log.warn(s"taking over stale lock $lock " +
-            s"(age ${System.currentTimeMillis() - ts} ms > ttl $ttlMs ms " +
-            "— abandoned by a crashed holder)")
-          try { fs.delete(claim, false); () }
-          catch { case scala.util.control.NonFatal(_) => () }
-          if (tryCreate() && ownToken())
-            return armed(new Lease(fs, lock, token))
+          val claimedRaw = readRaw(fs, claim)
+          if (claimedRaw.contains(raw)) {
+            log.warn(s"taking over stale lock $lock " +
+              s"(age ${System.currentTimeMillis() - ts} ms > ttl $ttlMs " +
+              "ms — abandoned by a crashed holder)")
+            try { fs.delete(claim, false); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+            if (tryCreate() && ownToken())
+              return armed(new Lease(fs, lock, token))
+          } else {
+            // we renamed aside someone ELSE's lock — put it back (the
+            // restore can only fail if a third contender already
+            // created a new lock in the gap; then drop the claim so at
+            // most one lock file exists)
+            val restored =
+              try fs.rename(claim, lock)
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (!restored)
+              try { fs.delete(claim, false); () }
+              catch { case scala.util.control.NonFatal(_) => () }
+          }
         }
       case Some(_) => ()
     }
@@ -163,12 +228,18 @@ object FsLease {
   /** Poll [[acquire]] until it succeeds or `waitMs` elapses — the
     * serving store's mutation shape: cross-process mutations are
     * legitimate but serialized, so a second writer WAITS for the
-    * current one rather than failing the client's request. */
+    * current one rather than failing the client's request. The default
+    * wait is unbounded: a live peer holds the lease exactly as long as
+    * its mutation runs (heartbeat-protected), and a crashed peer is
+    * reaped at the TTL — so the wait is bounded by real work either
+    * way, matching the in-process lock-queue semantics. */
   def acquireBlocking(fs: FileSystem, lock: Path,
                       ttlMs: Long = DefaultTtlMs,
-                      waitMs: Long = 10L * 60 * 1000,
+                      waitMs: Long = Long.MaxValue,
                       pollMs: Long = 100): Lease = {
-    val deadline = System.currentTimeMillis() + waitMs
+    val deadline =
+      if (waitMs >= Long.MaxValue - System.currentTimeMillis()) Long.MaxValue
+      else System.currentTimeMillis() + waitMs
     while (true) {
       try return acquire(fs, lock, ttlMs)
       catch {

@@ -139,22 +139,41 @@ object SegmentedStore {
   def readManifest(root: String): Option[Manifest] = {
     val p = currentPath(root)
     val f = p.getFileSystem(manifestConf())
-    if (!f.exists(p)) None
-    else {
+    def readContent(): String = {
       val in = f.open(p)
-      val s =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      val m =
-        if (s.nonEmpty && s.forall(_.isDigit))
-          // legacy bare-number CURRENT: those generations built their
-          // LSH sidecar at the old fine default config
-          Manifest(s"gen$s", Nil, s"gen$s", s.toInt,
-            Some(AnnKnn.DefaultTables), Some(AnnKnn.DefaultBits))
-        else parseJson(s).extract[Manifest]
-      if (m.storeId.isDefined) Some(m)
-      else Some(m.copy(storeId = Some(legacyStoreId(s, f.getFileStatus(p)))))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
     }
+    def parsed(s: String): Manifest =
+      if (s.nonEmpty && s.forall(_.isDigit))
+        // legacy bare-number CURRENT: those generations built their
+        // LSH sidecar at the old fine default config
+        Manifest(s"gen$s", Nil, s"gen$s", s.toInt,
+          Some(AnnKnn.DefaultTables), Some(AnnKnn.DefaultBits))
+      else parseJson(s).extract[Manifest]
+    if (!f.exists(p)) None
+    else
+      try {
+        val s = readContent()
+        val m = parsed(s)
+        if (m.storeId.isDefined) Some(m)
+        else {
+          // legacy id needs (content, status) from ONE version of the
+          // file: status is taken AFTER the read and the content
+          // re-verified after that — a peer replacing CURRENT between
+          // the two would otherwise hash (new mtime, old bytes) and
+          // break cross-reader id determinism. A mismatch re-enters
+          // from scratch (one flip per retry; a post-migration rewrite
+          // exits via the storeId.isDefined fast path above).
+          val st = f.getFileStatus(p)
+          if (readContent() != s) readManifest(root)
+          else Some(m.copy(storeId = Some(legacyStoreId(s, st))))
+        }
+      } catch {
+        // CURRENT vanished mid-read: the store was wiped (or is being
+        // re-seeded) — same answer as the !exists fast path
+        case _: java.io.FileNotFoundException => None
+      }
   }
 
   /** Deterministic id for a storeId-less (legacy) manifest: md5 over
@@ -463,11 +482,22 @@ object SegmentedStore {
     * collapses the fixed per-job floor (driver planning + commit
     * latency × ~40 small jobs was the measured warm-ingest cost, not
     * data volume). */
+  /** Run `tasks` concurrently and wait for EVERY one to finish before
+    * returning or throwing (first failure rethrown after the last task
+    * settles). Settle-all, not fail-fast, is load-bearing: a fail-fast
+    * return would leave straggler tasks still WRITING into output dirs
+    * while the caller's failure handling (lease release, retry at the
+    * same generation, overwrite) races those zombie writes into
+    * corruption. */
   private[graft] def awaitAll(tasks: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+    val settled = Await.result(
+      Future.sequence(tasks.map(t => Future(t()).transform(scala.util.Success(_)))),
+      Duration.Inf)
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
   }
 
   /** Append one delta segment and roll the derived tables forward;

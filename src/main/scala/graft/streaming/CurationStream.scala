@@ -788,11 +788,19 @@ object CurationStream {
           // tiny files was the measured drift: +0.6 s/batch by batch 50).
           // Bulk backfills keep parallel writers (1 per ~10k docs, ≤32).
           val parts = math.max(1, math.min(32, (n / 10000L).toInt))
-          // the four appends read the same CHECKPOINTED frames into
-          // disjoint dirs — concurrent, wall-clock = the slowest one
+          // docs FIRST and ALONE: the ordering is a replay-safety
+          // invariant, not style — a keys row landing without its docs
+          // row means a replayed batch exact-drops the survivor against
+          // the half-committed state and the text is lost FOREVER
+          // (every future identical upload drops too). Sequential-
+          // docs-first bounds the worst partial failure at a duplicate
+          // docs row. The three DEDUP-state appends after it carry no
+          // such edge (an orphan keys/bands/toks row without peers just
+          // re-drops content the docs table already holds), so they run
+          // concurrently — checkpointed inputs, disjoint dirs.
+          survivors.select("id", "text").coalesce(parts)
+            .write.mode("append").parquet(s"$stateDir/docs")
           graft.sources.SegmentedStore.awaitAll(Seq(
-            () => survivors.select("id", "text").coalesce(parts)
-              .write.mode("append").parquet(s"$stateDir/docs"),
             () => survivors.select("id", "text_md5").coalesce(parts)
               .write.mode("append").parquet(s"$stateDir/keys"),
             () => survivors.select("id", "toks").coalesce(parts)
