@@ -236,9 +236,21 @@ class QueryService(
   {
     val (fs0, lock0) = storeLockPath
     if (fs0.exists(new org.apache.hadoop.fs.Path(storeRoot))) {
-      val lease0 = graft.sources.FsLease.acquireBlocking(fs0, lock0)
-      try SegmentedStore.gcOrphans(spark, storeRoot)
-      finally lease0.release()
+      // bounded like mutations; on timeout SKIP the GC (orphan dirs are
+      // harmless — the next instance start or mutation reaps them)
+      // rather than wedging process startup behind a peer's lock
+      try {
+        val lease0 = graft.sources.FsLease.acquireBlocking(fs0, lock0,
+          waitMs = QueryService.MutationWaitMs)
+        try SegmentedStore.gcOrphans(spark, storeRoot)
+        finally lease0.release()
+      } catch {
+        case _: IllegalStateException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"startup GC skipped: $lock0 held past " +
+              s"${QueryService.MutationWaitMs / 1000} s — orphans will be " +
+              "reaped by a later holder")
+      }
     }
   }
   // @volatile: reader threads dereference these between a mutation's
@@ -308,7 +320,18 @@ class QueryService(
   private def withMutationLease[A](f: => A): A = {
     val (fs, lock) = storeLockPath
     fs.mkdirs(new org.apache.hadoop.fs.Path(storeRoot))
-    val lease = graft.sources.FsLease.acquireBlocking(fs, lock)
+    // BOUNDED wait: an unbounded acquire would park the client request
+    // behind a crashed peer's lock for the full TTL (or indefinitely
+    // behind a wedged-but-heartbeating peer). Past the bound the caller
+    // gets a retryable 503 instead of a hang.
+    val lease =
+      try graft.sources.FsLease.acquireBlocking(fs, lock,
+        waitMs = QueryService.MutationWaitMs)
+      catch {
+        case _: IllegalStateException =>
+          throw ServiceError(503, "store is locked by another writer " +
+            s"(waited ${QueryService.MutationWaitMs / 1000} s); retry later")
+      }
     try withUpdateLock { rebaseIfStale(); f }
     finally lease.release()
   }
@@ -892,6 +915,15 @@ class QueryService(
 /** stdin/stdout JSON-line loop: one request per line, one response per
   * line; `{"op":"shutdown"}` exits. */
 object QueryService {
+  /** Upper bound on how long a mutation request waits for the
+    * cross-process store lease before failing with a retryable 503.
+    * Generous against real peer mutations (seconds) but far below the
+    * crashed-holder TTL (30 min) a hung client would otherwise eat. */
+  val MutationWaitMs: Long =
+    sys.env.get("SPARK_GRAFT_MUTATION_WAIT_MS")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(120000L)
+
   def main(args: Array[String]): Unit = {
     val storeRoot = args.headOption.getOrElse(
       sys.env.getOrElse("GRAFT_STORE", "/tmp/graft_store"))

@@ -19,7 +19,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    the TTL only reaps locks whose heartbeat died with its process.
   *    The heartbeat re-checks its OWN token before each rewrite — a
   *    holder that stalled past the TTL and was superseded observes the
-  *    loss, logs it, and stops instead of clobbering its successor.
+  *    loss, logs it, and stops instead of clobbering its successor
+  *    (two consecutive foreign sightings required — a peer taker's
+  *    rename-aside-then-restore makes one observation unreliable). The
+  *    refresh itself is write-temp-then-atomic-rename, so readers
+  *    never parse a torn 'token ts' as an ancient timestamp.
   *  - a lock older than `ttlMs` (content timestamp; file mtime for a
   *    legacy empty lock) was abandoned by a crashed holder: CLAIM it
   *    by atomic rename-aside (of N concurrent takers exactly one
@@ -33,10 +37,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *  - a live holder → IllegalStateException (callers either fail fast,
   *    degrade, or poll via [[acquireBlocking]]).
   *  - release deletes the lock only while it still carries the lease's
-  *    OWN token (never a successor's); an UNREADABLE lock is deleted
-  *    anyway (availability default — a leaked lock wedges writers for
-  *    the full TTL), only a provably-foreign or already-missing one is
-  *    left alone.
+  *    OWN token (never a successor's); a persistently UNREADABLE lock
+  *    (three read attempts) is deleted only when this holder was never
+  *    observed superseded (availability default — a leaked own lock
+  *    wedges writers for the full TTL); a provably-foreign,
+  *    already-missing, or confirmed-superseded one is left alone.
   *
   * Same-JVM determinism is the CALLER's layer (an in-process registry
   * or lock), not this file's.
@@ -56,30 +61,54 @@ object FsLease {
     // behind it (cancel(true) interrupts a SLEEPING beat; this flag
     // stops one already past the cancel check)
     @volatile private[FsLease] var closed = false
+    // set by the heartbeat once it has CONFIRMED (two consecutive
+    // observations) that the lock carries a foreign token — i.e. this
+    // holder stalled past the TTL and was superseded. release() then
+    // fails CLOSED on an unreadable lock: the file very likely belongs
+    // to a live successor, and deleting it would break the
+    // single-writer guarantee.
+    @volatile private[FsLease] var superseded = false
+    // consecutive foreign/missing-token heartbeat observations; reset
+    // on every own-token sighting (see armed() for why one observation
+    // is not trusted)
+    private[FsLease] val foreignBeats =
+      new java.util.concurrent.atomic.AtomicInteger(0)
 
     /** Idempotent; never throws (release runs in `finally` blocks).
-      * Deletes the lock ONLY when it still carries this lease's token
-      * or is unreadable (availability default); a successor's live
-      * lock and an already-deleted one are left alone. */
+      * Deletes the lock ONLY when it still carries this lease's token;
+      * a successor's live lock and an already-deleted one are left
+      * alone. An UNREADABLE lock is re-read a few times (transient FS
+      * errors at release time must not delete a live peer's lock) and
+      * then deleted only if this holder was never observed superseded
+      * (availability default — a leaked own lock wedges writers for
+      * the full TTL). */
     def release(): Unit = {
       closed = true
       heartbeat.foreach(_.cancel(true))
       heartbeat = None
       try {
-        val shouldDelete =
+        // three attempts, short backoff: a single transient read error
+        // must not fail open — the lock may belong to a successor by now
+        var attempt = 0
+        var verdict: Option[Boolean] = None // Some(own?) / None unreadable
+        while (verdict.isEmpty && attempt < 3) {
+          attempt += 1
           try {
             val in = fs.open(path)
             val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                     finally in.close()
-            s.startsWith(token)
+            verdict = Some(s.startsWith(token))
           } catch {
-            case _: java.io.FileNotFoundException => false // already gone
-            // unreadable ≠ foreign: fail OPEN — leaking the lock wedges
-            // every writer for the full TTL, while deleting a racing
-            // successor's lock needs the taken-over-while-alive case
-            // the heartbeat already guards
-            case scala.util.control.NonFatal(_) => true
+            case _: java.io.FileNotFoundException =>
+              verdict = Some(false) // already gone
+            case scala.util.control.NonFatal(_) =>
+              if (attempt < 3) Thread.sleep(40L * attempt)
           }
+        }
+        // persistently unreadable: fail open ONLY while never observed
+        // superseded — a confirmed-superseded holder's delete could
+        // remove a live successor's lock
+        val shouldDelete = verdict.getOrElse(!superseded)
         if (shouldDelete) { fs.delete(path, false); () }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -110,12 +139,36 @@ object FsLease {
       val content = s"$token ${System.currentTimeMillis()}".getBytes("UTF-8")
       localLock match {
         case Some(p) =>
-          if (createOnly) java.nio.file.Files.createFile(p) // atomic O_EXCL
-          java.nio.file.Files.write(p, content)
-          ()
-        case None =>
-          val out = fs.create(lock, !createOnly)
+          if (createOnly) {
+            java.nio.file.Files.createFile(p) // atomic O_EXCL
+            java.nio.file.Files.write(p, content)
+            ()
+          } else {
+            // heartbeat REFRESH is write-temp-then-atomic-rename: a
+            // reader must never catch a half-written 'token ts' and
+            // parse a truncated timestamp as ancient (torn-read
+            // takeover of a live lock)
+            val tmp = p.resolveSibling(s"${p.getFileName}.hb.$token")
+            java.nio.file.Files.write(tmp, content)
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          }
+        case None if createOnly =>
+          val out = fs.create(lock, false)
           try out.write(content) finally out.close()
+        case None =>
+          // same torn-read protection for Hadoop filesystems: create a
+          // sibling temp and rename-with-overwrite over the lock (the
+          // manifest-flip idiom — readers see old complete bytes or new)
+          val tmp = new Path(lock.getParent, s"${lock.getName}.hb.$token")
+          val out = fs.create(tmp, true)
+          try out.write(content) finally out.close()
+          val fc = org.apache.hadoop.fs.FileContext
+            .getFileContext(fs.getUri, fs.getConf)
+          fc.rename(fs.makeQualified(tmp), fs.makeQualified(lock),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
     def tryCreate(): Boolean =
@@ -124,22 +177,32 @@ object FsLease {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.io.IOException => false
       }
-    def holderTs(raw: String): Option[Long] =
+    def holderTs(raw: String): Option[Long] = {
+      val mtime =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case scala.util.control.NonFatal(_) => None }
       raw.trim.split("\\s+") match {
         case Array(_, ts) if ts.nonEmpty && ts.forall(_.isDigit) =>
-          Some(ts.toLong)
+          // a content timestamp implausibly older than the file's own
+          // mtime is a torn read of a legacy (pre-atomic-rename)
+          // rewrite — 'token 17' with a fresh mtime. Every healthy
+          // refresh touches the mtime, and a crashed holder's mtime is
+          // as old as its last beat, so max() never shields a lock
+          // that is genuinely stale.
+          Some(mtime.fold(ts.toLong)(m => math.max(ts.toLong, m)))
         // legacy empty lock (pre-owner format): age by file mtime
-        case _ =>
-          try Some(fs.getFileStatus(lock).getModificationTime)
-          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => mtime
       }
+    }
     def ownToken(): Boolean = readRaw(fs, lock).exists(_.startsWith(token))
     // While held, refresh the lock's timestamp at ttl/3 (floor 1 s) —
     // but only while the lock still carries OUR token: a holder that
     // stalled past the TTL and was superseded must observe the loss
-    // and stop, not clobber its successor. The rewrite itself is not
-    // atomic; a reader catching it mid-write falls back to the file
-    // mtime, which the write refreshes anyway.
+    // and stop, not clobber its successor. A SINGLE foreign/missing
+    // observation is not trusted (a peer taker's rename-aside-then-
+    // restore window makes the lock transiently missing or foreign for
+    // a live holder): the beat skips its rewrite and re-verifies next
+    // period, cancelling only after TWO consecutive foreign sightings.
     def armed(l: Lease): Lease = {
       val period = math.max(1000L, ttlMs / 3)
       l.heartbeat = Some(heartbeats.scheduleAtFixedRate(
@@ -147,12 +210,18 @@ object FsLease {
           if (!l.closed) {
             val current = readRaw(fs, lock)
             if (current.exists(_.startsWith(token))) {
+              l.foreignBeats.set(0)
               if (!l.closed) writeContent(createOnly = false)
-            } else {
+            } else if (l.foreignBeats.incrementAndGet() >= 2) {
               log.warn(s"lease $lock no longer carries this holder's " +
-                "token (released, or superseded after a stall past the " +
-                "TTL) — stopping its heartbeat")
+                "token on two consecutive beats (released, or superseded " +
+                "after a stall past the TTL) — stopping its heartbeat")
+              l.superseded = true
               l.heartbeat.foreach(_.cancel(false))
+            } else {
+              log.warn(s"lease $lock transiently missing this holder's " +
+                "token (peer takeover probe, or a torn read) — skipping " +
+                "this refresh and re-verifying next beat")
             }
           }
         } catch {
@@ -175,10 +244,13 @@ object FsLease {
         if (tryCreate()) return armed(new Lease(fs, lock, token))
       case Some((raw, Some(ts)))
           if System.currentTimeMillis() - ts > ttlMs =>
-        // sweep claim litter a crashed previous taker left behind
+        // sweep claim litter a crashed previous taker left behind, and
+        // heartbeat temp files a holder crashed between write and rename
         // (rare path: runs only when a takeover is already warranted)
         try fs.listStatus(lock.getParent).toSeq
-          .filter(_.getPath.getName.startsWith(s"${lock.getName}.takeover."))
+          .filter(st =>
+            st.getPath.getName.startsWith(s"${lock.getName}.takeover.") ||
+            st.getPath.getName.startsWith(s"${lock.getName}.hb."))
           .filter(_.getModificationTime < System.currentTimeMillis() - ttlMs)
           .foreach(st =>
             try { fs.delete(st.getPath, false); () }

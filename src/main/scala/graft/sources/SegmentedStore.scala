@@ -177,7 +177,8 @@ object SegmentedStore {
   }
 
   /** Deterministic id for a storeId-less (legacy) manifest: md5 over
-    * the CURRENT bytes PLUS its (mtime, length). Same file → same id
+    * the CURRENT bytes PLUS its (mtime, length) PLUS — on local
+    * filesystems — its inode/creation-time identity. Same file → same id
     * across concurrent readers and processes (the read-only-mount
     * guarantee); the mtime term keeps the wipe-and-reseed protection
     * the storeId exists for — an old-format reseed at the same root
@@ -187,8 +188,29 @@ object SegmentedStore {
   private def legacyStoreId(manifestText: String,
                             status: org.apache.hadoop.fs.FileStatus)
       : String = {
+    // On coarse-mtime filesystems (1 s ticks) a wipe-and-reseed can
+    // write a byte-identical legacy CURRENT within the same tick as
+    // the old one — (mtime, length, content) alone would reproduce the
+    // old id and hand the new lineage the old per-dir view memo. Mix
+    // in the file's identity attributes where the FS exposes them:
+    // the NIO fileKey (device+inode — a reseed creates a new inode)
+    // and creation time. Best-effort: readers on mounts that don't
+    // expose them (or non-file schemes) just omit the term; readers of
+    // the SAME file on the same mount always agree, and disagreement
+    // across exotic mounts only costs a memo miss, never a stale view.
+    val identity =
+      try {
+        val uri = status.getPath.toUri
+        if (Option(uri.getScheme).forall(_ == "file")) {
+          val attrs = java.nio.file.Files.readAttributes(
+            java.nio.file.Paths.get(uri.getPath),
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          s":${Option(attrs.fileKey).getOrElse("")}" +
+            s":${attrs.creationTime.toMillis}"
+        } else ""
+      } catch { case scala.util.control.NonFatal(_) => "" }
     val seed =
-      s"${status.getModificationTime}:${status.getLen}:$manifestText"
+      s"${status.getModificationTime}:${status.getLen}$identity:$manifestText"
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(seed.getBytes("UTF-8"))
     "legacy-" + d.map("%02x".format(_)).mkString

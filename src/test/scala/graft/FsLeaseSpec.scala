@@ -33,8 +33,12 @@ class FsLeaseSpec extends AnyFunSuite {
 
   test("a crashed holder's stale lock is taken over; a live one is not") {
     val (fs, lock, nio) = freshLock()
-    // crashed holder: ancient embedded timestamp, no heartbeat
+    // crashed holder: ancient embedded timestamp, no heartbeat — and an
+    // mtime as old as its last beat (a fresh mtime with an ancient
+    // content ts is the torn-read shape, which must NOT be taken over)
     Files.write(nio, "dead-owner 1000".getBytes("UTF-8"))
+    Files.setLastModifiedTime(nio,
+      java.nio.file.attribute.FileTime.fromMillis(1000))
     val l = FsLease.acquire(fs, lock, ttlMs = 60000)
     assert(new String(Files.readAllBytes(nio), "UTF-8").startsWith(l.token),
       "takeover must install the new holder's token")
@@ -58,6 +62,53 @@ class FsLeaseSpec extends AnyFunSuite {
       }
       assert(new String(Files.readAllBytes(nio), "UTF-8").startsWith(l.token))
     } finally l.release()
+    assert(!Files.exists(nio))
+  }
+
+  test("a torn-read-shaped lock (ancient content ts, fresh mtime) is NOT taken over") {
+    val (fs, lock, nio) = freshLock()
+    // a reader catching a legacy non-atomic rewrite mid-write could see
+    // 'token 17' — the truncated timestamp parses ancient, but the
+    // file's own mtime is fresh (every refresh touches it). holderTs
+    // must trust the fresher of the two.
+    Files.write(nio, "live-owner 17".getBytes("UTF-8"))
+    intercept[IllegalStateException] { FsLease.acquire(fs, lock) }
+    assert(Files.exists(nio), "a live holder's torn lock is left alone")
+  }
+
+  test("heartbeat tolerates one transient foreign sighting; stops after two") {
+    val (fs, lock, nio) = freshLock()
+    val aside = nio.resolveSibling("_test.lock.aside")
+    val l = FsLease.acquire(fs, lock, ttlMs = 2500) // beat ~every 1 s
+    try {
+      // --- transient: a peer's rename-aside-then-restore window. One
+      // beat sees the token missing; the restore lands before the next.
+      Files.move(nio, aside)
+      Thread.sleep(1300) // one beat observes foreign/missing
+      Files.move(aside, nio)
+      val restored = new String(Files.readAllBytes(nio), "UTF-8")
+      Thread.sleep(1300) // next beat sees its own token again
+      val afterOwn = new String(Files.readAllBytes(nio), "UTF-8")
+      assert(afterOwn.startsWith(l.token) && afterOwn != restored,
+        "a single foreign sighting must not kill the heartbeat — the " +
+          "next own-token beat refreshes the timestamp")
+
+      // --- confirmed: the lock carries a successor's token on two
+      // consecutive beats → the heartbeat stops for good. Writing the
+      // old holder's token back must NOT revive it.
+      Files.write(nio,
+        s"successor-token ${System.currentTimeMillis()}".getBytes("UTF-8"))
+      Thread.sleep(2600) // two beats observe the foreign token
+      val planted = s"${l.token} 4242"
+      Files.write(nio, planted.getBytes("UTF-8"))
+      Thread.sleep(2200)
+      assert(new String(Files.readAllBytes(nio), "UTF-8") == planted,
+        "after two consecutive foreign sightings the heartbeat is dead " +
+          "— nothing rewrites the lock")
+    } finally l.release()
+    // confirmed-superseded: release leaves the (now own-token) lock
+    // only if unreadable — here it IS readable and carries l's token,
+    // so the ordinary token-checked delete applies
     assert(!Files.exists(nio))
   }
 

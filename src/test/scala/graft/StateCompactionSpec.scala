@@ -233,6 +233,11 @@ class StateCompactionSpec extends SparkSpec {
     // failed until an operator deleted the lock by hand).
     Files.createDirectories(Paths.get(state))
     Files.write(lock, "dead-owner-uuid 1000".getBytes("UTF-8"))
+    // a real crashed holder's mtime is as old as its last heartbeat;
+    // a FRESH mtime with an ancient content ts is the torn-read shape,
+    // which the lease deliberately refuses to take over
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(1000))
     assert(CurationStream.curateBatch(
       batch(Seq(1L -> unique(1))), state, auto) == 1L)
     val m1 = CurationStream.readStateManifest(spark, state)
