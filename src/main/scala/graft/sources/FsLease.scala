@@ -73,6 +73,13 @@ object FsLease {
     // is not trusted)
     private[FsLease] val foreignBeats =
       new java.util.concurrent.atomic.AtomicInteger(0)
+    // true while a heartbeat run is executing (read + possible rewrite):
+    // release() waits for an in-flight beat to land before its
+    // token-checked delete, so a rewrite can't re-create the lock
+    // AFTER the delete (an own-token lock nobody releases, leaked
+    // until TTL). Zero cost when no beat is running — the common case.
+    private[FsLease] val beatBusy =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
 
     /** Idempotent; never throws (release runs in `finally` blocks).
       * Deletes the lock ONLY when it still carries this lease's token;
@@ -87,6 +94,11 @@ object FsLease {
       heartbeat.foreach(_.cancel(true))
       heartbeat = None
       try {
+        // wait (bounded) for an in-flight beat to land: its rewrite
+        // racing the delete below could re-create the lock after it
+        val waitUntil = System.currentTimeMillis() + 500
+        while (beatBusy.get() && System.currentTimeMillis() < waitUntil)
+          Thread.sleep(5)
         // three attempts, short backoff: a single transient read error
         // must not fail open — the lock may belong to a successor by now
         var attempt = 0
@@ -207,6 +219,7 @@ object FsLease {
       val period = math.max(1000L, ttlMs / 3)
       l.heartbeat = Some(heartbeats.scheduleAtFixedRate(
         () => try {
+          l.beatBusy.set(true)
           if (!l.closed) {
             val current = readRaw(fs, lock)
             if (current.exists(_.startsWith(token))) {
@@ -231,7 +244,7 @@ object FsLease {
             // will look crashed and be reaped at the TTL
             log.warn(s"lease heartbeat for $lock failed " +
               s"(holder will look stale if this persists): ${e.getMessage}")
-        },
+        } finally l.beatBusy.set(false),
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
       l
     }

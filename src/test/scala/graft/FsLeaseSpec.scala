@@ -6,6 +6,22 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.FsLease
 
+/** A local-disk FileSystem that reports a NON-`file` scheme, so
+  * FsLease takes its Hadoop (FileContext rename-with-overwrite)
+  * branches instead of the NIO fast path — the closest an offline
+  * suite gets to the HDFS code path. */
+class MockHdfsFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockhdfs:///")
+}
+
+/** FileContext-side twin of [[MockHdfsFileSystem]] (FileContext
+  * resolves `fs.AbstractFileSystem.<scheme>.impl`, not the
+  * FileSystem registry). */
+class MockHdfsAbstractFs(uri: java.net.URI,
+                         conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new MockHdfsFileSystem, conf, "mockhdfs", false)
+
 /** The lease file's contract in isolation (no Spark): contention,
   * crashed-holder takeover, heartbeat liveness past the TTL, and
   * token-checked release. The in-situ layers live in
@@ -110,6 +126,43 @@ class FsLeaseSpec extends AnyFunSuite {
     // only if unreadable — here it IS readable and carries l's token,
     // so the ordinary token-checked delete applies
     assert(!Files.exists(nio))
+  }
+
+  test("non-local scheme: create, heartbeat refresh (FileContext rename), release") {
+    val dir = Files.createTempDirectory("graft_fslease_hdfs")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.mockhdfs.impl", classOf[MockHdfsFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.mockhdfs.impl",
+      classOf[MockHdfsAbstractFs].getName)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(java.net.URI.create("mockhdfs:///"), conf)
+    assert(fs.getUri.getScheme == "mockhdfs") // the NIO fast path is off
+    val lock = new org.apache.hadoop.fs.Path(s"mockhdfs://$dir/_test.lock")
+    val nio = Paths.get(s"$dir/_test.lock")
+
+    val l = FsLease.acquire(fs, lock, ttlMs = 2500) // beat ~every 1 s
+    try {
+      val created = new String(Files.readAllBytes(nio), "UTF-8")
+      assert(created.startsWith(l.token))
+      Thread.sleep(4000) // past the raw TTL: only the rename-refresh
+      // keeps the holder alive on this branch
+      val refreshed = new String(Files.readAllBytes(nio), "UTF-8")
+      assert(refreshed.startsWith(l.token) && refreshed != created,
+        "heartbeat must refresh through the FileContext rename path")
+      intercept[IllegalStateException] {
+        FsLease.acquire(fs, lock, ttlMs = 2500)
+      }
+      val hbLitter = {
+        val s = Files.list(dir)
+        try s.filter(_.getFileName.toString.contains(".hb.")).count()
+        finally s.close()
+      }
+      // a beat may be mid-flight (temp written, rename pending) right
+      // now; the temp name is token-fixed so at most ONE can ever
+      // exist — accumulation is the failure shape
+      assert(hbLitter <= 1, "refresh temp files must not accumulate")
+    } finally l.release()
+    assert(!Files.exists(nio), "release removes the lock on this branch too")
   }
 
   test("release is token-checked: a superseded holder can't remove its successor's lock") {
