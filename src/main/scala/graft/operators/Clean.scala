@@ -107,8 +107,13 @@ object Clean {
     * Returns (id, n_tokens, n_removed, scrubbed). */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                          w: Int = 10, minDocs: Int = 3): DataFrame = {
+    // tokenization feeds FOUR consumers (sh twice — the boilerplate
+    // aggregation and the coverage join — plus kept and the final
+    // n_tokens join) and the span-hash projection feeds two; without
+    // caching, both whole-corpus computations re-run per consumer
     val toksDf = docs.select(col(idCol).as("__id"),
       graft.functions.TextFunctions.wsTokens(col(textCol)).as("toks"))
+      .cache()
     val sh = toksDf.select(col("__id"),
       posexplode(
         when(size(col("toks")) >= w,
@@ -117,6 +122,7 @@ object Clean {
               concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
           .otherwise(array().cast("array<bigint>")))
         .as(Seq("pos", "sh")))
+      .cache()
     val boiler = sh.groupBy(col("sh"))
       .agg(countDistinct(col("__id")).as("df"))
       .filter(col("df") >= minDocs)
@@ -125,19 +131,23 @@ object Clean {
       .select(col("__id"),
         explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tp"))
       .distinct()
-    val kept = toksDf
-      .select(col("__id"), posexplode(col("toks")).as(Seq("tp", "tok")))
-      .join(covered, Seq("__id", "tp"), "left_anti")
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_kept"),
+    // scrub ROW-LOCALLY against the per-doc covered-position set: the
+    // former shape exploded EVERY corpus token through a shuffle and
+    // rebuilt each document with collect_list+array_sort — shuffle
+    // volume ∝ total tokens. Here the only shuffled rows are the
+    // covered positions themselves (∝ boilerplate hits), and the kept
+    // string is a codegen'd filter over the already-held token array.
+    val coveredAgg = covered.groupBy(col("__id"))
+      .agg(collect_list(col("tp")).as("cov")) // distinct upstream
+    toksDf.join(coveredAgg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
         array_join(
-          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
-            s => s.getField("tok")), " ").as("scrubbed"))
-    toksDf.select(col("__id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(kept, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+          filter(col("toks"), (t, i) =>
+            !array_contains(
+              coalesce(col("cov"), array().cast("array<int>")), i)),
+          " ").as("scrubbed"))
   }
 
   // ---- gate queries ------------------------------------------------------
