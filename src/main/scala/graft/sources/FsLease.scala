@@ -122,7 +122,19 @@ object FsLease {
         // remove a live successor's lock
         val shouldDelete = verdict.getOrElse(!superseded)
         if (shouldDelete) { fs.delete(path, false); () }
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        case scala.util.control.NonFatal(_) => ()
+        // the waits above sleep; an interrupt must not escape a
+        // release() running in a caller's finally block — restore the
+        // flag and give the delete one uninterruptible best effort
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+          try {
+            if (readRaw(fs, path).exists(_.startsWith(token))) {
+              fs.delete(path, false); ()
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 
