@@ -194,14 +194,16 @@ object Bpe {
   private val mergeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
 
-  private def gateMerges(spark: SparkSession, dir: String): Seq[Merge] =
-    Option(mergeMemo.get(dir)).getOrElse {
+  private def gateMerges(spark: SparkSession, dir: String): Seq[Merge] = {
+    val key = GateMemo.corpusKey(spark, dir)
+    Option(mergeMemo.get(key)).getOrElse {
       val merges = learnMerges(
         wordHistogram(graft.Tables(spark, dir, "documents"),
           "text", GateTypes), GateMerges)
-      mergeMemo.put(dir, merges)
+      mergeMemo.put(key, merges)
       merges
     }
+  }
 
   /** q102: the full training loop — histogram → 8 merge steps — as a
     * (step, left, right, cnt) table. */
@@ -210,7 +212,7 @@ object Bpe {
     val hist = wordHistogram(
       graft.Tables(spark, dir, "documents"), "text", GateTypes)
     val merges = learnMerges(hist, GateMerges)
-    mergeMemo.put(dir, merges)
+    mergeMemo.put(GateMemo.corpusKey(spark, dir), merges)
     merges
       .map(m => (m.step.toLong, m.left, m.right, m.cnt))
       .toDF("step", "left", "right", "cnt")

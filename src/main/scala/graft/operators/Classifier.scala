@@ -140,7 +140,7 @@ object Classifier {
     import spark.implicits._
     val w = train(labeled(graft.Tables(spark, dir, "documents"),
       "doc_id", "text"))
-    modelMemo.put(dir, w)
+    modelMemo.put(GateMemo.corpusKey(spark, dir), w)
     w.zipWithIndex.toSeq.map { case (v, b) => (b.toLong, v) }
       .toDF("bin", "weight").orderBy($"bin")
   }
@@ -151,8 +151,9 @@ object Classifier {
     import spark.implicits._
     val lab = labeled(graft.Tables(spark, dir, "documents"),
       "doc_id", "text")
-    val w = Option(modelMemo.get(dir)).getOrElse {
-      val trained = train(lab); modelMemo.put(dir, trained); trained
+    val key = GateMemo.corpusKey(spark, dir)
+    val w = Option(modelMemo.get(key)).getOrElse {
+      val trained = train(lab); modelMemo.put(key, trained); trained
     }
     score(lab, w)
       .select($"id".as("doc_id"), $"y", $"margin", $"pred")

@@ -110,7 +110,11 @@ object Clean {
     // tokenization feeds FOUR consumers (sh twice — the boilerplate
     // aggregation and the coverage join — plus kept and the final
     // n_tokens join) and the span-hash projection feeds two; without
-    // caching, both whole-corpus computations re-run per consumer
+    // caching, both whole-corpus computations re-run per consumer.
+    // Cache lifecycle is the CALLER's (Bench/Verify clearCache between
+    // entries; a long-lived session should clearCache or unpersist
+    // after materializing the result — the frames are plan-keyed, so
+    // repeat calls on the same input reuse rather than accumulate)
     val toksDf = docs.select(col(idCol).as("__id"),
       graft.functions.TextFunctions.wsTokens(col(textCol)).as("toks"))
       .cache()
@@ -139,14 +143,21 @@ object Clean {
     // string is a codegen'd filter over the already-held token array.
     val coveredAgg = covered.groupBy(col("__id"))
       .agg(collect_list(col("tp")).as("cov")) // distinct upstream
+    // kept positions via array_except (hash-set build, O(n + |cov|) per
+    // row, order-preserving) — an array_contains-per-token scan would
+    // go quadratic on a document that is MOSTLY boilerplate, the
+    // operator's own target case
+    val keptPos = array_except(
+      when(size(col("toks")) > 0,
+        sequence(lit(0), size(col("toks")) - 1))
+        .otherwise(array().cast("array<int>")),
+      coalesce(col("cov"), array().cast("array<int>")))
     toksDf.join(coveredAgg, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
         array_join(
-          filter(col("toks"), (t, i) =>
-            !array_contains(
-              coalesce(col("cov"), array().cast("array<int>")), i)),
+          transform(keptPos, p => element_at(col("toks"), p + 1)),
           " ").as("scrubbed"))
   }
 

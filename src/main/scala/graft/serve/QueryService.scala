@@ -238,18 +238,23 @@ class QueryService(
     if (fs0.exists(new org.apache.hadoop.fs.Path(storeRoot))) {
       // bounded like mutations; on timeout SKIP the GC (orphan dirs are
       // harmless — the next instance start or mutation reaps them)
-      // rather than wedging process startup behind a peer's lock
-      try {
-        val lease0 = graft.sources.FsLease.acquireBlocking(fs0, lock0,
-          waitMs = QueryService.MutationWaitMs)
+      // rather than wedging process startup behind a peer's lock. The
+      // catch scopes the ACQUIRE only — an IllegalStateException from
+      // inside gcOrphans is a real failure, not a held lock
+      val lease0 =
+        try Some(graft.sources.FsLease.acquireBlocking(fs0, lock0,
+          waitMs = QueryService.MutationWaitMs))
+        catch {
+          case _: IllegalStateException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"startup GC skipped: $lock0 held past " +
+                s"${QueryService.MutationWaitMs / 1000} s — orphans will " +
+                "be reaped by a later holder")
+            None
+        }
+      lease0.foreach { l =>
         try SegmentedStore.gcOrphans(spark, storeRoot)
-        finally lease0.release()
-      } catch {
-        case _: IllegalStateException =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"startup GC skipped: $lock0 held past " +
-              s"${QueryService.MutationWaitMs / 1000} s — orphans will be " +
-              "reaped by a later holder")
+        finally l.release()
       }
     }
   }
@@ -317,20 +322,25 @@ class QueryService(
   // mutations serialize on the file lease itself (the loser polls);
   // lock ORDER is uniform (lease ≺ updateLock ≺ storeLock.write), so
   // no inversion with the read path (updateLock only)
-  private def withMutationLease[A](f: => A): A = {
+  // BOUNDED wait: an unbounded acquire would park the client request
+  // behind a crashed peer's lock for the full TTL (or indefinitely
+  // behind a wedged-but-heartbeating peer). Past the bound the caller
+  // gets a retryable 503 instead of a hang. Interactive (HTTP) paths
+  // use the short default; the STREAMING ingest path passes the
+  // TTL-scale wait — a micro-batch must ride out a crashed peer's
+  // reclaim window (a thrown 503 would kill the StreamingQuery, which
+  // has no retry seam), and only fail loudly on a genuinely
+  // wedged-but-heartbeating peer.
+  private def withMutationLease[A](
+      waitMs: Long = QueryService.MutationWaitMs)(f: => A): A = {
     val (fs, lock) = storeLockPath
     fs.mkdirs(new org.apache.hadoop.fs.Path(storeRoot))
-    // BOUNDED wait: an unbounded acquire would park the client request
-    // behind a crashed peer's lock for the full TTL (or indefinitely
-    // behind a wedged-but-heartbeating peer). Past the bound the caller
-    // gets a retryable 503 instead of a hang.
     val lease =
-      try graft.sources.FsLease.acquireBlocking(fs, lock,
-        waitMs = QueryService.MutationWaitMs)
+      try graft.sources.FsLease.acquireBlocking(fs, lock, waitMs = waitMs)
       catch {
         case _: IllegalStateException =>
           throw ServiceError(503, "store is locked by another writer " +
-            s"(waited ${QueryService.MutationWaitMs / 1000} s); retry later")
+            s"(waited ${waitMs / 1000} s); retry later")
       }
     try withUpdateLock { rebaseIfStale(); f }
     finally lease.release()
@@ -553,7 +563,7 @@ class QueryService(
     // same bound as ingestBatch: past it the isin probe would bloat
     // the plan — the distributed anti-join takes over
     val ids = if (docs.length <= IdProbeBound) Some(docs.map(_._1)) else None
-    val nChunks = withMutationLease {
+    val nChunks = withMutationLease() {
       ingestNew(df, Seq(ctx.organizationId), knownIds = ids)
     }
     JObject(
@@ -622,7 +632,8 @@ class QueryService(
     * same filename + content hash). Each batch appends one O(delta)
     * segment, so per-batch cost is independent of store size. Returns
     * chunks ingested (0 when every row was already present). */
-  def ingestBatch(docs: DataFrame): Long = withMutationLease {
+  def ingestBatch(docs: DataFrame): Long =
+    withMutationLease(QueryService.StreamMutationWaitMs) {
     val keyed = docs
       .filter(col("filename").isNotNull && col("text").isNotNull &&
         col("organization_id").isNotNull &&
@@ -902,7 +913,7 @@ class QueryService(
     // from the pre-lock capture would silently drop any docs a
     // concurrent ingest (this instance OR a peer) landed between the
     // probe and the lock
-    withMutationLease {
+    withMutationLease() {
       persistFull(Pipeline.cascadeDelete(requireBundle, Seq(id)))
     }
     JObject(
@@ -923,6 +934,15 @@ object QueryService {
     sys.env.get("SPARK_GRAFT_MUTATION_WAIT_MS")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(120000L)
+
+  /** Streaming ingest waits TTL-scale: a micro-batch rides out a
+    * crashed peer's reclaim window (the lease TTL) instead of throwing
+    * into a foreachBatch sink that has no retry seam, and still fails
+    * loudly on a wedged-but-heartbeating peer past that. */
+  val StreamMutationWaitMs: Long =
+    sys.env.get("SPARK_GRAFT_STREAM_MUTATION_WAIT_MS")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(graft.sources.FsLease.DefaultTtlMs + 120000L)
 
   def main(args: Array[String]): Unit = {
     val storeRoot = args.headOption.getOrElse(

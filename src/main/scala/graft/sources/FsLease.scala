@@ -125,15 +125,18 @@ object FsLease {
       } catch {
         case scala.util.control.NonFatal(_) => ()
         // the waits above sleep; an interrupt must not escape a
-        // release() running in a caller's finally block — restore the
-        // flag and give the delete one uninterruptible best effort
+        // release() running in a caller's finally block — give the
+        // delete one best effort WITH THE FLAG STILL CLEARED (an
+        // interruptible channel — HDFS sockets, NIO — would abort the
+        // read/delete instantly if the flag were restored first and
+        // leak the own-token lock for the TTL), then restore the flag
         case _: InterruptedException =>
-          Thread.currentThread().interrupt()
           try {
             if (readRaw(fs, path).exists(_.startsWith(token))) {
               fs.delete(path, false); ()
             }
           } catch { case scala.util.control.NonFatal(_) => () }
+          finally Thread.currentThread().interrupt()
       }
     }
   }
@@ -189,10 +192,23 @@ object FsLease {
           val tmp = new Path(lock.getParent, s"${lock.getName}.hb.$token")
           val out = fs.create(tmp, true)
           try out.write(content) finally out.close()
-          val fc = org.apache.hadoop.fs.FileContext
-            .getFileContext(fs.getUri, fs.getConf)
-          fc.rename(fs.makeQualified(tmp), fs.makeQualified(lock),
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          try {
+            val fc = org.apache.hadoop.fs.FileContext
+              .getFileContext(fs.getUri, fs.getConf)
+            fc.rename(fs.makeQualified(tmp), fs.makeQualified(lock),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            // scheme has a FileSystem impl but no AbstractFileSystem
+            // binding (common for object-store connectors): fall back
+            // to the legacy in-place rewrite — a live holder must keep
+            // refreshing (or be reaped at TTL mid-mutation); holderTs's
+            // mtime guard still defuses torn reads of this path
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              try { fs.delete(tmp, false); () }
+              catch { case scala.util.control.NonFatal(_) => () }
+              val out2 = fs.create(lock, true)
+              try out2.write(content) finally out2.close()
+          }
       }
     }
     def tryCreate(): Boolean =
@@ -229,12 +245,30 @@ object FsLease {
     // period, cancelling only after TWO consecutive foreign sightings.
     def armed(l: Lease): Lease = {
       val period = math.max(1000L, ttlMs / 3)
+      // tri-state read for the beat: Some(Some(s)) = readable content,
+      // Some(None) = provably missing, None = READ ERROR. An error is
+      // NOT a foreign sighting — readRaw's blanket None would let two
+      // transient FS blips (ttl/3 apart) cancel a live holder's
+      // heartbeat and get it reaped at the TTL mid-mutation.
+      def readTri(): Option[Option[String]] =
+        try {
+          val in = fs.open(lock)
+          try Some(Some(
+            scala.io.Source.fromInputStream(in, "UTF-8").mkString))
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => Some(None)
+          case scala.util.control.NonFatal(_) => None
+        }
       l.heartbeat = Some(heartbeats.scheduleAtFixedRate(
         () => try {
           l.beatBusy.set(true)
           if (!l.closed) {
-            val current = readRaw(fs, lock)
-            if (current.exists(_.startsWith(token))) {
+            val current = readTri()
+            if (current.isEmpty) {
+              log.warn(s"lease $lock unreadable on this beat (transient " +
+                "FS error) — skipping the refresh, re-verifying next beat")
+            } else if (current.exists(_.exists(_.startsWith(token)))) {
               l.foreignBeats.set(0)
               if (!l.closed) writeContent(createOnly = false)
             } else if (l.foreignBeats.incrementAndGet() >= 2) {
