@@ -165,6 +165,40 @@ class FsLeaseSpec extends AnyFunSuite {
     assert(!Files.exists(nio), "release removes the lock on this branch too")
   }
 
+  test("a live heartbeating holder survives an acquire hammer (no takeover, no token change)") {
+    val (fs, lock, nio) = freshLock()
+    val l = FsLease.acquire(fs, lock, ttlMs = 2500) // beat ~every 1 s
+    try {
+      // 4 threads hammering acquire with the same short TTL for ~4 s
+      // (past the raw TTL twice over): every attempt must see a LIVE
+      // holder — the beats keep the timestamp fresh — and the lock
+      // must carry the holder's token throughout
+      val denials = new java.util.concurrent.atomic.AtomicInteger(0)
+      val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (1 to 4).map { t =>
+        new Thread(() => {
+          val stopAt = System.currentTimeMillis() + 4000
+          while (System.currentTimeMillis() < stopAt) {
+            try {
+              val stolen = FsLease.acquire(fs, lock, ttlMs = 2500)
+              anomalies.add(s"thread $t acquired a live holder's lock")
+              stolen.release()
+            } catch {
+              case _: IllegalStateException => denials.incrementAndGet()
+            }
+            Thread.sleep(25)
+          }
+        }, s"hammer-$t")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(anomalies.isEmpty, anomalies.toString)
+      assert(denials.get() > 50, "the hammer must actually have contended")
+      assert(new String(Files.readAllBytes(nio), "UTF-8").startsWith(l.token),
+        "the lock must still carry the live holder's token")
+    } finally l.release()
+    assert(!Files.exists(nio))
+  }
+
   test("release is token-checked: a superseded holder can't remove its successor's lock") {
     val (fs, lock, nio) = freshLock()
     val l1 = FsLease.acquire(fs, lock)
