@@ -199,6 +199,22 @@ class FsLeaseSpec extends AnyFunSuite {
     assert(!Files.exists(nio))
   }
 
+  test("acquireBlocking honors a bounded wait against a live holder") {
+    val (fs, lock, nio) = freshLock()
+    Files.write(nio,
+      s"live-owner ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val t0 = System.currentTimeMillis()
+    intercept[IllegalStateException] {
+      FsLease.acquireBlocking(fs, lock, waitMs = 400, pollMs = 50)
+    }
+    val waited = System.currentTimeMillis() - t0
+    assert(waited >= 350 && waited < 5000,
+      s"bounded wait must give up near its deadline (waited $waited ms)")
+    // and an unbounded-wait caller gets the lock as soon as it frees
+    Files.delete(nio)
+    FsLease.acquireBlocking(fs, lock).release()
+  }
+
   test("release is token-checked: a superseded holder can't remove its successor's lock") {
     val (fs, lock, nio) = freshLock()
     val l1 = FsLease.acquire(fs, lock)
