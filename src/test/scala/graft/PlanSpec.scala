@@ -304,6 +304,27 @@ class PlanSpec extends SparkSpec {
       s"raw line bytes used as a shuffle key:\n$shuffleKeys")
   }
 
+  test("span scrub shuffles covered positions, never every corpus token") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Clean
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val p = plan(Clean.scrubRepeatedSpans(docs, "doc_id", "text"))
+    // the kept-token pass is ROW-LOCAL (array_except over the held
+    // token array) — rebuilding documents from exploded TOKENS via
+    // collect_list(struct(tp, tok))+sort would shuffle O(corpus
+    // tokens) rows and is the shape this pins against; the covered
+    // POSITION aggregate (collect_list(tp)) is the intended small one
+    assert(!p.contains("collect_list(struct"), p.take(2000))
+    assert(!p.contains("array_sort(collect_list"), p.take(2000))
+    // the only aggregations key on the span hash (boilerplate df) or
+    // the doc id (covered positions) — token-level rows never shuffle
+    val shuffleKeys = p.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!shuffleKeys.contains("tok#"),
+      s"per-token rows used as a shuffle key:\n$shuffleKeys")
+  }
+
   test("sequence packing windows are bounded: grouped prefix, no corpus window") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Curation
