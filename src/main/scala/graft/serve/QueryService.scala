@@ -36,7 +36,7 @@ import graft.sources.SegmentedStore.Manifest
   */
 class QueryService(
     val spark: SparkSession,
-    storeRoot: String,
+    val storeRoot: String,
     embedder: Embedder = FeatureHashEmbedder(),
     // read-path bound on cross-instance staleness; Long.MaxValue
     // disables the preemptive re-check (specs use it to pin the
@@ -930,7 +930,9 @@ object QueryService {
     * cross-process store lease before failing with a retryable 503.
     * Generous against real peer mutations (seconds) but far below the
     * crashed-holder TTL (30 min) a hung client would otherwise eat. */
-  val MutationWaitMs: Long =
+  // var (not val) so specs can drive the timeout path without a
+  // 120 s wait; production code never writes it
+  @volatile var MutationWaitMs: Long =
     sys.env.get("SPARK_GRAFT_MUTATION_WAIT_MS")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(120000L)

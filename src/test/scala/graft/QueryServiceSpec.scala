@@ -184,6 +184,34 @@ class QueryServiceSpec extends SparkSpec {
     assert((call("""{"op":"search","organization_id":"org_a","query":"x","limit":5000}""") \ "status").extract[Int] == 400)
   }
 
+  test("a mutation behind a wedged peer's lease returns a retryable 503, not a hang") {
+    // a foreign LIVE lock (fresh timestamp — a wedged-but-heartbeating
+    // peer) on this service's store root; bound the wait so the spec
+    // runs in milliseconds
+    val lockPath = java.nio.file.Paths.get(
+      svc.storeRoot.stripPrefix("file:"), "_store.lock")
+    java.nio.file.Files.createDirectories(lockPath.getParent)
+    java.nio.file.Files.write(lockPath,
+      s"wedged-peer ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val prior = QueryService.MutationWaitMs
+    QueryService.MutationWaitMs = 400
+    try {
+      val t0 = System.currentTimeMillis()
+      val r = call("""{"op":"ingest","organization_id":"org_a","docs":[
+        {"filename":"blocked.md","text":"This ingest must not hang forever behind the peer."}]}""")
+      val waited = System.currentTimeMillis() - t0
+      assert((r \ "status").extract[Int] == 503)
+      assert((r \ "detail").extract[String].contains("locked by another writer"))
+      assert(waited < 30000, s"503 must arrive near the bound ($waited ms)")
+      assert(java.nio.file.Files.exists(lockPath),
+        "the peer's live lock must be left alone")
+    } finally {
+      QueryService.MutationWaitMs = prior
+      java.nio.file.Files.deleteIfExists(lockPath)
+      ()
+    }
+  }
+
   test("streaming ingest feeds the serving store across checkpointed micro-batches") {
     import java.nio.file.{Files, Paths}
     import graft.streaming.EventStream
