@@ -389,6 +389,31 @@ object CurationStream {
     * truly huge tier should raise the constant, not race it. */
   val CompactionLockTtlMs: Long = graft.sources.FsLease.DefaultTtlMs
 
+  /** Delete every tier generation at or below `gen - 2`. The naive GC
+    * deletes exactly v{gen-2} at each flip, so ONE failed delete — or a
+    * crash between the manifest flip and the GC — orphans that
+    * generation FOREVER: no later flip ever revisits it (flip n+1
+    * deletes v{n-1}, not v{n-2}). Listing `_compacted/` and sweeping
+    * everything out of grace makes tier GC self-healing; v{gen} (live)
+    * and v{gen-1} (one-generation grace) are never touched, so the
+    * reader guarantee is exactly the naive GC's. Callers hold the
+    * compaction lease. Best-effort like the delta GC — a failed delete
+    * is retried by the NEXT sweep, which is the whole point. */
+  private def sweepStaleTiers(fs: org.apache.hadoop.fs.FileSystem,
+                              stateDir: String, gen: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir, "_compacted")
+    try fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      val stale = name.length > 1 && name.head == 'v' &&
+        name.tail.forall(_.isDigit) &&
+        scala.util.Try(name.tail.toInt).toOption.exists(_ <= gen - 2)
+      if (stale) {
+        try { fs.delete(st.getPath, true); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   def compactState(spark: SparkSession, stateDir: String,
                    targetBuckets: Option[Int] = None,
                    lockTtlMs: Long = CompactionLockTtlMs): Unit = {
@@ -434,8 +459,13 @@ object CurationStream {
       // in-flight batch). The manifest, tier and absorbed lists are
       // already exactly what this fold would produce.
       if (listed.forall(_._4.isEmpty) && m0.isDefined &&
-          targetBuckets.forall(b => m0.exists(_.buckets == b)))
+          targetBuckets.forall(b => m0.exists(_.buckets == b))) {
+        // even a no-op holds the lease — sweep tier litter a crashed
+        // predecessor left (a quiesced state never folds again, so this
+        // is the only GC it will ever see)
+        sweepStaleTiers(fs, stateDir, m0.get.gen)
         return
+      }
       val inputBytes = listed.map { case (kind, _, _, fresh) =>
         m0.map(_.bytesOf(kind)).getOrElse(0L) + fresh.map(_._2).sum
       }.sum
@@ -492,8 +522,10 @@ object CurationStream {
         Some(buckets)))
       // one-generation-grace GC: delete only what the PREVIOUS flip
       // absorbed (this flip's fresh files stay, excluded from reads by
-      // the absorbed list) and the tier generation BEFORE the one just
-      // superseded — everything a v_{gen-1} reader references survives
+      // the absorbed list) and every tier generation out of grace
+      // (≤ gen-2, swept — not just the newest one, so a crashed
+      // predecessor's missed GC heals here) — everything a v_{gen-1}
+      // reader references survives
       kinds.foreach { case (kind, _) =>
         val (_, dir) = hadoopFs(spark, s"$stateDir/$kind")
         compacted(kind)._3.foreach { n =>
@@ -501,11 +533,7 @@ object CurationStream {
           catch { case scala.util.control.NonFatal(_) => () }
         }
       }
-      if (gen >= 3) {
-        val (_, p) = hadoopFs(spark, s"$stateDir/_compacted/v${gen - 2}")
-        try fs.delete(p, true)
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+      sweepStaleTiers(fs, stateDir, gen)
       // evict the superseded generation's memoized frames eagerly —
       // they pin a file index (and the session) until the LRU ages them
       m0.foreach(m => evictTier(m.tierId.getOrElse(s"$stateDir#${m.gen}")))

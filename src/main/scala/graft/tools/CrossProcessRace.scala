@@ -61,6 +61,34 @@ object CrossProcessRace {
         }
         println(s"""{"curate":{"batches":$nBatches,"appended":$appended,""" +
           s""""batch_secs":[${secs.map(s => f"$s%.2f").mkString(",")}]}}""")
+      // one bulk batch of n synthetic docs — sizes a state so a fold
+      // takes long enough for the crash rehearsal to SIGKILL it mid-
+      // flight (tools/compaction_crash_rehearsal.sh)
+      case "seed" =>
+        val n = args(2).toInt
+        val offset = if (args.length > 3) args(3).toLong else 0L
+        val appended = CurationStream.curateBatch(
+          synthetic(n, offset), stateDir)
+        println(s"""{"seed":{"docs":$n,"appended":$appended}}""")
+      // ONE compaction attempt with a caller-chosen lock TTL — the
+      // crash rehearsal's recovery step (take over a killed peer's
+      // stale lock without waiting the production 30 min)
+      case "compactonce" =>
+        val ttl = if (args.length > 2) args(2).toLong
+          else CurationStream.CompactionLockTtlMs
+        val r =
+          try {
+            CurationStream.compactState(spark, stateDir, lockTtlMs = ttl)
+            "\"ok\""
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("single-writer") => "\"lease_denied\""
+            case scala.util.control.NonFatal(e) =>
+              s""""unexpected: ${e.getClass.getSimpleName}""""
+          }
+        val gen = CurationStream.readStateManifest(spark, stateDir)
+          .map(_.gen).getOrElse(0)
+        println(s"""{"compactonce":{"result":$r,"gen":$gen}}""")
       case "compact" =>
         val nAttempts = args(2).toInt
         var ok, lease, other = 0

@@ -222,6 +222,45 @@ class StateCompactionSpec extends SparkSpec {
       == Set(96L))
   }
 
+  test("tier GC is a self-healing sweep: a crashed predecessor's orphaned generations are removed") {
+    val state = tmp()
+    assert(survivorIds(state, Seq(100L -> unique(100))) == Set(100L))
+    CurationStream.compactState(spark, state) // gen 1
+    // litter a crashed predecessor could leave behind:
+    //  - v0 with a data-shaped file: a generation whose GC delete was
+    //    skipped (crash between manifest flip and GC). The naive
+    //    per-flip GC would never revisit it — flip n+1 deletes v{n-1},
+    //    not v{n-2} — so it leaked FOREVER.
+    //  - v9 partial: a compactor that crashed MID-FOLD at a future
+    //    generation. Invisible to readers (the manifest still points at
+    //    the old gen) and overwritten by the next fold to reach it; the
+    //    sweep must leave it alone (only ≤ gen-2 is out of grace).
+    val orphan = Paths.get(state, "_compacted", "v0", "keys")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("litter.parquet"), Array[Byte](1, 2, 3))
+    Files.createDirectories(Paths.get(state, "_compacted", "v9", "toks"))
+    def gens: Seq[String] = {
+      val d = Paths.get(state, "_compacted").toFile.list()
+      if (d == null) Nil else d.toSeq.sorted
+    }
+    // reads ignore the litter entirely (tier reads go via the manifest)
+    assert(survivorIds(state, Seq(101L -> unique(101))) == Set(101L))
+    // second fold → gen 2; the sweep removes v0 (out of grace), keeps
+    // v1 (one-generation grace), v2 (live) — and v9 (a future gen)
+    CurationStream.compactState(spark, state)
+    assert(CurationStream.readStateManifest(spark, state).get.gen == 2)
+    assert(gens == Seq("v1", "v2", "v9"), s"after flip-path sweep: $gens")
+    // the NO-OP path sweeps too: a quiesced state never folds again,
+    // so this is the only GC a missed delete would ever get
+    Files.createDirectories(Paths.get(state, "_compacted", "v0"))
+    CurationStream.compactState(spark, state) // nothing to fold
+    assert(CurationStream.readStateManifest(spark, state).get.gen == 2)
+    assert(gens == Seq("v1", "v2", "v9"), s"after no-op-path sweep: $gens")
+    // semantics intact throughout
+    assert(survivorIds(state,
+      Seq(102L -> unique(100), 103L -> unique(103))) == Set(103L))
+  }
+
   test("a crashed compaction's stale lock is taken over; a held lease degrades, never poisons") {
     val state = tmp()
     val auto = CurationStream.Cfg(autoCompactMinDeltaFiles = 1)
