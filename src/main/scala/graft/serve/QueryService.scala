@@ -243,6 +243,7 @@ class QueryService(
       // inside gcOrphans is a real failure, not a held lock
       val lease0 =
         try Some(graft.sources.FsLease.acquireBlocking(fs0, lock0,
+          ttlMs = QueryService.StoreLockTtlMs,
           waitMs = QueryService.MutationWaitMs))
         catch {
           case _: IllegalStateException =>
@@ -336,7 +337,8 @@ class QueryService(
     val (fs, lock) = storeLockPath
     fs.mkdirs(new org.apache.hadoop.fs.Path(storeRoot))
     val lease =
-      try graft.sources.FsLease.acquireBlocking(fs, lock, waitMs = waitMs)
+      try graft.sources.FsLease.acquireBlocking(fs, lock,
+        ttlMs = QueryService.StoreLockTtlMs, waitMs = waitMs)
       catch {
         case _: IllegalStateException =>
           throw ServiceError(503, "store is locked by another writer " +
@@ -945,6 +947,15 @@ object QueryService {
     sys.env.get("SPARK_GRAFT_STREAM_MUTATION_WAIT_MS")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(graft.sources.FsLease.DefaultTtlMs + 120000L)
+
+  /** Crashed-holder TTL for the `_store.lock` lease (dead heartbeat →
+    * takeover). Production keeps the generous FsLease default (30 min);
+    * the env override lets crash rehearsals reclaim a killed writer's
+    * lock in seconds instead (tools/serve_crash_rehearsal.sh). */
+  val StoreLockTtlMs: Long =
+    sys.env.get("SPARK_GRAFT_STORE_LOCK_TTL_MS")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(graft.sources.FsLease.DefaultTtlMs)
 
   def main(args: Array[String]): Unit = {
     val storeRoot = args.headOption.getOrElse(

@@ -538,6 +538,20 @@ object SegmentedStore {
     val segName = s"seg$seq"
     val seg = s"$root/$segName"
 
+    // anything already AT this segment's paths is crash litter from a
+    // killed writer whose startup GC was skipped (we hold the mutation
+    // lease and the manifest doesn't reference seq yet). The per-table
+    // overwrites below only clean tables THIS delta writes — a torn
+    // predecessor's extra tables (its ann/pq sidecar when this delta
+    // skips them, its postings when this delta has none) would survive
+    // inside a now-referenced segment and serve ghost ids. Remove the
+    // whole dirs up front; a real IO failure here fails the mutation
+    // loudly before any write.
+    Seq(seg, s"$root/derived$seq").foreach { d =>
+      val (f, p) = hadoopFs(spark, d)
+      f.delete(p, true)
+    }
+
     val emb = delta.chunks
       .filter(col("embedding").isNotNull)
       .select(col("id"), col("embedding"), col("organization_id"))

@@ -155,6 +155,23 @@ object CrossProcessRace {
         println(s"""{"serve":{"tag":"$tag","batches":$nBatches,""" +
           s""""chunks":$chunks,""" +
           s""""batch_secs":[${secs.map(s => f"$s%.2f").mkString(",")}]}}""")
+      // one BULK ingestBatch — sizes the serving mutation so the crash
+      // rehearsal can SIGKILL it between the first segment-dir write
+      // and the CURRENT flip (tools/serve_crash_rehearsal.sh)
+      case "servebig" =>
+        val n = args(2).toInt
+        val tag = args(3)
+        val svc = new graft.serve.QueryService(spark, stateDir)
+        val docs = spark.range(n).select(
+          concat(lit(s"${tag}_big_"), col("id"), lit(".md")).as("filename"),
+          concat(lit("Bulk crash rehearsal document "), col("id"),
+            lit(s" from $tag with marker ${tag}bigmark and body "),
+            concat_ws(" ", transform(sequence(lit(1), lit(30)),
+              j => substring(md5(concat(col("id"), lit("_"), j)), 1, 8))))
+            .as("text"),
+          lit("org_race").as("organization_id"))
+        val chunks = svc.ingestBatch(docs)
+        println(s"""{"servebig":{"docs":$n,"chunks":$chunks}}""")
       case "serveverify" =>
         val expectDocs = args(2).toInt
         val tagA = args(3)

@@ -65,6 +65,38 @@ class MultiInstanceSpec extends SparkSpec {
     assert(hits(b, "gammathree") > 0, "b must see a's batch after the window")
   }
 
+  test("a mutation scrubs a torn predecessor's litter from the segment it reuses") {
+    val root = TmpDirs.create("graft_multi_litter")
+    val a = new QueryService(spark, root)
+    a.ingestBatch(batch("seedbatch")) // base gen0, seq 0
+    // a killed writer's torn seg1: tables the NEXT delta may not write
+    // (a bogus extra table stands in for any of them). If startup GC is
+    // skipped (lease timeout), the next mutation reuses seq 1 — its
+    // per-table overwrites would clean only ITS tables, leaving these
+    // inside a now-referenced segment to serve ghost ids.
+    import java.nio.file.{Files, Paths}
+    val litter = Paths.get(root, "seg1", "bogus_sidecar")
+    Files.createDirectories(litter)
+    Files.write(litter.resolve("part-torn.parquet"), Array[Byte](9, 9, 9))
+    Files.createDirectories(Paths.get(root, "derived1", "bogus_stats"))
+    val b = new QueryService(spark, root) // startup GC reaps it...
+    // ...but the writeSegment scrub must hold even WITHOUT that GC:
+    // re-plant after construction, then mutate
+    Files.createDirectories(litter)
+    Files.write(litter.resolve("part-torn.parquet"), Array[Byte](9, 9, 9))
+    Files.createDirectories(Paths.get(root, "derived1", "bogus_stats"))
+    b.ingestBatch(batch("secondbatch"))
+    assert(!Files.exists(litter),
+      "the reused segment must contain only what THIS delta wrote")
+    assert(!Files.exists(Paths.get(root, "derived1", "bogus_stats")),
+      "derived litter scrubs with the segment")
+    val m = SegmentedStore.readManifest(root).get
+    assert(m.segments == List("seg1") && m.seq == 1)
+    Seq("seedbatch", "secondbatch").foreach { tag =>
+      assert(hits(b, tag) > 0, s"$tag must be searchable after the scrub")
+    }
+  }
+
   test("a stale instance recovers when a peer's flips retire its view's files") {
     val root = TmpDirs.create("graft_multi_stale")
     // freshness disabled: every read plans against the instance's
