@@ -155,6 +155,66 @@ object CrossProcessRace {
         println(s"""{"serve":{"tag":"$tag","batches":$nBatches,""" +
           s""""chunks":$chunks,""" +
           s""""batch_secs":[${secs.map(s => f"$s%.2f").mkString(",")}]}}""")
+      // ---- streaming crash rehearsal (tools/stream_crash_rehearsal.sh):
+      // drain a JSONL directory through the COMPOSED curate→serve
+      // stream (one file per micro-batch) until AvailableNow exhausts
+      // it; the rehearsal SIGKILLs this mid-batch and restarts it on
+      // the same checkpoint to prove the replay seam end-to-end.
+      case "streamdrain" =>
+        val docsDir = args(2)
+        val checkpoint = args(3)
+        val store = args(4)
+        val svc = new graft.serve.QueryService(spark, store)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("filename",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("organization_id",
+            org.apache.spark.sql.types.StringType)))
+        val docs = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).json(docsDir)
+        val q = CurationStream.curateToServeStream(svc, docs, stateDir,
+          checkpoint, CurationStream.Cfg(autoCompactMinDeltaFiles = 4))
+          .start()
+        q.awaitTermination()
+        println(s"""{"streamdrain":{"done":true}}""")
+      case "streamverify" =>
+        val store = args(2)
+        val expectA = args(3).toInt
+        val expectB = args(4).toInt
+        val markerA = args(5)
+        val markerB = args(6)
+        val svc = new graft.serve.QueryService(spark, store)
+        implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+        import org.json4s.jackson.JsonMethods.parse
+        // stats.documents is GLOBAL (the reference's /stats shape) —
+        // per-org counts come from the tenant-scoped document listing
+        // (offset/limit form: a BARE array, matching api/main.py:591)
+        def docsOf(org: String): Long =
+          parse(svc.handle(s"""{"op":"documents","organization_id":"$org",""" +
+            s""""limit":1000}""")).children.size.toLong
+        def found(org: String, qq: String): Boolean =
+          (parse(svc.handle(s"""{"op":"search","organization_id":"$org",""" +
+            s""""query":"$qq","limit":5}""")) \ "total_results")
+            .extract[Int] > 0
+        val nA = docsOf("org_a"); val nB = docsOf("org_b")
+        // curation-state integrity: keys view ≡ docs (no half-committed
+        // batch), and the state's doc count equals the store's
+        val stDocs = spark.read.parquet(s"$stateDir/docs").count()
+        val m = CurationStream.readStateManifest(spark, stateDir)
+        val stKeys = CurationStream.readState(spark, stateDir, "keys",
+          CurationStream.keysSchema, m, None).count()
+        val locks = Seq(s"$stateDir/_compaction.lock", s"$store/_store.lock")
+          .count(p => new java.io.File(p).exists())
+        println(s"""{"streamverify":{"org_a":$nA,"org_b":$nB,""" +
+          s""""counts_match":${nA == expectA && nB == expectB},""" +
+          s""""found_a":${found("org_a", markerA)},""" +
+          s""""found_b":${found("org_b", markerB)},""" +
+          s""""state_docs":$stDocs,"state_keys":$stKeys,""" +
+          s""""keys_match_docs":${stKeys == stDocs},""" +
+          s""""state_match_store":${stDocs == nA + nB},""" +
+          s""""locks_left":$locks}}""")
       // one BULK ingestBatch — sizes the serving mutation so the crash
       // rehearsal can SIGKILL it between the first segment-dir write
       // and the CURRENT flip (tools/serve_crash_rehearsal.sh)
