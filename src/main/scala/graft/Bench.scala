@@ -159,12 +159,19 @@ object Bench {
     println(line)
     // full-run artifact: the driver's BENCH capture can truncate the
     // stdout tail, so the complete JSON line also lands in the repo
-    // (overwritten per run, committed at round end)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "BENCH_LOCAL.json")),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(_) => () }
+    // (overwritten per run, committed at round end). ONLY the full
+    // suite writes it — a SPARK_GRAFT_ONLY subset run silently
+    // clobbering the committed full-suite record with a one-query line
+    // happened twice in round 13 (sweep runs + git add -A); a subset
+    // run must set SPARK_GRAFT_BENCH_OUT explicitly to persist.
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (sys.env.contains("SPARK_GRAFT_ONLY")) None
+              else Some("BENCH_LOCAL.json"))
+    benchOut.foreach { out =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.stop()
   }
 }

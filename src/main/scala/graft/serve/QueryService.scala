@@ -98,6 +98,10 @@ class QueryService(
     val seq = prev.map(_.seq + 1).getOrElse(0)
     val genName = s"gen$seq"
     val dir = s"$storeRoot/$genName"
+    // same torn-predecessor scrub as the segment paths: the sidecar
+    // writes below are conditional (skipped when the corpus has no
+    // embeddings), so litter at this generation's name must go first
+    SegmentedStore.scrubTargets(spark, Seq(dir))
     TableStore.save(b, dir)
     // dense sidecar stores, derived from the just-written chunk files
     // (reading back the parquet is cheaper than re-running the merge

@@ -496,6 +496,29 @@ object SegmentedStore {
       }
     }
 
+  /** Remove crash litter at a mutation's TARGET dirs before it writes.
+    * Every mutation path (writeSegment, foldSegments, the full-snapshot
+    * persist) re-derives its target names from `manifest.seq + 1`, so a
+    * predecessor that died mid-write leaves dirs at exactly the names
+    * the next mutation will reuse — and each path's per-table writes
+    * are CONDITIONAL (sidecars skip when the delta has no embeddings,
+    * postings/derived skip when it has none), so an overwrite-in-place
+    * would keep the torn predecessor's EXTRA tables inside a
+    * now-referenced dir and serve ghost ids. Callers hold the mutation
+    * lease and the manifest doesn't reference these names yet, so
+    * anything present is litter by definition. A delete that reports
+    * failure while the path still exists aborts the mutation loudly —
+    * building around surviving litter is the silent-corruption case
+    * (RawLocal's delete returns false instead of throwing). */
+  private[graft] def scrubTargets(spark: SparkSession,
+                                  dirs: Seq[String]): Unit =
+    dirs.foreach { d =>
+      val (f, p) = hadoopFs(spark, d)
+      if (!f.delete(p, true) && f.exists(p))
+        throw new java.io.IOException(
+          s"cannot scrub crash litter at $p; refusing to build around it")
+    }
+
   /** Await a set of independent driver-side write tasks; the first
     * failure propagates (the caller never flips its manifest, and the
     * partial dirs are startup-GC'd as crash orphans). The writes
@@ -538,19 +561,7 @@ object SegmentedStore {
     val segName = s"seg$seq"
     val seg = s"$root/$segName"
 
-    // anything already AT this segment's paths is crash litter from a
-    // killed writer whose startup GC was skipped (we hold the mutation
-    // lease and the manifest doesn't reference seq yet). The per-table
-    // overwrites below only clean tables THIS delta writes — a torn
-    // predecessor's extra tables (its ann/pq sidecar when this delta
-    // skips them, its postings when this delta has none) would survive
-    // inside a now-referenced segment and serve ghost ids. Remove the
-    // whole dirs up front; a real IO failure here fails the mutation
-    // loudly before any write.
-    Seq(seg, s"$root/derived$seq").foreach { d =>
-      val (f, p) = hadoopFs(spark, d)
-      f.delete(p, true)
-    }
+    scrubTargets(spark, Seq(seg, s"$root/derived$seq"))
 
     val emb = delta.chunks
       .filter(col("embedding").isNotNull)
@@ -679,6 +690,7 @@ object SegmentedStore {
     val segName = s"seg$seq"
     val seg = s"$root/$segName"
     val segDirs = m.segments.map(d => s"$root/$d")
+    scrubTargets(spark, Seq(seg, s"$root/derived$seq"))
 
     val emb = delta.chunks
       .filter(col("embedding").isNotNull)

@@ -387,7 +387,13 @@ object CurationStream {
     * a healthy compaction is an O(state) fold measured in seconds-to-
     * minutes even at multi-GB state; a holder alive past the TTL on a
     * truly huge tier should raise the constant, not race it. */
-  val CompactionLockTtlMs: Long = graft.sources.FsLease.DefaultTtlMs
+  // env-overridable like the serving store's SPARK_GRAFT_STORE_LOCK_TTL_MS:
+  // crash rehearsals reclaim a killed compactor's lock in seconds
+  // instead of the production 30 min; the default is unchanged
+  val CompactionLockTtlMs: Long =
+    sys.env.get("SPARK_GRAFT_COMPACTION_LOCK_TTL_MS")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(graft.sources.FsLease.DefaultTtlMs)
 
   /** Delete every tier generation at or below `gen - 2`. The naive GC
     * deletes exactly v{gen-2} at each flip, so ONE failed delete — or a

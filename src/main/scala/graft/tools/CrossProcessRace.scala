@@ -199,22 +199,34 @@ object CrossProcessRace {
             s""""query":"$qq","limit":5}""")) \ "total_results")
             .extract[Int] > 0
         val nA = docsOf("org_a"); val nB = docsOf("org_b")
-        // curation-state integrity: keys view ≡ docs (no half-committed
-        // batch), and the state's doc count equals the store's
-        val stDocs = spark.read.parquet(s"$stateDir/docs").count()
+        // curation-state integrity BY DISTINCT ID: the system's
+        // documented worst-case crash outcome is a DUPLICATE docs row
+        // (a kill between the docs append and the keys append replays
+        // the batch, which re-derives the same survivors against the
+        // unchanged keys and re-appends them — CurationStream's
+        // docs-first ordering bounds the damage to exactly that), so
+        // raw row counts may legitimately exceed the id space while
+        // nothing is lost or double-served
+        val stDocRows = spark.read.parquet(s"$stateDir/docs").count()
+        val stDocs = spark.read.parquet(s"$stateDir/docs")
+          .select("id").distinct().count()
         val m = CurationStream.readStateManifest(spark, stateDir)
         val stKeys = CurationStream.readState(spark, stateDir, "keys",
-          CurationStream.keysSchema, m, None).count()
-        val locks = Seq(s"$stateDir/_compaction.lock", s"$store/_store.lock")
-          .count(p => new java.io.File(p).exists())
+          CurationStream.keysSchema, m, None)
+          .select("id").distinct().count()
+        val storeLock = new java.io.File(s"$store/_store.lock").exists()
+        val compLock =
+          new java.io.File(s"$stateDir/_compaction.lock").exists()
         println(s"""{"streamverify":{"org_a":$nA,"org_b":$nB,""" +
           s""""counts_match":${nA == expectA && nB == expectB},""" +
           s""""found_a":${found("org_a", markerA)},""" +
           s""""found_b":${found("org_b", markerB)},""" +
+          s""""state_doc_rows":$stDocRows,""" +
           s""""state_docs":$stDocs,"state_keys":$stKeys,""" +
           s""""keys_match_docs":${stKeys == stDocs},""" +
           s""""state_match_store":${stDocs == nA + nB},""" +
-          s""""locks_left":$locks}}""")
+          s""""store_lock_left":$storeLock,""" +
+          s""""compaction_lock_left":$compLock}}""")
       // one BULK ingestBatch — sizes the serving mutation so the crash
       // rehearsal can SIGKILL it between the first segment-dir write
       // and the CURRENT flip (tools/serve_crash_rehearsal.sh)

@@ -95,6 +95,18 @@ class MultiInstanceSpec extends SparkSpec {
     Seq("seedbatch", "secondbatch").foreach { tag =>
       assert(hits(b, tag) > 0, s"$tag must be searchable after the scrub")
     }
+    // the FULL-snapshot path scrubs too: a torn first seed's litter at
+    // gen0 (no CURRENT yet, so startup GC is a no-op — nothing to
+    // reference against) must not survive a fresh seed
+    val root2 = TmpDirs.create("graft_multi_litter2")
+    val litter2 = Paths.get(root2, "gen0", "bogus_sidecar")
+    Files.createDirectories(litter2)
+    Files.write(litter2.resolve("part-torn.parquet"), Array[Byte](9, 9, 9))
+    val c = new QueryService(spark, root2)
+    c.ingestBatch(batch("freshseed"))
+    assert(!Files.exists(litter2),
+      "the full-snapshot generation must contain only what the seed wrote")
+    assert(hits(c, "freshseed") > 0)
   }
 
   test("a stale instance recovers when a peer's flips retire its view's files") {
