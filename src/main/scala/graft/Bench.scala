@@ -164,9 +164,21 @@ object Bench {
     // clobbering the committed full-suite record with a one-query line
     // happened twice in round 13 (sweep runs + git add -A); a subset
     // run must set SPARK_GRAFT_BENCH_OUT explicitly to persist.
+    // quiet-load guard: the committed BENCH_LOCAL.json is the repo's
+    // QUIET reference record, and a full-suite run on a loaded host
+    // (driver telemetry, parallel sweeps) silently replacing it has
+    // happened twice. A default full-suite run under ambient load
+    // lands in BENCH_LOCAL_LOADED.json instead; an EXPLICIT
+    // SPARK_GRAFT_BENCH_OUT writes wherever it says (intent shown).
+    val quietStart = scala.util.Try(loadStart.toDouble).getOrElse(99.0) <= 2.0
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (sys.env.contains("SPARK_GRAFT_ONLY")) None
-              else Some("BENCH_LOCAL.json"))
+              else if (quietStart) Some("BENCH_LOCAL.json")
+              else {
+                System.err.println(s"[bench] load_start=$loadStart > 2.0" +
+                  ": writing BENCH_LOCAL_LOADED.json, quiet record kept")
+                Some("BENCH_LOCAL_LOADED.json")
+              })
     benchOut.foreach { out =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))

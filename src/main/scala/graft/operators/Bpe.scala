@@ -196,11 +196,11 @@ object Bpe {
 
   private def gateMerges(spark: SparkSession, dir: String): Seq[Merge] = {
     val key = GateMemo.corpusKey(spark, dir)
-    Option(mergeMemo.get(key)).getOrElse {
+    key.flatMap(k => Option(mergeMemo.get(k))).getOrElse {
       val merges = learnMerges(
         wordHistogram(graft.Tables(spark, dir, "documents"),
           "text", GateTypes), GateMerges)
-      mergeMemo.put(key, merges)
+      key.foreach(mergeMemo.put(_, merges))
       merges
     }
   }
@@ -212,7 +212,7 @@ object Bpe {
     val hist = wordHistogram(
       graft.Tables(spark, dir, "documents"), "text", GateTypes)
     val merges = learnMerges(hist, GateMerges)
-    mergeMemo.put(GateMemo.corpusKey(spark, dir), merges)
+    GateMemo.corpusKey(spark, dir).foreach(mergeMemo.put(_, merges))
     merges
       .map(m => (m.step.toLong, m.left, m.right, m.cnt))
       .toDF("step", "left", "right", "cnt")

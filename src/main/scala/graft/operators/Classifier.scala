@@ -140,7 +140,7 @@ object Classifier {
     import spark.implicits._
     val w = train(labeled(graft.Tables(spark, dir, "documents"),
       "doc_id", "text"))
-    modelMemo.put(GateMemo.corpusKey(spark, dir), w)
+    GateMemo.corpusKey(spark, dir).foreach(modelMemo.put(_, w))
     w.zipWithIndex.toSeq.map { case (v, b) => (b.toLong, v) }
       .toDF("bin", "weight").orderBy($"bin")
   }
@@ -152,8 +152,10 @@ object Classifier {
     val lab = labeled(graft.Tables(spark, dir, "documents"),
       "doc_id", "text")
     val key = GateMemo.corpusKey(spark, dir)
-    val w = Option(modelMemo.get(key)).getOrElse {
-      val trained = train(lab); modelMemo.put(key, trained); trained
+    val w = key.flatMap(k => Option(modelMemo.get(k))).getOrElse {
+      val trained = train(lab)
+      key.foreach(modelMemo.put(_, trained))
+      trained
     }
     score(lab, w)
       .select($"id".as("doc_id"), $"y", $"margin", $"pred")

@@ -9,15 +9,19 @@ import org.apache.spark.sql.SparkSession
   * artifact after an in-place regeneration of `documents.parquet`
   * within one JVM; folding in the file's (mtime, length) — for a
   * directory, its own mtime, which changes on any child add/remove —
-  * invalidates across regens. A stamp failure (missing table, FS
-  * error) degrades to the bare path: worst case a recompute, never a
-  * wrong reuse for a stamped corpus. */
+  * invalidates across regens.
+  *
+  * A stamp failure (missing table, FS error) returns None — NO memo:
+  * the caller retrains and must not store the result. Degrading to the
+  * bare path instead would let two consecutive stamp failures around
+  * an in-place regeneration reuse the pre-regen artifact; a recompute
+  * is the safe worst case, a wrong reuse is not. */
 private[operators] object GateMemo {
-  def corpusKey(spark: SparkSession, dir: String): String =
+  def corpusKey(spark: SparkSession, dir: String): Option[String] =
     try {
       val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
       val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(p)
-      s"$dir@${st.getModificationTime}:${st.getLen}"
-    } catch { case scala.util.control.NonFatal(_) => dir }
+      Some(s"$dir@${st.getModificationTime}:${st.getLen}")
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -959,6 +959,8 @@ object QueryService {
   val StoreLockTtlMs: Long =
     sys.env.get("SPARK_GRAFT_STORE_LOCK_TTL_MS")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .map(graft.sources.FsLease.clampConfiguredTtl(_,
+        "SPARK_GRAFT_STORE_LOCK_TTL_MS"))
       .getOrElse(graft.sources.FsLease.DefaultTtlMs)
 
   def main(args: Array[String]): Unit = {

@@ -52,6 +52,26 @@ object FsLease {
     * class doc for the raise-don't-race rule. */
   val DefaultTtlMs: Long = 30L * 60 * 1000
 
+  /** Floor for OPERATOR-CONFIGURED TTLs (the env knobs): the heartbeat
+    * period is max(1 s, ttl/3), so a TTL at or below ~1 s makes a
+    * live, heartbeating holder look permanently stale and permits
+    * takeover of a healthy writer (two concurrent mutators). 3× the
+    * 1 s heartbeat floor guarantees a healthy holder lands at least
+    * two refreshes inside any TTL window — a >1 s GC pause no longer
+    * spans the whole budget. Direct API callers (specs) may still pass
+    * smaller values deliberately; only the env-read sites clamp. */
+  val MinConfiguredTtlMs: Long = 3000L
+
+  /** Clamp an env-configured TTL to [[MinConfiguredTtlMs]], loudly. */
+  def clampConfiguredTtl(ttlMs: Long, knob: String): Long =
+    if (ttlMs >= MinConfiguredTtlMs) ttlMs
+    else {
+      log.warn(s"$knob=$ttlMs ms is below the safe floor " +
+        s"($MinConfiguredTtlMs ms = 3x the 1 s heartbeat floor); " +
+        "clamping — a smaller TTL lets a live holder be taken over")
+      MinConfiguredTtlMs
+    }
+
   final class Lease private[FsLease] (fs: FileSystem, path: Path,
                                       val token: String) {
     @volatile private[FsLease] var heartbeat

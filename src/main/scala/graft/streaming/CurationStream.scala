@@ -393,6 +393,8 @@ object CurationStream {
   val CompactionLockTtlMs: Long =
     sys.env.get("SPARK_GRAFT_COMPACTION_LOCK_TTL_MS")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .map(graft.sources.FsLease.clampConfiguredTtl(_,
+        "SPARK_GRAFT_COMPACTION_LOCK_TTL_MS"))
       .getOrElse(graft.sources.FsLease.DefaultTtlMs)
 
   /** Delete every tier generation at or below `gen - 2`. The naive GC
@@ -415,9 +417,18 @@ object CurationStream {
         scala.util.Try(name.tail.toInt).toOption.exists(_ <= gen - 2)
       if (stale) {
         try { fs.delete(st.getPath, true); () }
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          // next sweep retries, but on the no-op path (quiesced state)
+          // there IS no next sweep — a persistently failing delete
+          // must at least be visible
+          log.warn(s"tier GC: failed to delete stale ${st.getPath}; " +
+            s"retried on the next sweep (${e.getMessage})")
+        }
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      log.warn(s"tier GC: failed to list $dir; " +
+        s"retried on the next sweep (${e.getMessage})")
+    }
   }
 
   def compactState(spark: SparkSession, stateDir: String,

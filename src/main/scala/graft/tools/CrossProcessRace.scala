@@ -82,7 +82,7 @@ object CrossProcessRace {
             "\"ok\""
           } catch {
             case e: IllegalStateException
-                if e.getMessage.contains("single-writer") => "\"lease_denied\""
+                if Option(e.getMessage).exists(_.contains("single-writer")) => "\"lease_denied\""
             case scala.util.control.NonFatal(e) =>
               s""""unexpected: ${e.getClass.getSimpleName}""""
           }
@@ -96,7 +96,7 @@ object CrossProcessRace {
           try { CurationStream.compactState(spark, stateDir); ok += 1 }
           catch {
             case e: IllegalStateException
-                if e.getMessage.contains("single-writer") => lease += 1
+                if Option(e.getMessage).exists(_.contains("single-writer")) => lease += 1
             case scala.util.control.NonFatal(e) =>
               other += 1
               System.err.println(s"[race] unexpected: $e")

@@ -229,4 +229,14 @@ class FsLeaseSpec extends AnyFunSuite {
       .startsWith("successor-token"))
     Files.delete(nio)
   }
+
+  test("env-configured TTLs clamp to 3x the heartbeat floor") {
+    // a TTL at/below the 1 s heartbeat floor makes a LIVE holder look
+    // permanently stale (ADVICE r13); the env-read sites clamp, direct
+    // API callers (this suite's 2500 ms takeover tests) stay free
+    assert(FsLease.clampConfiguredTtl(500L, "K") == FsLease.MinConfiguredTtlMs)
+    assert(FsLease.clampConfiguredTtl(2000L, "K") == FsLease.MinConfiguredTtlMs)
+    assert(FsLease.clampConfiguredTtl(3000L, "K") == 3000L)
+    assert(FsLease.clampConfiguredTtl(60000L, "K") == 60000L)
+  }
 }

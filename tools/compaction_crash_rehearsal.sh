@@ -95,7 +95,7 @@ EOF
 
   # 3. recovery: a short-TTL compactState takes over the stale lock
   # (the heartbeat died with the victim, so the lock ages past the TTL)
-  sleep 3
+  sleep 4
   run "$STATE" compactonce 2000 > /tmp/crash_recover.json
   cat /tmp/crash_recover.json
   grep -q '"result":"ok","gen":2' /tmp/crash_recover.json || { echo "FAIL: recovery compaction did not take over / flip"; return 2; }

@@ -79,16 +79,16 @@ try_one() {
   [ -f "$STORE/_store.lock" ] || { echo "[serve-crash] victim released the lock before dying; retrying"; return 1; }
   echo "[serve-crash] torn mutation achieved: CURRENT unchanged, litter [$(echo "$LITTER" | tr '\n' ' ')], stale lock left"
 
-  # recovery: a fresh instance with a 2 s lock TTL — construction takes
+  # recovery: a fresh instance with a 3 s lock TTL (the clamp floor) — construction takes
   # over the stale lock, startup-GCs the litter, then ingests 1 batch
-  sleep 3
-  SPARK_GRAFT_STORE_LOCK_TTL_MS=2000 run "$STORE" serve 1 crashrec > /tmp/scrash_recover.json
+  sleep 4
+  SPARK_GRAFT_STORE_LOCK_TTL_MS=3000 run "$STORE" serve 1 crashrec > /tmp/scrash_recover.json
   grep -q '"chunks"' /tmp/scrash_recover.json || { echo "FAIL: recovery ingest"; return 2; }
 
   # post-recovery invariants: 3×20 committed + 1×20 recovery = 80 docs,
   # the torn batch invisible, both writers searchable, litter gone,
   # no lock residue
-  SPARK_GRAFT_STORE_LOCK_TTL_MS=2000 run "$STORE" serveverify 80 crashseed crashrec > /tmp/scrash_verify.json
+  SPARK_GRAFT_STORE_LOCK_TTL_MS=3000 run "$STORE" serveverify 80 crashseed crashrec > /tmp/scrash_verify.json
   cat /tmp/scrash_verify.json
   local fail=0
   grep -q '"docs_match":true' /tmp/scrash_verify.json || { echo "FAIL: doc count (torn batch leaked or commits lost)"; fail=1; }

@@ -135,12 +135,12 @@ EOF
   # _store.lock (the widest window in a batch span) — or inside an
   # auto-compaction holding _compaction.lock — leaves a dead lock the
   # restart must reclaim in seconds, not the production 30 min
-  sleep 3
-  SPARK_GRAFT_STORE_LOCK_TTL_MS=2000 SPARK_GRAFT_COMPACTION_LOCK_TTL_MS=2000 \
+  sleep 4
+  SPARK_GRAFT_STORE_LOCK_TTL_MS=3000 SPARK_GRAFT_COMPACTION_LOCK_TTL_MS=3000 \
     run "$STATE" streamdrain "$DOCS" "$CKPT" "$STORE" > /tmp/stcrash_restart.json
   grep -q '"done":true' /tmp/stcrash_restart.json || { echo "FAIL: restart drain"; return 2; }
 
-  SPARK_GRAFT_STORE_LOCK_TTL_MS=2000 SPARK_GRAFT_COMPACTION_LOCK_TTL_MS=2000 \
+  SPARK_GRAFT_STORE_LOCK_TTL_MS=3000 SPARK_GRAFT_COMPACTION_LOCK_TTL_MS=3000 \
     run "$STATE" streamverify "$STORE" "$EXPECT_A" "$EXPECT_B" wmarker seedmarker > /tmp/stcrash_verify.json
   cat /tmp/stcrash_verify.json
   local fail=0
