@@ -11,14 +11,21 @@ object Verify {
       if (args.length > 2) { val ps = args(2).split(","); n => ps.exists(n.startsWith) }
       else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_MASTER: run the whole gate suite under a REAL
+    // multi-JVM master (`local-cluster[2,16,8192]`) — executor-resident
+    // blocks, real task serialization, real broadcast transport. Pass
+    // the compiled classes via SPARK_GRAFT_EXEC_CP so worker-launched
+    // executors can load graft classes (kernels, encoders, closures).
+    val builder = SparkSession.builder()
       .withExtensions(new GraftExtensions()(_))
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "1000000")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXEC_CP")
+      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>

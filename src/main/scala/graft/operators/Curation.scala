@@ -800,6 +800,42 @@ object Curation {
   def importanceResample(docs: DataFrame, idCol: String, toksCol: String,
                          targetCol: String, buckets: Int = 1024,
                          frac: Double = 0.2): DataFrame = {
+    val scored = dsirScores(docs, idCol, toksCol, targetCol, buckets)
+    // exact top-n marker: TakeOrdered on (score desc, id), then a
+    // broadcast membership join — n rows, never a corpus-wide window
+    val nTake = math.floor(frac * docs.count()).toInt
+    val sel = scored.orderBy(col("score").desc, col("id")).limit(nTake)
+      .select(col("id"), lit(true).as("sel"))
+    scored.join(broadcast(sel), Seq("id"), "left")
+      .select(col("id"), col("logw"), col("gumbel"), col("score"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
+
+  /** The 100 TB selection path: same scores as [[importanceResample]],
+    * but `selected` comes from a SCALAR score threshold — one
+    * `approx_percentile` (t-digest-class quantile sketch: single pass,
+    * mergeable partial states) at (1 − frac), broadcast back as a
+    * literal-free cross join of one row — instead of the exact
+    * TakeOrdered marker, whose n = frac·N rows is itself corpus-sized
+    * at scale (collecting and re-broadcasting 20% of a 100 TB corpus'
+    * ids is not a plan). Selection rate tracks `frac` within sketch
+    * accuracy (spec-pinned vs the exact marker); the output contract
+    * (one row per doc, weight-biased keep of ≈ frac·N) is unchanged. */
+  def importanceResampleApprox(docs: DataFrame, idCol: String,
+                               toksCol: String, targetCol: String,
+                               buckets: Int = 1024, frac: Double = 0.2,
+                               accuracy: Int = 10000): DataFrame = {
+    val scored = dsirScores(docs, idCol, toksCol, targetCol, buckets)
+    val thr = scored.agg(
+      expr(s"approx_percentile(score, ${1.0 - frac}, $accuracy)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("id"), col("logw"), col("gumbel"), col("score"),
+        (col("score") >= col("thr")).as("selected"))
+  }
+
+  /** Shared DSIR scoring: (id, logw, gumbel, score) per doc. */
+  private def dsirScores(docs: DataFrame, idCol: String, toksCol: String,
+                         targetCol: String, buckets: Int): DataFrame = {
     val bg = docs.select(col(idCol).as("id"), col(targetCol).as("tgt"),
         explode(TextFunctions.shingles(col(toksCol), 2)).as("sh"))
       .select(col("id"), col("tgt"),
@@ -829,14 +865,7 @@ object Curation {
       .withColumn("gumbel", round(-log(-log(col("u"))), 6))
       .withColumn("score", round(col("logw") + col("gumbel"), 6))
       .drop("u")
-    // exact top-n marker: TakeOrdered on (score desc, id), then a
-    // broadcast membership join — n rows, never a corpus-wide window
-    val nTake = math.floor(frac * docs.count()).toInt
-    val sel = scored.orderBy(col("score").desc, col("id")).limit(nTake)
-      .select(col("id"), lit(true).as("sel"))
-    scored.join(broadcast(sel), Seq("id"), "left")
-      .select(col("id"), col("logw"), col("gumbel"), col("score"),
-        coalesce(col("sel"), lit(false)).as("selected"))
+    scored
   }
 
   // ---- Gopher document-quality rules --------------------------------------

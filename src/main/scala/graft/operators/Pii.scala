@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.Tables
 
@@ -27,20 +28,19 @@ object Pii {
     * The email host alternation admits IP-literal hosts
     * (`root@10.0.0.1`) so the ordering contract holds for them too —
     * both Java regex and RE2 resolve the alternation leftmost-first,
-    * so the two engines agree byte-for-byte. */
-  val patterns: Seq[(String, String, String)] = Seq(
-    ("email",
-      """[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{1,3}(?:\.\d{1,3}){3})""",
-      "<EMAIL>"),
-    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
-    ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
-    ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"))
+    * so the two engines agree byte-for-byte. Defined once in
+    * [[graft.functions.PiiKernel]] (the fused single-pass kernel that
+    * executes them) and re-exported here for the oracle builder. */
+  val patterns: Seq[(String, String, String)] =
+    graft.functions.PiiKernel.patterns
 
-  /** Per-type non-overlapping match counts, as (n_<type>, count).
-    * Pattern i is counted on the text with patterns 0..i-1 already
-    * redacted, so a span consumed by an earlier, more-specific pattern
-    * (the host of `root@10.0.0.1`) is never double-counted by a later
-    * one. Placeholders are digit-free, so they can never re-match. */
+  /** Per-type non-overlapping match counts, as (n_<type>, count) —
+    * the COMPOSED-regex reference twin the kernel is parity-pinned
+    * against (PiiSpec): pattern i is counted on the text with patterns
+    * 0..i-1 already redacted, so a span consumed by an earlier,
+    * more-specific pattern (the host of `root@10.0.0.1`) is never
+    * double-counted by a later one. Placeholders are digit-free, so
+    * they can never re-match. Production paths use the kernel. */
   def scanColumns(text: Column): Seq[(String, Column)] = {
     val partials = patterns.scanLeft(text) { case (c, (_, pat, ph)) =>
       regexp_replace(c, pat, ph)
@@ -51,8 +51,15 @@ object Pii {
   }
 
   /** All PII spans replaced by typed placeholders, in [[patterns]]
-    * order — each rewrite hides its spans from later patterns. */
+    * order — each rewrite hides its spans from later patterns. One
+    * fused kernel pass ([[graft.functions.PiiKernel.redact]]). */
   def redact(text: Column): Column =
+    Bridge.column(graft.functions.PiiRedact(
+      Bridge.expression(text.cast("string"))))
+
+  /** The 4-pass `regexp_replace` twin of [[redact]], kept for the
+    * kernel parity spec. */
+  def redactColumns(text: Column): Column =
     patterns.foldLeft(text) { case (c, (_, pat, ph)) =>
       regexp_replace(c, pat, ph)
     }
@@ -63,24 +70,24 @@ object Pii {
     * corpus, so downstream "replace the dirty docs" is a broadcast-
     * size join against these ids.
     *
-    * Each partial redaction is materialized as a column of its own
-    * projection step, so pattern i's replace feeds both its count and
-    * the next partial explicitly — k counts + k replaces per row by
-    * construction, without relying on codegen subexpression
-    * elimination to dedup nested scanLeft trees. */
+    * Two kernel calls, each evaluated once per row: a CHEAP exact
+    * hit filter (`pii_has`, find-first + pre-gates — Catalyst pushes
+    * it to the scan, where most of a 100 TB corpus exits after one
+    * character scan) and the full fused count+redact struct
+    * ([[graft.functions.PiiKernel.scrub]]) on survivors only. The
+    * filter must NOT reference the scrub struct: predicate pushdown
+    * through the projection would duplicate the expensive kernel into
+    * the filter and evaluate it twice per surviving row. */
   def scan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    var df = docs.select(col(idCol), col(textCol).as("__partial"))
-    for ((name, pat, ph) <- patterns) {
-      df = df
-        .withColumn(s"n_$name",
-          regexp_count(col("__partial"), lit(pat)).cast("long"))
-        .withColumn("__partial", regexp_replace(col("__partial"), pat, ph))
-    }
-    val total = patterns.map(p => col(s"n_${p._1}")).reduce(_ + _)
-    df.withColumnRenamed("__partial", "redacted")
-      .filter(total > 0)
-      .select(col(idCol) +: patterns.map(p => col(s"n_${p._1}")) :+
-        col("redacted"): _*)
+    val text = col(textCol).cast("string")
+    val hit = Bridge.column(graft.functions.PiiHas(Bridge.expression(text)))
+    val scrub =
+      Bridge.column(graft.functions.PiiScrub(Bridge.expression(text)))
+    docs.filter(hit)
+      .select(col(idCol), scrub.as("__pii"))
+      .select(col(idCol) +:
+        patterns.map(p => col(s"__pii.n_${p._1}").as(s"n_${p._1}")) :+
+        col("__pii.redacted").as("redacted"): _*)
   }
 
   // ---- gate query ---------------------------------------------------------

@@ -399,6 +399,36 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("importanceResampleApprox: threshold path tracks the exact marker") {
+    // the 100 TB selection path: scores must be IDENTICAL to the exact
+    // variant (shared computation); the t-digest threshold's selection
+    // rate must track frac, and the kept sets must agree except at the
+    // quantile boundary (sketch accuracy, not score disagreement)
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id").as("id"),
+        TextFunctions.wsTokens(lower(col("text"))).as("toks"),
+        (col("lang") === "en").as("tgt"))
+    val frac = 0.2
+    val exact = Curation.importanceResample(docs, "id", "toks", "tgt",
+      buckets = 1024, frac = frac).orderBy("id").collect()
+    val approx = Curation.importanceResampleApprox(docs, "id", "toks", "tgt",
+      buckets = 1024, frac = frac).orderBy("id").collect()
+    assert(exact.length == approx.length)
+    // bit-identical scores row by row
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getLong(0) == a.getLong(0))
+      assert(e.getAs[Double]("score") == a.getAs[Double]("score"),
+        s"id=${e.getLong(0)} score drift")
+    }
+    val n = exact.length.toDouble
+    val rate = approx.count(_.getAs[Boolean]("selected")) / n
+    assert(math.abs(rate - frac) < 0.03, s"selection rate $rate vs $frac")
+    // set agreement: disagreements only from the threshold ulp/sketch
+    val agree = exact.zip(approx).count { case (e, a) =>
+      e.getAs[Boolean]("selected") == a.getAs[Boolean]("selected") } / n
+    assert(agree >= 0.97, s"selected-set agreement $agree")
+  }
+
   test("mixturePlan/realizeMixture: epochs math, up/down-sampling, zero-weight drop") {
     import spark.implicits._
     // A: 20 tokens over 2 docs; B: 10 tokens; C unweighted

@@ -56,4 +56,52 @@ class PiiSpec extends SparkSpec {
       ((1L, 1L, 1L, 1L)))
     assert(r.getString(5) == "<EMAIL> <IP> <SSN> <PHONE>")
   }
+
+  test("fused kernel ≡ composed regex program: counts, bytes, hit set") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // adversarial shapes first: boundary shifts the redaction CREATES
+    // (a@b.co1.2.3.4 → '<EMAIL>1.2.3.4' where raw 'co1.2.3.4' has no
+    // \b), missing boundaries, near-miss shapes, empties, and corpus
+    // text with the gate-style injections appended
+    val adversarial = Seq(
+      "a@b.co1.2.3.4 redaction-created ipv4 boundary",
+      "x1.2.3.4 no leading word boundary",
+      "999.999.999.999 shape matches out-of-range",
+      "1.2.3.4.5 five octets", "1.2.3 three octets",
+      "root@10.0.0.1 ip-literal host", "user@10.300.0.1x trailing",
+      "12-345-6789 and 1234-56-7890 near-miss ssn",
+      "415-555-0042415-555-9999 glued phones",
+      "a@b.co 1.2.3.4 123-45-6789 415-555-0042",
+      "", "@", ".", "no pii at all", "digits 12345 only",
+      "a@@b.co double at", "trailing dot a@b.co.")
+    val corpus = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"text").limit(200).collect()
+      .map(r => (100000L + r.getLong(0),
+        r.getString(1) + s" u${r.getLong(0)}@ex.io 10.${r.getLong(0) % 200}.0.1"))
+    val df = (adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      ++ corpus).toSeq.toDF("id", "text")
+
+    val twin = df.select(col("id") +:
+      Pii.scanColumns(col("text")).map { case (n, c) => c.as(n) } :+
+      Pii.redactColumns(col("text")).as("redacted"): _*)
+      .orderBy("id").collect()
+    val fused = df.select(col("id"),
+      Bridge.column(graft.functions.PiiScrub(
+        Bridge.expression(col("text")))).as("p"),
+      Bridge.column(graft.functions.PiiHas(
+        Bridge.expression(col("text")))).as("hit"))
+      .select($"id", $"p.n_email", $"p.n_ipv4", $"p.n_ssn", $"p.n_phone",
+        $"p.redacted", $"hit")
+      .orderBy("id").collect()
+
+    assert(twin.length == fused.length)
+    twin.zip(fused).foreach { case (t, f) =>
+      val id = t.getLong(0)
+      (1 to 4).foreach { i =>
+        assert(t.getLong(i) == f.getLong(i), s"id=$id count col $i") }
+      assert(t.getString(5) == f.getString(5), s"id=$id redacted bytes")
+      val total = (1 to 4).map(t.getLong).sum
+      assert(f.getBoolean(6) == (total > 0), s"id=$id hasPii vs total")
+    }
+  }
 }
