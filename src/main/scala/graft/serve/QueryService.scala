@@ -199,17 +199,21 @@ class QueryService(
   }
 
   /** Minor compaction (segment overflow, small accumulated delta):
-    * fold all segments + this delta into ONE merged segment without
-    * touching base — O(sum-of-deltas), not O(corpus). Retires the old
-    * segment dirs (and superseded derived) under the one-flip grace. */
+    * fold the SIZE-TIERED small tail of segments + this delta into one
+    * merged segment ([[SegmentedStore.foldSet]]) without touching base
+    * or any bigger folded tier — O(small tail), not O(corpus) and not
+    * O(biggest tier). Retires only the folded segment dirs (and
+    * superseded derived) under the one-flip grace. */
   private def persistFold(delta: IndexBundle): Unit = {
     val m = manifest.getOrElse(
       throw new IllegalStateException("fold needs a base generation"))
-    val next = SegmentedStore.foldSegments(spark, storeRoot, m, delta)
+    val folded = SegmentedStore.foldSet(spark, storeRoot, m)
+    val next =
+      SegmentedStore.foldSegments(spark, storeRoot, m, delta, Some(folded))
     SegmentedStore.writeManifest(storeRoot, next)
     bundle = Some(SegmentedStore.loadView(spark, storeRoot, next, hint = bundle))
     manifest = Some(next)
-    retire((m.segments ++
+    retire((folded ++
       (if (m.derived != next.derived && m.derived != m.base) Seq(m.derived)
        else Nil)).distinct)
   }

@@ -651,11 +651,44 @@ object SegmentedStore {
     * Threshold: segment rows ≥ half the base's. */
   def needsMajorCompaction(spark: SparkSession, root: String,
                            m: Manifest): Boolean = {
-    def rows(dir: String): Long =
-      if (!hasData(spark, dir)) 0L else spark.read.parquet(dir).count()
-    val base = rows(s"$root/${m.base}/chunks")
-    val segs = m.segments.map(d => rows(s"$root/$d/chunks")).sum
+    val base = footerRows(spark, s"$root/${m.base}/chunks")
+    val segs = m.segments.map(d => footerRows(spark, s"$root/$d/chunks")).sum
     segs * 2 >= base
+  }
+
+  private def footerRows(spark: SparkSession, dir: String): Long =
+    if (!hasData(spark, dir)) 0L else spark.read.parquet(dir).count()
+
+  /** Size-tiered fold-set selection at segment overflow (the second
+    * tier level between the O(delta) minor fold and the O(corpus)
+    * major rebuild): fold-ALL rewrites the previously-merged big
+    * segment on EVERY overflow, so its rows are re-streamed ~every
+    * MaxSegments ingests — an O(merged-tier) write-amplification term
+    * that grows toward base/2 before the major criterion fires. This
+    * picks only the SMALL tail: always the two smallest segments (the
+    * count must shrink), greedily extended while the next-larger
+    * segment is at most 2× the rows already accumulated in the fold.
+    * A big folded tier is therefore rewritten only once the newer data
+    * reaches half its size — every row is rewritten O(log(corpus/
+    * delta)) times across its lifetime, bounded at every level, and
+    * the full rebuild stays reserved for the deep (base/2) overflow.
+    * Sizes come from parquet footer counts (metadata-only jobs). */
+  def foldSet(spark: SparkSession, root: String, m: Manifest): Seq[String] = {
+    if (m.segments.size <= 2) return m.segments
+    val sorted = m.segments
+      .map(d => d -> footerRows(spark, s"$root/$d/chunks"))
+      .sortBy { case (d, r) => (r, d) }
+    // the walk stops permanently at the first too-large segment:
+    // everything after it is larger still (sorted ascending)
+    val prefix = scala.collection.mutable.ArrayBuffer[String]()
+    var acc = 0L
+    var stopped = false
+    sorted.foreach { case (d, r) =>
+      if (!stopped && (prefix.size < 2 || r <= 2 * acc)) {
+        prefix += d; acc += r
+      } else stopped = true
+    }
+    prefix.toSeq
   }
 
   /** **Minor compaction**: fold every delta segment PLUS the incoming
@@ -685,11 +718,16 @@ object SegmentedStore {
     * foreign/preloaded stores. Crash-safe like every other mutation:
     * all dirs land before the manifest flips; orphans GC at startup. */
   def foldSegments(spark: SparkSession, root: String, m: Manifest,
-                   delta: IndexBundle): Manifest = {
+                   delta: IndexBundle,
+                   folded: Option[Seq[String]] = None): Manifest = {
     val seq = m.seq + 1
     val segName = s"seg$seq"
     val seg = s"$root/$segName"
-    val segDirs = m.segments.map(d => s"$root/$d")
+    // size-tiered: fold only the chosen subset (default: everything),
+    // leaving bigger tiers untouched on disk AND in the manifest
+    val foldDirs = folded.getOrElse(m.segments)
+    val retained = m.segments.filterNot(foldDirs.contains)
+    val segDirs = foldDirs.map(d => s"$root/$d")
     scrubTargets(spark, Seq(seg, s"$root/derived$seq"))
 
     val emb = delta.chunks
@@ -778,7 +816,7 @@ object SegmentedStore {
       if (n > 0) writeHnsw(mergedEmb, n, seg)
     }
 
-    Manifest(m.base, List(segName),
+    Manifest(m.base, retained :+ segName,
       if (hasPostings) s"derived$seq" else m.derived, seq,
       m.annTables, m.annBits, m.storeId.orElse(Some(newStoreId())))
   }

@@ -252,6 +252,55 @@ class IncrementalStoreSpec extends SparkSpec {
     assert(stats(svc) == stats(ref))
   }
 
+  test("size-tiered fold: a big folded tier survives later small folds untouched") {
+    val root = TmpDirs.create("graft_incr_tiered")
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(200)))
+    // round 1: overflow with 4-doc deltas → one merged tier M (~36 docs)
+    for (i <- 1 to SegmentedStore.MaxSegments + 1)
+      svc.ingestBatch(docsDf((1 to 4).map(j => (s"t1_${i}_$j.md",
+        s"Tier one batch $i document $j carrying marker alpha$i.", "org_a"))))
+    val m1 = SegmentedStore.readManifest(root).get
+    assert(m1.base == "gen0" && m1.segments.size == 1, s"round-1 fold: $m1")
+    val bigSeg = m1.segments.head
+    val bigInv = inventory(root).filter(_._1.contains(s"/$bigSeg/"))
+    assert(bigInv.nonEmpty)
+    // round 2: overflow again with SINGLE-doc deltas — the size-tiered
+    // fold set must take only the small tail (7 singles + delta ≪ M/2),
+    // so M stays in the manifest AND byte-identical on disk: write
+    // amplification is bounded per tier, not O(biggest tier) per fold
+    for (i <- 1 to SegmentedStore.MaxSegments) // the 8th triggers the fold
+      svc.ingestBatch(docsDf(Seq((s"t2_$i.md",
+        s"Tier two probe $i carrying marker beta$i.", "org_a"))))
+    val m2 = SegmentedStore.readManifest(root).get
+    assert(m2.base == "gen0", s"tiered fold must not rebuild base: $m2")
+    assert(m2.segments.contains(bigSeg),
+      s"big tier $bigSeg folded away by a small-tail fold: ${m2.segments}")
+    assert(m2.segments.size == 2, s"expected [bigTier, mergedTail]: ${m2.segments}")
+    assert(inventory(root).filter(_._1.contains(s"/$bigSeg/")) == bigInv,
+      "small-tail fold rewrote the big tier's files")
+    // both tiers searchable in every dense mode
+    for (mode <- Seq("exact", "ann", "quantized", "ivfpq", "hnsw");
+         marker <- Seq("alpha3", "beta3")) {
+      val r = parse(svc.handle(
+        s"""{"op":"search","organization_id":"org_a","query":"$marker tier","limit":5,"dense_mode":"$mode"}"""))
+      assert((r \ "total_results").extract[Int] > 0,
+        s"tiered store lost $marker via $mode")
+    }
+    // BM25 state identical to a from-scratch ingest of the same corpus
+    val rootB = TmpDirs.create("graft_incr_tiered_ref")
+    val ref = new QueryService(spark, rootB)
+    ref.ingestBatch(docsDf(seedRows(200) ++
+      (1 to SegmentedStore.MaxSegments + 1).flatMap(i => (1 to 4).map(j =>
+        (s"t1_${i}_$j.md",
+          s"Tier one batch $i document $j carrying marker alpha$i.", "org_a"))) ++
+      (1 to SegmentedStore.MaxSegments).map(i => (s"t2_$i.md",
+        s"Tier two probe $i carrying marker beta$i.", "org_a"))))
+    def bmStats(s: QueryService): JValue =
+      parse(s.handle("""{"op":"stats"}""")) \ "bm25"
+    assert(bmStats(svc) == bmStats(ref))
+  }
+
   test("segment overflow escalates to MAJOR once deltas rival the base") {
     val root = TmpDirs.create("graft_incr_major")
     val svc = new QueryService(spark, root)
