@@ -671,9 +671,81 @@ object CurationStream {
     * suppress another tenant's identical or near-dup copy (tenant
     * isolation, the reference's core invariant,
     * `tenant_schema.py:35-74`). */
+  /** State-layout identity: the Cfg knobs that shape the PERSISTED
+    * dedup state. `minhashK`/`bands`/`rows` determine the minhash
+    * signature and the `band_key` derivation — a restart with a
+    * different value would keep running but silently stop matching
+    * near-duplicates against everything curated BEFORE the change
+    * (old band rows probe under the old layout, new batches under the
+    * new one: two disjoint key spaces). The first batch stamps
+    * `stateDir/_identity`; every later batch verifies it and fails
+    * LOUDLY on mismatch instead of degrading.
+    *
+    * The upgrade-compatibility contract (rehearsed by
+    * tools/stream_upgrade_rehearsal.sh):
+    *  - `minhashK`/`bands`/`rows` — STATE-BREAKING: changing them
+    *    requires a fresh stateDir (re-curate or accept a dedup epoch
+    *    boundary); the fence makes the violation an error, not a
+    *    silent recall loss.
+    *  - `jaccardThreshold`, `minWordsPerLine`, `gopherWordBounds` —
+    *    behavior knobs: they change how FUTURE batches are judged,
+    *    never how persisted state is keyed. Compatible across
+    *    restarts.
+    *  - `statePruneMinBytes`, `autoCompactMinDeltaFiles` —
+    *    operational knobs: read-path/maintenance only. Compatible.
+    *  - the Spark checkpoint itself: foreachBatch logic and these Cfg
+    *    knobs are opaque to Spark — offsets/commits replay fine. Only
+    *    SOURCE changes (schema, path identity) follow Spark's own
+    *    checkpoint rules. */
+  private def identityJson(cfg: Cfg): String =
+    s"""{"minhashK":${cfg.minhashK},"bands":${cfg.bands},"rows":${cfg.rows}}"""
+
+  // stateDirs verified this process (qualified path -> identity json):
+  // skips the per-batch FS probe once a dir has been checked
+  private val identityChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureStateIdentity(spark: SparkSession, stateDir: String,
+                                  cfg: Cfg): Unit = {
+    val want = identityJson(cfg)
+    val (fs, root) = hadoopFs(spark, stateDir)
+    val key = fs.makeQualified(root).toString
+    if (want == identityChecked.get(key)) return
+    val p = new org.apache.hadoop.fs.Path(stateDir, "_identity")
+    def readIt(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    val found = readIt().orElse {
+      fs.mkdirs(root)
+      // create-if-absent stamp; a concurrent stamper wins harmlessly
+      // (same cfg writes identical bytes; a different cfg is exactly
+      // the conflict the re-read surfaces)
+      try {
+        val out = fs.create(p, false)
+        try out.write(want.getBytes("UTF-8")) finally out.close()
+        Some(want)
+      } catch { case _: java.io.IOException => readIt() }
+    }
+    found.filter(_ != want).foreach { have =>
+      throw new IllegalStateException(
+        s"curation state $stateDir was built with dedup identity $have " +
+          s"but this run is configured with $want: minhashK/bands/rows " +
+          "reshape the persisted band_key space, so continuing would " +
+          "silently stop matching near-duplicates against pre-change " +
+          "state. Use a fresh stateDir (or revert the config). " +
+          "Thresholds/gopher/prune/compaction knobs do NOT require this.")
+    }
+    identityChecked.put(key, want)
+  }
+
   def curateSurvivorsDeferred(batch0: DataFrame, stateDir: String,
                               cfg: Cfg = Cfg()): CurationOutcome = {
     val spark = batch0.sparkSession
+    ensureStateIdentity(spark, stateDir, cfg)
     val scoped = batch0.columns.contains("scope")
     // scoped mode rejects null scopes up front: concat_ws would skip a
     // null and silently fall back to the UNSCOPED key space (an

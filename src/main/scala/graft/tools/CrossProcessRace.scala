@@ -164,6 +164,14 @@ object CrossProcessRace {
         val docsDir = args(2)
         val checkpoint = args(3)
         val store = args(4)
+        // optional upgrade-rehearsal knobs: args(5) = bands override
+        // (state-BREAKING — the identity fence must refuse a changed
+        // value on an existing state), args(6) = "minW:maxW" Gopher
+        // gate (behavior knob — compatible across restarts)
+        val bands = if (args.length > 5) args(5).toInt else 4
+        val gopher = if (args.length > 6 && args(6) != "-") {
+          val Array(a, b) = args(6).split(":"); Some((a.toInt, b.toInt))
+        } else None
         val svc = new graft.serve.QueryService(spark, store)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("filename",
@@ -175,7 +183,8 @@ object CrossProcessRace {
         val docs = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).json(docsDir)
         val q = CurationStream.curateToServeStream(svc, docs, stateDir,
-          checkpoint, CurationStream.Cfg(autoCompactMinDeltaFiles = 4))
+          checkpoint, CurationStream.Cfg(autoCompactMinDeltaFiles = 4,
+            bands = bands, gopherWordBounds = gopher))
           .start()
         q.awaitTermination()
         println(s"""{"streamdrain":{"done":true}}""")

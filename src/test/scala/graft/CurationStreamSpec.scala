@@ -178,4 +178,28 @@ class CurationStreamSpec extends SparkSpec {
     }
     assert(run() == run())
   }
+
+  test("state identity fence: layout knobs refuse, behavior knobs pass") {
+    val state = tmp()
+    CurationStream.curateBatch(
+      Seq((1L, unique(1)), (2L, unique(2))).toDF("id", "text"), state,
+      CurationStream.Cfg(bands = 4, rows = 4))
+    assert(Files.exists(Paths.get(state, "_identity")), "first batch stamps")
+    // state-BREAKING: a changed band layout must fail loudly — old
+    // band rows and new batches would otherwise probe disjoint key
+    // spaces (silent near-dup recall loss against pre-change state)
+    val e = intercept[IllegalStateException] {
+      CurationStream.curateBatch(
+        Seq((3L, unique(3))).toDF("id", "text"), state,
+        CurationStream.Cfg(bands = 8, rows = 2))
+    }
+    assert(e.getMessage.contains("dedup identity"))
+    // behavior knobs (threshold, line cleaner, gopher, prune) are
+    // compatible: the batch runs and the state still dedups
+    val n = CurationStream.curateBatch(
+      Seq((4L, unique(1)), (5L, unique(5))).toDF("id", "text"), state,
+      CurationStream.Cfg(bands = 4, rows = 4, jaccardThreshold = 0.9,
+        minWordsPerLine = 2, statePruneMinBytes = 0L))
+    assert(n == 1L, "exact dup of doc 1 must still drop; fresh doc survives")
+  }
 }

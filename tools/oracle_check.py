@@ -6,6 +6,7 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -54,7 +55,11 @@ def cmp_frames(a: pd.DataFrame, b: pd.DataFrame, name: str):
 def main(sf_dir: str, out_dir: str):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are plain files; ScaleUp fixtures (sf1) are
+        # Spark output DIRECTORIES — glob the part files in that case
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     ok = fail = 0
