@@ -106,6 +106,75 @@ object ServeBench {
         s""""segments_after":${mAfter.segments.size},"batch_secs":[${
         steps.map(s => f"$s%.2f").mkString(",")}]}""")
     }
+    // tiered-fold escalation pin (SPARK_GRAFT_TIERED=1, VERDICT r13
+    // ask #3's measurement): build a BIG folded tier, then overflow
+    // again with single-doc deltas and time the fold. Under fold-ALL
+    // the big tier was re-streamed every overflow (cost grows with the
+    // tier); under the size-tiered foldSet the tail fold must be FLAT
+    // in big-tier size and the big tier byte-untouched. Two tier sizes
+    // prove the flatness; the manifest + file inventory prove the
+    // non-rewrite.
+    if (sys.env.contains("SPARK_GRAFT_TIERED")) {
+      import spark.implicits._
+      def inventory(root: String): Map[String, (Long, Long)] = {
+        val p = java.nio.file.Paths.get(root)
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(f => (f.toString, (java.nio.file.Files.size(f),
+              java.nio.file.Files.getLastModifiedTime(f).toMillis)))
+            .toMap
+        } finally s.close()
+      }
+      val out = Seq(200, 800).map { tierDocs =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_servebench_tier$tierDocs").toString
+        val svc = new graft.serve.QueryService(spark, root)
+        val docs = graft.Tables(spark, sfDir, "documents")
+        // base: 3000 docs (sf0.1 holds 5000) — big enough that even the
+        // 800-doc tier stays under the base/2 major-escalation line
+        svc.ingestBatch(docs.filter(col("doc_id") < 3000)
+          .select(concat(lit("doc_"), col("doc_id"), lit(".md")).as("filename"),
+            col("text"), lit("org_bench").as("organization_id")))
+        // build the big tier: 8 equal batches then an overflow batch →
+        // fold-all of the 8 into one merged tier of ~tierDocs docs
+        val per = tierDocs / 8
+        (0 until 8).foreach { k =>
+          svc.ingestBatch(docs
+            .filter(col("doc_id") >= 3000 + k * per &&
+              col("doc_id") < 3000 + (k + 1) * per)
+            .select(concat(lit("big_"), col("doc_id"), lit(".md")).as("filename"),
+              col("text"), lit("org_bench").as("organization_id")))
+        }
+        val buildFoldSec = time { svc.ingestBatch(Seq(("tier_cap.md",
+          "Tier cap document with a steady plain payload of sentences.",
+          "org_bench")).toDF("filename", "text", "organization_id")) }
+        val m1 = graft.sources.SegmentedStore.readManifest(root).get
+        val bigSeg = m1.segments.head
+        val bigInv = inventory(root).filter(_._1.contains(s"/$bigSeg/"))
+        // refill with singles and time the NEXT overflow fold
+        (1 to graft.sources.SegmentedStore.MaxSegments - 1).foreach { i =>
+          svc.ingestBatch(Seq((s"tail_$i.md",
+            s"Tail probe $i with a steady plain payload of sentences.",
+            "org_bench")).toDF("filename", "text", "organization_id"))
+        }
+        val tailFoldSec = time { svc.ingestBatch(Seq(("tail_cap.md",
+          "Tail cap document with a steady plain payload of sentences.",
+          "org_bench")).toDF("filename", "text", "organization_id")) }
+        val m2 = graft.sources.SegmentedStore.readManifest(root).get
+        val retained = m2.segments.contains(bigSeg)
+        val untouched =
+          inventory(root).filter(_._1.contains(s"/$bigSeg/")) == bigInv
+        s""""tier_$tierDocs":{"build_fold_sec":${f"$buildFoldSec%.2f"},""" +
+          s""""tail_fold_sec":${f"$tailFoldSec%.2f"},""" +
+          s""""big_tier_retained":$retained,""" +
+          s""""big_tier_untouched":$untouched,""" +
+          s""""segments_after":${m2.segments.size}}"""
+      }
+      println(out.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }
