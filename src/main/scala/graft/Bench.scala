@@ -22,15 +22,20 @@ object Bench {
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_MASTER: same executor-resident escape hatch as Verify —
+    // run the bench under `local-cluster[2,16,8192]` (separate executor
+    // JVMs) with SPARK_GRAFT_EXEC_CP pointing at the compiled classes.
+    val builder = SparkSession.builder()
       .withExtensions(new GraftExtensions()(_))
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", "1000000")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXEC_CP")
+      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen warm-up outside the measurement (tiny jobs, no
@@ -170,9 +175,19 @@ object Bench {
     // happened twice. A default full-suite run under ambient load
     // lands in BENCH_LOCAL_LOADED.json instead; an EXPLICIT
     // SPARK_GRAFT_BENCH_OUT writes wherever it says (intent shown).
+    // A cluster-master run (SPARK_GRAFT_MASTER) measures a different
+    // execution topology — it gets its own default artifact so the
+    // local[32] quiet record is never replaced by cluster numbers.
+    // The quiet record is also SCALE-STAMPED: a full-suite run at any
+    // sf other than the committed record's sf0.1 (e.g. the verify
+    // skill's sf0.001 contract smoke) must not replace it — that
+    // exact clobber has now happened at three different entry points.
     val quietStart = scala.util.Try(loadStart.toDouble).getOrElse(99.0) <= 2.0
+    val contractSf = sfDir.stripSuffix("/").endsWith("sf0.1")
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (sys.env.contains("SPARK_GRAFT_ONLY")) None
+      .orElse(if (sys.env.contains("SPARK_GRAFT_ONLY") || !contractSf) None
+              else if (sys.env.contains("SPARK_GRAFT_MASTER"))
+                Some("BENCH_CLUSTER.json")
               else if (quietStart) Some("BENCH_LOCAL.json")
               else {
                 System.err.println(s"[bench] load_start=$loadStart > 2.0" +
