@@ -187,7 +187,10 @@ object Bench {
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (sys.env.contains("SPARK_GRAFT_ONLY") || !contractSf) None
               else if (sys.env.contains("SPARK_GRAFT_MASTER"))
-                Some("BENCH_CLUSTER.json")
+                // same quiet-load fence as the local record — a loaded
+                // cluster run must not replace the quiet cluster pin
+                Some(if (quietStart) "BENCH_CLUSTER.json"
+                     else "BENCH_CLUSTER_LOADED.json")
               else if (quietStart) Some("BENCH_LOCAL.json")
               else {
                 System.err.println(s"[bench] load_start=$loadStart > 2.0" +

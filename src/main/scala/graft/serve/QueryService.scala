@@ -204,10 +204,11 @@ class QueryService(
     * or any bigger folded tier — O(small tail), not O(corpus) and not
     * O(biggest tier). Retires only the folded segment dirs (and
     * superseded derived) under the one-flip grace. */
-  private def persistFold(delta: IndexBundle): Unit = {
+  private def persistFold(delta: IndexBundle,
+                          segRows: Map[String, Long]): Unit = {
     val m = manifest.getOrElse(
       throw new IllegalStateException("fold needs a base generation"))
-    val folded = SegmentedStore.foldSet(spark, storeRoot, m)
+    val folded = SegmentedStore.foldSet(m, segRows)
     val next =
       SegmentedStore.foldSegments(spark, storeRoot, m, delta, Some(folded))
     SegmentedStore.writeManifest(storeRoot, next)
@@ -227,9 +228,12 @@ class QueryService(
   private def persistInsert(delta: IndexBundle): Unit = (bundle, manifest) match {
     case (None, _) | (_, None) => persistFull(delta)
     case (Some(old), Some(m)) if m.segments.size >= SegmentedStore.MaxSegments =>
-      if (SegmentedStore.needsMajorCompaction(spark, storeRoot, m))
+      // one row-count pass serves both the major check and the fold-set
+      // selection — the dirs can't change under the mutation lease
+      val segRows = SegmentedStore.segmentRows(spark, storeRoot, m)
+      if (SegmentedStore.needsMajorCompaction(spark, storeRoot, m, segRows))
         persistFull(mergeBundles(old, delta))
-      else persistFold(delta)
+      else persistFold(delta, segRows)
     case _ => persistDelta(delta)
   }
 

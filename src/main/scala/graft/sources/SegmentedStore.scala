@@ -649,12 +649,19 @@ object SegmentedStore {
     * per overflow, and is exact at any scale — byte sizes would be
     * swamped by per-file format overhead for small segments.
     * Threshold: segment rows ≥ half the base's. */
-  def needsMajorCompaction(spark: SparkSession, root: String,
-                           m: Manifest): Boolean = {
+  def needsMajorCompaction(spark: SparkSession, root: String, m: Manifest,
+                           segRows: Map[String, Long]): Boolean = {
     val base = footerRows(spark, s"$root/${m.base}/chunks")
-    val segs = m.segments.map(d => footerRows(spark, s"$root/$d/chunks")).sum
-    segs * 2 >= base
+    segRows.values.sum * 2 >= base
   }
+
+  /** Per-segment chunk row counts, computed ONCE per overflow and
+    * shared by [[needsMajorCompaction]] and [[foldSet]] — the counts
+    * cannot change between the two checks (both run under the same
+    * mutation lease), and each count is a Spark job. */
+  def segmentRows(spark: SparkSession, root: String,
+                  m: Manifest): Map[String, Long] =
+    m.segments.map(d => d -> footerRows(spark, s"$root/$d/chunks")).toMap
 
   private def footerRows(spark: SparkSession, dir: String): Long =
     if (!hasData(spark, dir)) 0L else spark.read.parquet(dir).count()
@@ -672,11 +679,11 @@ object SegmentedStore {
     * reaches half its size — every row is rewritten O(log(corpus/
     * delta)) times across its lifetime, bounded at every level, and
     * the full rebuild stays reserved for the deep (base/2) overflow.
-    * Sizes come from parquet footer counts (metadata-only jobs). */
-  def foldSet(spark: SparkSession, root: String, m: Manifest): Seq[String] = {
+    * Sizes come from the caller's one [[segmentRows]] pass. */
+  def foldSet(m: Manifest, segRows: Map[String, Long]): Seq[String] = {
     if (m.segments.size <= 2) return m.segments
     val sorted = m.segments
-      .map(d => d -> footerRows(spark, s"$root/$d/chunks"))
+      .map(d => d -> segRows.getOrElse(d, 0L))
       .sortBy { case (d, r) => (r, d) }
     // the walk stops permanently at the first too-large segment:
     // everything after it is larger still (sorted ascending)

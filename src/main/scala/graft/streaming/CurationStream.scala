@@ -701,7 +701,9 @@ object CurationStream {
     s"""{"minhashK":${cfg.minhashK},"bands":${cfg.bands},"rows":${cfg.rows}}"""
 
   // stateDirs verified this process (qualified path -> identity json):
-  // skips the per-batch FS probe once a dir has been checked
+  // downgrades the per-batch verification to one exists() probe once a
+  // dir has been checked (the probe stays: an externally wiped-and-
+  // recreated dir must be re-stamped, not trusted from a stale cache)
   private val identityChecked =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -710,8 +712,8 @@ object CurationStream {
     val want = identityJson(cfg)
     val (fs, root) = hadoopFs(spark, stateDir)
     val key = fs.makeQualified(root).toString
-    if (want == identityChecked.get(key)) return
     val p = new org.apache.hadoop.fs.Path(stateDir, "_identity")
+    if (want == identityChecked.get(key) && fs.exists(p)) return
     def readIt(): Option[String] =
       if (!fs.exists(p)) None
       else {
@@ -719,25 +721,47 @@ object CurationStream {
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
       }
-    val found = readIt().orElse {
-      fs.mkdirs(root)
-      // create-if-absent stamp; a concurrent stamper wins harmlessly
-      // (same cfg writes identical bytes; a different cfg is exactly
-      // the conflict the re-read surfaces)
+    // a stamp is VALID iff it is a complete json object — identityJson
+    // always emits one, so anything else is a torn write (a crash
+    // between create and close leaves an empty/truncated file)
+    def valid(s: String): Boolean = s.startsWith("{") && s.endsWith("}")
+    def stamp(): Option[String] =
+      // create-if-absent; a concurrent stamper wins harmlessly (same
+      // cfg writes identical bytes; a different cfg is exactly the
+      // conflict the re-read surfaces)
       try {
         val out = fs.create(p, false)
         try out.write(want.getBytes("UTF-8")) finally out.close()
         Some(want)
       } catch { case _: java.io.IOException => readIt() }
+    val found = readIt().orElse { fs.mkdirs(root); stamp() } match {
+      case Some(s) if !valid(s) =>
+        // torn stamp: never a real identity — recover by re-stamping
+        // instead of bricking the dir with a mismatch error
+        try { fs.delete(p, false); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        stamp()
+      case other => other
     }
-    found.filter(_ != want).foreach { have =>
-      throw new IllegalStateException(
-        s"curation state $stateDir was built with dedup identity $have " +
-          s"but this run is configured with $want: minhashK/bands/rows " +
-          "reshape the persisted band_key space, so continuing would " +
-          "silently stop matching near-duplicates against pre-change " +
-          "state. Use a fresh stateDir (or revert the config). " +
-          "Thresholds/gopher/prune/compaction knobs do NOT require this.")
+    found match {
+      case None =>
+        // could neither read nor write a stamp (transient FS error):
+        // fail the batch rather than run UNFENCED — caching this dir as
+        // checked would disable the fence for the process lifetime and
+        // leave the state permanently unstamped
+        throw new IllegalStateException(
+          s"could not stamp or read $stateDir/_identity: the state-" +
+            "layout fence cannot be verified; failing the batch " +
+            "(transient FS error — the stream's retry re-attempts)")
+      case Some(have) if have != want =>
+        throw new IllegalStateException(
+          s"curation state $stateDir was built with dedup identity $have " +
+            s"but this run is configured with $want: minhashK/bands/rows " +
+            "reshape the persisted band_key space, so continuing would " +
+            "silently stop matching near-duplicates against pre-change " +
+            "state. Use a fresh stateDir (or revert the config). " +
+            "Thresholds/gopher/prune/compaction knobs do NOT require this.")
+      case _ => ()
     }
     identityChecked.put(key, want)
   }

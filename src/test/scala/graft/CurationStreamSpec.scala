@@ -202,4 +202,31 @@ class CurationStreamSpec extends SparkSpec {
         minWordsPerLine = 2, statePruneMinBytes = 0L))
     assert(n == 1L, "exact dup of doc 1 must still drop; fresh doc survives")
   }
+
+  test("identity fence: torn stamp recovers; wiped state dir re-stamps") {
+    val state = tmp()
+    // torn stamp: a crash between create and close leaves an empty
+    // _identity — never a valid identity; the fence must re-stamp
+    // instead of bricking the dir with a mismatch error
+    Files.write(Paths.get(state, "_identity"), Array.emptyByteArray)
+    CurationStream.curateBatch(
+      Seq((1L, unique(1))).toDF("id", "text"), state,
+      CurationStream.Cfg(bands = 4, rows = 4))
+    val stamped = new String(
+      Files.readAllBytes(Paths.get(state, "_identity")), "UTF-8")
+    assert(stamped.startsWith("{") && stamped.endsWith("}"),
+      s"torn stamp not rewritten: '$stamped'")
+    // external wipe-and-recreate inside one JVM: the per-process cache
+    // must not trust the stale verification — the fresh dir is
+    // re-stamped (and so stays fenced against a later layout change)
+    val walk = Files.walk(Paths.get(state))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(Files.delete(_))
+    finally walk.close()
+    CurationStream.curateBatch(
+      Seq((2L, unique(2))).toDF("id", "text"), state,
+      CurationStream.Cfg(bands = 4, rows = 4))
+    assert(Files.exists(Paths.get(state, "_identity")),
+      "recreated state dir was not re-stamped")
+  }
 }
