@@ -32,14 +32,20 @@ object IngestGates {
   private val H2 = "Section 2.1.1: Details" // 22 chars, number 2.1.1
 
   /** Injected doc: three legal headings with word-salad bodies sliced
-    * from `repeat(text || ' ', 16)` (min doc is 48 chars → ≥784-char
-    * rope, enough for the 760 chars of slices). Layout (offsets are
-    * constants because slice lengths are fixed):
+    * from `repeat(text || ' ', 16)`. Layout:
     * {{{
     *   0   H0 \n\n s1(140) \n\n        — section 0: [0, 167)
     *   167 H1 \n\n s2(280) \n\n s3(200) \n\n — section 1: [167, 671)
-    *   671 H2 \n\n s4(140)             — section 2: [671, 835)
+    *   671 H2 \n\n s4(≤140)            — section 2: [671, 695+len(s4))
     * }}}
+    * The 0/167/671 offsets are constants because s1–s3 are full
+    * whenever the doc text is ≥39 chars (every fixture's minimum is
+    * ≥44). The TAIL slice s4 truncates below 47 chars — sf0.1 has 4
+    * such docs (44–46 chars), so the last section's char_end is
+    * 695+len(s4), NOT the constant 835 this gate hash-pinned until the
+    * sf0.1 replay caught it (the driver's sf0.01 fixture has no doc
+    * under 48 chars — a scale-revealed oracle bug, the engine side was
+    * right all along).
     * Section 1's three paragraphs (heading, s2, s3) exceed the 400-char
     * paragraph budget, so the packer emits two chunks and runs the
     * 50-word-overlap carry — the word count sits right at the 50
@@ -114,7 +120,8 @@ object IngestGates {
        |    'doc' || doc_id || '_doc', 1, '$H1', '2.1', 167, 671,
        |    ${wc("sec1")}, md5(sec1) FROM f
        |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_2', 'section',
-       |    'doc' || doc_id || '_doc', 2, '$H2', '2.1.1', 671, 835,
+       |    'doc' || doc_id || '_doc', 2, '$H2', '2.1.1', 671,
+       |    CAST(695 + len(s4) AS BIGINT),
        |    ${wc("sec2")}, md5(sec2) FROM f
        |  UNION ALL SELECT doc_id, 'doc' || doc_id || '_sec_0_para_0', 'paragraph',
        |    'doc' || doc_id || '_sec_0', 0, '$H0', NULL, NULL, NULL,
