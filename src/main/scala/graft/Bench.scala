@@ -18,8 +18,39 @@ object Bench {
       .split("\\s+")(0)
     catch { case scala.util.control.NonFatal(_) => "-1" }
 
+  /** Aggregate (total, idle) jiffies from /proc/stat's `cpu ` line
+    * (idle + iowait count as idle). None off-Linux. */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu ")).map { s =>
+        val f = s.trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, f(3) + (if (f.length > 4) f(4) else 0L))
+      }
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** AMBIENT busy fraction: non-idle share of all CPUs over a short
+    * /proc/stat delta window, sampled while this process is doing
+    * nothing — the quiet-fence key. loadavg proved phantom-prone (the
+    * r14 adjudication: host ~100% idle under loadavg 4-6 shunted three
+    * legitimate quiet refreshes to _LOADED artifacts), while an idle-
+    * jiffy delta measures what the scheduler actually ran. A window
+    * DURING the run can't serve: local[32] saturates the host with the
+    * bench's own work, indistinguishable from external load — so the
+    * fence samples before the run and again after the last query
+    * completes (a mid-run arrival that persists shows up in the end
+    * sample). -1 when /proc/stat is unreadable (loadavg fallback). */
+  private def busyFrac(windowMs: Long = 750): Double =
+    cpuJiffies().map { case (t0, i0) =>
+      Thread.sleep(windowMs)
+      cpuJiffies().map { case (t1, i1) =>
+        val dt = (t1 - t0).toDouble
+        if (dt <= 0) -1.0 else 1.0 - (i1 - i0) / dt
+      }.getOrElse(-1.0)
+    }.getOrElse(-1.0)
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
+    val busyStart = busyFrac()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_MASTER: same executor-resident escape hatch as Verify —
@@ -155,13 +186,20 @@ object Bench {
         out.spans.write.format("noop").mode("overwrite").save()
       }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // seconds rounded to 4 decimals: full double rendering made the
+    // 110-entry line ~2× longer than needed, and an over-long tail line
+    // is the leading suspect for the driver's "parsed": null in
+    // BENCH_r14.json (the judge parsed the same line fine)
+    val qs = results.map { case (k, v) => f""""$k":$v%.4f""" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // end-of-run ambient sample: every query is done, so any busy CPU
+    // now is external — catches load that arrived mid-run and persisted
+    val busyEnd = busyFrac()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","load_start":$loadStart,"load_end":${loadAvg()}}"""
-    println(line)
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","load_start":$loadStart,"load_end":${loadAvg()},""" +
+        f""""busy_start":$busyStart%.3f,"busy_end":$busyEnd%.3f}"""
     // full-run artifact: the driver's BENCH capture can truncate the
     // stdout tail, so the complete JSON line also lands in the repo
     // (overwritten per run, committed at round end). ONLY the full
@@ -182,10 +220,28 @@ object Bench {
     // sf other than the committed record's sf0.1 (e.g. the verify
     // skill's sf0.001 contract smoke) must not replace it — that
     // exact clobber has now happened at three different entry points.
-    val quietStart = scala.util.Try(loadStart.toDouble).getOrElse(99.0) <= 2.0
-    val contractSf = sfDir.stripSuffix("/").endsWith("sf0.1")
+    // quiet = MEASURED idle (ambient /proc/stat busy ≤ 20% before the
+    // run AND ≤ 30% after it — the start gate is the ambient floor, the
+    // end gate catches load that arrived mid-run); loadavg is only the
+    // fallback when /proc/stat is unreadable. Keying on loadavg alone
+    // shunted three legitimate r14 quiet refreshes (phantom loadavg 4-6
+    // on a ~100%-idle host, COVERAGE r14).
+    val quietStart =
+      if (busyStart >= 0) busyStart <= 0.20 && (busyEnd < 0 || busyEnd <= 0.30)
+      else scala.util.Try(loadStart.toDouble).getOrElse(99.0) <= 2.0
+    // scale stamp = the final path component EXACTLY (a suffix match
+    // counted .../mysf0.1 as the contract scale and silently suppressed
+    // the artifact for aliases of the real dir)
+    val contractSf =
+      new java.io.File(sfDir.stripSuffix("/")).getName == "sf0.1"
     val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .orElse(if (sys.env.contains("SPARK_GRAFT_ONLY") || !contractSf) None
+      .orElse(if (sys.env.contains("SPARK_GRAFT_ONLY") || !contractSf) {
+                if (!contractSf && !sys.env.contains("SPARK_GRAFT_ONLY"))
+                  System.err.println(s"[bench] sf dir '$sfDir' is not the " +
+                    "contract sf0.1: no default artifact written (set " +
+                    "SPARK_GRAFT_BENCH_OUT to persist this run)")
+                None
+              }
               else if (sys.env.contains("SPARK_GRAFT_MASTER"))
                 // same quiet-load fence as the local record — a loaded
                 // cluster run must not replace the quiet cluster pin
@@ -193,15 +249,26 @@ object Bench {
                      else "BENCH_CLUSTER_LOADED.json")
               else if (quietStart) Some("BENCH_LOCAL.json")
               else {
-                System.err.println(s"[bench] load_start=$loadStart > 2.0" +
+                System.err.println(s"[bench] busy_start=$busyStart " +
+                  s"busy_end=$busyEnd load_start=$loadStart not quiet" +
                   ": writing BENCH_LOCAL_LOADED.json, quiet record kept")
                 Some("BENCH_LOCAL_LOADED.json")
               })
-    benchOut.foreach { out =>
+    // BENCH_LAST.json: EVERY run's structured line, whatever the
+    // config — the judge-facing per-query map as a well-formed file,
+    // independent of the driver's stdout-tail parse (BENCH_r14.json
+    // carried "parsed": null) and of the quiet/scale fences above
+    (benchOut.toSeq :+ "BENCH_LAST.json").foreach { out =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // the JSON line prints LAST, after spark.stop() at ERROR level — a
+    // WARN logged to stdout after the line is the other suspect for the
+    // driver's tail parse failing on a well-formed line
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -799,16 +799,52 @@ object Curation {
     * gumbel, score, selected), one row per input doc. */
   def importanceResample(docs: DataFrame, idCol: String, toksCol: String,
                          targetCol: String, buckets: Int = 1024,
-                         frac: Double = 0.2): DataFrame = {
+                         frac: Double = 0.2): DataFrame =
+    importanceResampleExact(docs, idCol, toksCol, targetCol, buckets, frac,
+      docs.count())
+
+  private def importanceResampleExact(docs: DataFrame, idCol: String,
+                                      toksCol: String, targetCol: String,
+                                      buckets: Int, frac: Double,
+                                      nDocs: Long): DataFrame = {
     val scored = dsirScores(docs, idCol, toksCol, targetCol, buckets)
     // exact top-n marker: TakeOrdered on (score desc, id), then a
     // broadcast membership join — n rows, never a corpus-wide window
-    val nTake = math.floor(frac * docs.count()).toInt
+    val nTake = math.floor(frac * nDocs).toInt
     val sel = scored.orderBy(col("score").desc, col("id")).limit(nTake)
       .select(col("id"), lit(true).as("sel"))
     scored.join(broadcast(sel), Seq("id"), "left")
       .select(col("id"), col("logw"), col("gumbel"), col("score"),
         coalesce(col("sel"), lit(false)).as("selected"))
+  }
+
+  /** Corpus-size threshold above which [[importanceResampleAuto]] takes
+    * the approx (sketch-threshold) path: the exact marker's driver
+    * TakeOrdered collects and re-broadcasts frac·N ids — a real scale
+    * term once frac·N is millions of rows — while the two paths are
+    * measured equal-cost already at 500k docs (DsirBench: 118.6 vs
+    * 123.0 s, rate 0.2001 vs target 0.2). 1M docs keeps gate/spec
+    * scales bit-exact on the oracle-pinned exact path with an order of
+    * magnitude of headroom before the driver term matters. */
+  val DsirApproxAboveDocs: Long = 1000000L
+
+  /** Scale-routing front door for DSIR selection: exact Gumbel-top-k
+    * below [[DsirApproxAboveDocs]] docs (bit-exact, oracle-gated q97),
+    * the `approx_percentile` threshold path above it (one mergeable
+    * sketch + a driver scalar — no frac·N driver marker). The one
+    * count job that decides the route is the same count the exact path
+    * needs anyway. `approxAboveDocs` overrides the switch point
+    * (0 forces approx, Long.MaxValue forces exact). */
+  def importanceResampleAuto(docs: DataFrame, idCol: String, toksCol: String,
+                             targetCol: String, buckets: Int = 1024,
+                             frac: Double = 0.2,
+                             approxAboveDocs: Long = DsirApproxAboveDocs)
+      : DataFrame = {
+    val n = docs.count()
+    if (n > approxAboveDocs)
+      importanceResampleApprox(docs, idCol, toksCol, targetCol, buckets, frac)
+    else
+      importanceResampleExact(docs, idCol, toksCol, targetCol, buckets, frac, n)
   }
 
   /** The 100 TB selection path: same scores as [[importanceResample]],
@@ -827,12 +863,19 @@ object Curation {
                                accuracy: Int = 10000): DataFrame = {
     // the scoring lineage (shingle explode + histogram joins) is the
     // dominant cost and has TWO consumers — the quantile sketch and the
-    // returned selection — so it is cached across them (the q93 plan-
-    // keyed-cache stance; the bench harness clearCaches per entry, and
-    // a long-lived session releases via catalog.clearCache). Without it
-    // the threshold pass re-ran the whole corpus scoring twice.
+    // returned selection — so it is materialized ONCE as an eager
+    // localCheckpoint rather than a catalog cache: a cache entry would
+    // escape the function (the returned plan depends on it) and a
+    // long-lived session calling this repeatedly would accumulate
+    // blocks releasable only via the global catalog.clearCache().
+    // Checkpoint blocks instead are owned by the returned frame's RDD —
+    // the ContextCleaner frees them as soon as the caller drops the
+    // result (the scored rows are 4 narrow columns per doc, the same
+    // footprint the cache held; trade-off: an executor loss fails the
+    // downstream job instead of recomputing, acceptable for a
+    // two-consumer scratch frame).
     val scored =
-      dsirScores(docs, idCol, toksCol, targetCol, buckets).cache()
+      dsirScores(docs, idCol, toksCol, targetCol, buckets).localCheckpoint()
     // the sketch reduces to ONE driver scalar (mergeable partials, no
     // corpus-sized TakeOrdered); an empty corpus has no threshold —
     // select nothing, matching the exact path's floor(frac·0) = 0

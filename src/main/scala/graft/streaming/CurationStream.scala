@@ -707,6 +707,11 @@ object CurationStream {
   private val identityChecked =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test hook: forget per-process identity verifications, simulating
+    * a fresh process against an existing state dir. */
+  private[graft] def resetIdentityMemoForTest(): Unit =
+    identityChecked.clear()
+
   private def ensureStateIdentity(spark: SparkSession, stateDir: String,
                                   cfg: Cfg): Unit = {
     val want = identityJson(cfg)
@@ -736,11 +741,26 @@ object CurationStream {
       } catch { case _: java.io.IOException => readIt() }
     val found = readIt().orElse { fs.mkdirs(root); stamp() } match {
       case Some(s) if !valid(s) =>
-        // torn stamp: never a real identity — recover by re-stamping
-        // instead of bricking the dir with a mismatch error
+        // torn stamp: never a real identity — but only safe to recover
+        // by re-stamping when NO state rows exist yet: the crashed
+        // writer may have run a DIFFERENT minhashK/bands/rows and
+        // already flushed band-key rows under it; re-stamping with
+        // THIS run's identity would permanently fence the dir to the
+        // wrong layout and mask the very mismatch the fence catches.
+        val hasState = Seq("keys", "bands", "toks", "docs").exists(k =>
+          fs.exists(new org.apache.hadoop.fs.Path(stateDir, k)))
+        if (hasState)
+          throw new IllegalStateException(
+            s"torn _identity over non-empty state at $stateDir: the " +
+              "crashed writer's dedup identity is unknown and state rows " +
+              "may already be keyed under it — use a fresh stateDir (or " +
+              "rebuild via migrateIdentity)")
         try { fs.delete(p, false); () }
         catch { case scala.util.control.NonFatal(_) => () }
-        stamp()
+        // a still-torn re-read (stamp()'s IOException fallback re-read
+        // the same torn bytes) is a TRANSIENT-FS condition, not a
+        // config mismatch — route it to the None branch below
+        stamp().filter(valid)
       case other => other
     }
     found match {

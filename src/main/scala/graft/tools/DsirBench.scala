@@ -37,6 +37,11 @@ object DsirBench {
       TextFunctions.wsTokens(lower(col("text"))).as("toks"),
       (col("lang") === "en").as("tgt"))
     val total = docs.count()
+    // fail fast on an empty corpus: total = 0 would make the rate
+    // fields NaN, which is not a JSON literal — the artifact would be
+    // unparseable downstream instead of obviously wrong here
+    require(total > 0, s"documents table at $sfDir is empty; " +
+      "DsirBench needs a non-empty corpus to report selection rates")
 
     def time(f: => Long): (Double, Long) = {
       spark.catalog.clearCache()

@@ -429,6 +429,25 @@ class CurationSpec extends SparkSpec {
     assert(agree >= 0.97, s"selected-set agreement $agree")
   }
 
+  test("importanceResampleAuto: size-threshold routes exact below, approx above") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id").as("id"),
+        TextFunctions.wsTokens(lower(col("text"))).as("toks"),
+        (col("lang") === "en").as("tgt"))
+    // default threshold (1M) >> fixture: auto IS the exact path, bit for bit
+    val exact = Curation.importanceResample(docs, "id", "toks", "tgt",
+      buckets = 1024, frac = 0.2).orderBy("id").collect()
+    val autoLow = Curation.importanceResampleAuto(docs, "id", "toks", "tgt",
+      buckets = 1024, frac = 0.2).orderBy("id").collect()
+    assert(exact.toSeq == autoLow.toSeq, "auto below threshold must be exact")
+    // forced past the threshold: auto IS the approx path, bit for bit
+    val approx = Curation.importanceResampleApprox(docs, "id", "toks", "tgt",
+      buckets = 1024, frac = 0.2).orderBy("id").collect()
+    val autoHigh = Curation.importanceResampleAuto(docs, "id", "toks", "tgt",
+      buckets = 1024, frac = 0.2, approxAboveDocs = 0L).orderBy("id").collect()
+    assert(approx.toSeq == autoHigh.toSeq, "auto above threshold must be approx")
+  }
+
   test("mixturePlan/realizeMixture: epochs math, up/down-sampling, zero-weight drop") {
     import spark.implicits._
     // A: 20 tokens over 2 docs; B: 10 tokens; C unweighted

@@ -229,4 +229,28 @@ class CurationStreamSpec extends SparkSpec {
     assert(Files.exists(Paths.get(state, "_identity")),
       "recreated state dir was not re-stamped")
   }
+
+  test("identity fence: torn stamp over NON-EMPTY state refuses loudly") {
+    val state = tmp()
+    CurationStream.curateBatch(
+      Seq((1L, unique(1))).toDF("id", "text"), state,
+      CurationStream.Cfg(bands = 4, rows = 4))
+    // simulate a crash that tore the stamp AFTER state rows landed: the
+    // crashed writer's layout is unknown, so re-stamping with THIS
+    // run's identity would mask the exact mismatch the fence catches
+    // (drop the Hadoop CRC sidecar first — an out-of-band NIO overwrite
+    // against the fs.create-written stamp would otherwise surface as a
+    // ChecksumException instead of exercising the torn-content branch)
+    Files.deleteIfExists(Paths.get(state, "._identity.crc"))
+    Files.write(Paths.get(state, "_identity"), "{\"minhash".getBytes("UTF-8"))
+    // simulate a fresh process: the per-process verification memo would
+    // otherwise short-circuit the stamp read (by-design, one probe)
+    CurationStream.resetIdentityMemoForTest()
+    val e = intercept[IllegalStateException] {
+      CurationStream.curateBatch(
+        Seq((2L, unique(2))).toDF("id", "text"), state,
+        CurationStream.Cfg(bands = 4, rows = 4))
+    }
+    assert(e.getMessage.contains("non-empty state"), e.getMessage)
+  }
 }
