@@ -92,19 +92,35 @@ object Dedup {
     * candidates only ever pair within one tenant. The caller should
     * cache/materialize `nb`: both joins consume it. */
   def lshCandidatesDeltaBanded(nb: DataFrame,
+                               corpusBands: DataFrame): DataFrame =
+    lshCandidatesDeltaTagged(nb, corpusBands).drop("b_in_batch")
+
+  /** [[lshCandidatesDeltaBanded]] with provenance: `b_in_batch` is
+    * true iff `id_other` is a same-batch delta id (the intra-batch
+    * self-join side) rather than a corpus id — so a caller's keep-first
+    * loser rule ("corpus partner → the newcomer drops; batch partner →
+    * the larger id drops") is a row-local CASE instead of a membership
+    * broadcast against the batch id set (one fewer broadcast-build
+    * scheduler job per micro-batch on a real cluster master). The two
+    * sides can never produce the same (id_new, id_other) pair — ids
+    * are globally unique across the corpus and the batch — so the
+    * union-distinct is exactly [[lshCandidatesDeltaBanded]]'s. */
+  def lshCandidatesDeltaTagged(nb: DataFrame,
                                corpusBands: DataFrame): DataFrame = {
     val vsCorpus = nb.as("a")
       .join(corpusBands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id_new"), col("b.id").as("id_other"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_other"),
+        lit(false).as("b_in_batch"))
     val intraBatch = nb.as("a")
       .join(nb.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_new"), col("b.id").as("id_other"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_other"),
+        lit(true).as("b_in_batch"))
     vsCorpus.unionByName(intraBatch).distinct()
   }
 
@@ -128,21 +144,26 @@ object Dedup {
     * entry count — measured +1 s per micro-batch in curate→serve
     * before the release was wired. */
   def jaccardVerifyStaged(candidates: DataFrame, corpus: DataFrame,
-                          idCol: String, toksCol: String): (DataFrame, () => Unit) = {
+                          idCol: String, toksCol: String,
+                          carry: Seq[String] = Nil): (DataFrame, () => Unit) = {
     val sh = corpus.select(col(idCol).as("id"),
         explode(array_distinct(TextFunctions.shingles(col(toksCol), 3))).as("sh"))
       .cache() // reused by both join sides + the size aggregation
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // `carry` columns on `candidates` ride through the pair aggregation
+    // (they are functionally dependent on the pair — e.g. the
+    // b_in_batch provenance tag) and come back on the output
     val inter = candidates
       .join(sh.as("sa"), col("id_a") === col("sa.id"))
       .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .groupBy(("id_a" +: "id_b" +: carry).map(col): _*)
+      .agg(count(lit(1)).as("n_inter"))
     val out = inter
       .join(sizes.as("za"), col("id_a") === col("za.id"))
       .join(sizes.as("zb"), col("id_b") === col("zb.id"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a") +: col("id_b") +: carry.map(col) :+
         (col("n_inter") / (col("za.n_sh") + col("zb.n_sh") - col("n_inter")))
-          .as("jaccard"))
+          .as("jaccard"): _*)
     (out, () => { sh.unpersist(false); () })
   }
 

@@ -71,7 +71,19 @@ object CurationStream {
       // maintenance to keep per-batch state IO bounded. 0 = manual
       // maintenance only (the batch/gate default: compaction cost
       // then never lands inside a measured query).
-      autoCompactMinDeltaFiles: Int = 0)
+      autoCompactMinDeltaFiles: Int = 0,
+      // run the per-batch dedup plans with AQE OFF (default): under
+      // AQE every shuffle stage of every per-batch action materializes
+      // as its own scheduler job, and on a real cluster master each
+      // job is a fixed RPC round-trip — the measured q113 floor was
+      // ~53 jobs/micro-batch, dominated by stage-materialization jobs
+      // over batch-bounded frames that need no runtime re-planning.
+      // Micro-batches are trigger-bounded (the regime where AQE's
+      // coalescing/skew handling has nothing to do); a huge one-shot
+      // backfill batch with skewed band keys can set false to get AQE
+      // back for the batch plans. State MAINTENANCE (compactState) is
+      // untouched — the O(state) fold keeps whatever the session has.
+      disableAqeForBatch: Boolean = true)
 
   private[graft] val keysSchema = StructType(Seq(
     StructField("id", LongType), StructField("text_md5", StringType)))
@@ -786,6 +798,33 @@ object CurationStream {
     identityChecked.put(key, want)
   }
 
+  /** Scope a batch's actions under AQE-off (see [[Cfg
+    * .disableAqeForBatch]]); the runtime conf is restored on exit.
+    * Session-scoped by nature — the foreachBatch contract already
+    * serializes per-state batches, and the composed consumers run
+    * their own work outside this scope. */
+  private def withBatchConf[T](spark: SparkSession, cfg: Cfg)(f: => T): T =
+    if (!cfg.disableAqeForBatch) f
+    else {
+      // parallelPartitionDiscovery: a tier generation has ≤ StateBuckets
+      // (64) bucket dirs, just over Spark's default threshold (32) for
+      // DISTRIBUTED listing — resolving the three tier frames was
+      // costing one scheduler job each per generation purely to list
+      // ≤64 directories. Driver-side listing is strictly cheaper at
+      // this fan-out.
+      val ks = Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.sources.parallelPartitionDiscovery.threshold" ->
+          (2 * StateBuckets + 1).toString)
+      val prev = ks.map { case (k, _) => k -> spark.conf.getOption(k) }
+      ks.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
   def curateSurvivorsDeferred(batch0: DataFrame, stateDir: String,
                               cfg: Cfg = Cfg()): CurationOutcome = {
     val spark = batch0.sparkSession
@@ -807,6 +846,17 @@ object CurationStream {
             StructField("text", StringType),
             StructField("toks", ArrayType(StringType))))),
         0L, () => (), () => ())
+    withBatchConf(spark, cfg) {
+
+    // Per-batch job budget (the real per-batch cost on a cluster
+    // master is FIXED scheduler RPCs, one per job — measured 53
+    // jobs/batch before the r15 restructure, ~12 after):
+    //   1 isEmpty probe (above) · 1 fused keys+bands bucket probe ·
+    //   1 toks bucket probe · 4 broadcast builds (batch md5s, exact
+    //   hits, candidate ids, loser ids) · 1 survivor checkpoint+count ·
+    //   4 commit appends — everything else rides inside those plans
+    //   (AQE off per [[Cfg.disableAqeForBatch]], so shuffle stages
+    //   don't materialize as their own jobs).
 
     // 1: row-local normalize + C4 line clean (one fused pass); the
     // scoped exact key folds the scope into the md5 (NUL separator —
@@ -840,36 +890,28 @@ object CurationStream {
       case None => cleaned
     }
 
-    // 2: within-batch exact keep-first (min id per md5)
+    // 2: within-batch exact keep-first (min id per md5), then tokens +
+    // minhash bands for EVERY within-batch-unique doc — including docs
+    // the cross-batch exact filter will drop. Banding the (typically
+    // tiny) cross-batch-dup slice too is what lets the keys and bands
+    // bucket probes fuse into ONE job: the band probe no longer waits
+    // on the seen-store read. The extra candidate pairs are provably
+    // outcome-neutral — a cross-batch exact dup X of corpus doc C has
+    // C's exact band keys and toks (same cleaned text, same scope), so
+    // any pair (Y, X) the superset adds is mirrored by the pair (Y, C)
+    // the sequential semantics already verify, with the same Jaccard
+    // and the same surviving id.
     val exactB = gated.join(
       gated.groupBy("text_md5").agg(min(col("id")).as("id")),
       Seq("text_md5", "id"), "left_semi")
-
-    // 3: cross-batch exact — the seen-key store scans, the batch's
-    // md5 set broadcasts. With a compacted tier ABOVE the prune
-    // threshold the scan is first PRUNED to the batch's key buckets
-    // (a ≤StateBuckets-row collect per probe — paid only when the
-    // tier is big enough that the skipped scan exceeds it).
-    val stateM = readStateManifest(spark, stateDir)
-    def prune(kind: String, probe: => DataFrame): Option[Seq[Long]] =
-      stateM.filter(_.bytesOf(kind) >= cfg.statePruneMinBytes)
-        .flatMap(m => batchBuckets(probe, kind, m.buckets))
-    val seen = readState(spark, stateDir, "keys", keysSchema, stateM,
-      prune("keys", exactB))
-    val hits = seen.join(
-        broadcast(exactB.select("text_md5").distinct()), "text_md5")
-      .select("text_md5").distinct()
-    val fresh = exactB.join(broadcast(hits), Seq("text_md5"), "left_anti")
-
-    // 4: near-dedup vs the curated corpus + within the batch
-    val toks = fresh.select(Seq(col("id"), col("text_md5"), col("text"),
+    val toks = exactB.select(Seq(col("id"), col("text_md5"), col("text"),
         TextFunctions.wsTokens(lower(col("text"))).as("toks")) ++
         (if (scoped) Seq(col("scope")) else Nil): _*)
       .cache()
     val sigs = Dedup.minhashSignatures(toks, "id", "toks", cfg.minhashK,
       keep = scopeKeep)
     // scoped mode prefixes every band key with the scope BEFORE the
-    // corpus join (the lshCandidatesDeltaBanded hook): candidates —
+    // corpus join (the lshCandidatesDeltaTagged hook): candidates —
     // and therefore near-dup drops — only ever pair within one scope.
     // The persisted band table stores the prefixed keys, so the scoping
     // survives across batches. Scope is a row-local passthrough from
@@ -881,14 +923,42 @@ object CurationStream {
             concat(col("scope"), lit("|"), col("band_key")).as("band_key"))
       else Dedup.bandTable(sigs, cfg.bands, cfg.rows))
       .cache()
+
+    // 3: state reads. With a compacted tier ABOVE the prune threshold
+    // each scan is first PRUNED to the batch's key buckets (a bounded
+    // collect per probe — paid only when the tier is big enough that
+    // the skipped scan exceeds it); the keys and bands probes share
+    // ONE batch-bounded collect (≤ 2·buckets rows), the toks probe
+    // waits on the candidate set.
+    val stateM = readStateManifest(spark, stateDir)
+    def engaged(kind: String): Option[StateManifest] =
+      stateM.filter(_.bytesOf(kind) >= cfg.statePruneMinBytes)
+    val (keyBuckets, bandBuckets) = (engaged("keys"), engaged("bands")) match {
+      case (None, None) => (None, None)
+      case (k, b) =>
+        val probes = k.map(m => toks.select(lit("k").as("t"),
+            bucketExpr("keys", m.buckets).as("b"))).toSeq ++
+          b.map(m => nb.select(lit("b").as("t"),
+            bucketExpr("bands", m.buckets).as("b")))
+        val rows = probes.reduce(_ unionByName _).distinct().collect()
+        val ks = rows.filter(_.getString(0) == "k").map(_.getLong(1)).toSeq
+        val bs = rows.filter(_.getString(0) == "b").map(_.getLong(1)).toSeq
+        (k.flatMap(m => if (ks.size >= m.buckets) None else Some(ks)),
+          b.flatMap(m => if (bs.size >= m.buckets) None else Some(bs)))
+    }
+    val seen = readState(spark, stateDir, "keys", keysSchema, stateM,
+      keyBuckets)
     val corpusBands = readState(spark, stateDir, "bands", bandsSchema, stateM,
-      prune("bands", nb))
-    // cached: consumed by the candIds broadcast, the verify join AND
-    // (tier present) the toks bucket probe — uncached, each would
-    // re-run the corpus-bands join
+      bandBuckets)
+
+    // 4: candidates — corpus partners tagged false, same-batch partners
+    // true (a row-local loser rule below, instead of a batch-id
+    // membership broadcast). Cached: consumed by the candIds broadcast,
+    // the verify join AND (tier present) the toks bucket probe —
+    // uncached, each would re-run the corpus-bands join.
     val cands = Dedup
-      .lshCandidatesDeltaBanded(nb, corpusBands)
-      .toDF("id_a", "id_b") // id_a = batch doc; id_b = corpus OR batch
+      .lshCandidatesDeltaTagged(nb, corpusBands)
+      .toDF("id_a", "id_b", "b_in_batch") // id_a = batch doc
       .cache()
     // Verification must touch ONLY candidate docs: shingling the whole
     // curated store would be O(corpus) per batch. Semi-join the token
@@ -897,37 +967,48 @@ object CurationStream {
     // prune the store read to the candidates' id buckets first.
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id"))).distinct()
+    val toksBuckets = engaged("toks")
+      .flatMap(m => batchBuckets(candIds, "toks", m.buckets))
     val allToks = toks.select("id", "toks")
       .unionByName(readState(spark, stateDir, "toks", toksSchema, stateM,
-        prune("toks", candIds)))
+        toksBuckets))
       .join(broadcast(candIds), Seq("id"), "left_semi")
     val (verified0, releaseSh) =
-      Dedup.jaccardVerifyStaged(cands, allToks, "id", "toks")
+      Dedup.jaccardVerifyStaged(cands, allToks, "id", "toks",
+        carry = Seq("b_in_batch"))
     val verified = verified0.filter(col("jaccard") >= cfg.jaccardThreshold)
     // corpus partner → the newcomer (id_a) drops; batch partner
     // (id_a < id_b by construction) → the larger (id_b) drops
-    val batchIds = toks.select(col("id").as("bid"))
-    val losers = verified
-      .join(broadcast(batchIds), col("id_b") === col("bid"), "left")
-      .select(when(col("bid").isNotNull, col("id_b"))
-        .otherwise(col("id_a")).as("id")).distinct()
-    // survivors and their band rows are MATERIALIZED (eager local
-    // checkpoint — batch-bounded) BEFORE any state write: their plans
-    // read the very paths commit() appends to, and Spark's write-path
-    // cache refresh would otherwise invalidate them and re-execute
-    // against the mutated state (the batch's own md5s in the key store
-    // ⟹ every survivor reclassified as a dup) on the next access —
-    // exactly what the composed curate→serve consumer does between
-    // this return and its commit() call. A checkpoint is lineage-free,
-    // so post-write evaluations are immune by construction.
-    val survivors = toks.join(broadcast(losers), Seq("id"), "left_anti")
-      .localCheckpoint()
-    val n = survivors.count()
-    val survBands =
-      if (n == 0) None
-      else Some(nb
-        .join(broadcast(survivors.select("id")), Seq("id"), "left_semi")
-        .localCheckpoint())
+    val nearLosers = verified.select(
+      when(col("b_in_batch"), col("id_b")).otherwise(col("id_a")).as("id"))
+    // cross-batch exact drops: the seen-key store scans, the batch's
+    // md5 set broadcasts (the only join direction that stays cheap as
+    // the store grows); both loser classes fold into ONE broadcast set
+    val hits = seen.join(
+        broadcast(toks.select("text_md5").distinct()), "text_md5")
+      .select("text_md5").distinct()
+    val exactDrops = toks
+      .join(broadcast(hits), Seq("text_md5"), "left_semi").select(col("id"))
+    val losers = nearLosers.unionByName(exactDrops).distinct()
+
+    // 5: survivors + their band rows MATERIALIZE AS ONE local
+    // checkpoint (batch-bounded, lineage-free) BEFORE any state write:
+    // their plans read the very paths commit() appends to, and Spark's
+    // write-path cache refresh would otherwise invalidate them and
+    // re-execute against the mutated state (the batch's own md5s in
+    // the key store ⟹ every survivor reclassified as a dup) on the
+    // next access — exactly what the composed curate→serve consumer
+    // does between this return and its commit() call. Bands ride as a
+    // nested column so ONE checkpoint job (the lazy mark + the count
+    // that was owed anyway) replaces the former survivors-then-bands
+    // checkpoint pair.
+    val bandsById = nb.groupBy("id")
+      .agg(collect_list(struct(col("band"), col("band_key"))).as("_bands"))
+    val ckpt = toks.join(broadcast(losers), Seq("id"), "left_anti")
+      .join(bandsById, Seq("id"), "left")
+      .localCheckpoint(false)
+    val n = ckpt.count()
+    val survivors = ckpt.drop("_bands")
     toks.unpersist(false)
     nb.unpersist(false)
     cands.unpersist(false)
@@ -936,11 +1017,11 @@ object CurationStream {
     // jaccardVerifyStaged's doc)
     releaseSh()
 
-    // 5 (deferred): append survivors + their state — O(batch) writes,
-    // no rewrite. Both frames are checkpointed above, so the closure
-    // holds no lineage over caches or state paths.
+    // 6 (deferred): append survivors + their state — O(batch) writes,
+    // no rewrite. The checkpointed frame is lineage-free, so the
+    // closure holds no lineage over caches or state paths.
     CurationOutcome(survivors, n,
-      () =>
+      () => withBatchConf(spark, cfg) {
         if (n > 0) {
           // right-size the append: a micro-batch must land ONE file per
           // table, not one per upstream shuffle partition — per-batch
@@ -959,20 +1040,22 @@ object CurationStream {
           // such edge (an orphan keys/bands/toks row without peers just
           // re-drops content the docs table already holds), so they run
           // concurrently — checkpointed inputs, disjoint dirs.
-          survivors.select("id", "text").coalesce(parts)
+          ckpt.select("id", "text").coalesce(parts)
             .write.mode("append").parquet(s"$stateDir/docs")
           graft.sources.SegmentedStore.awaitAll(Seq(
-            () => survivors.select("id", "text_md5").coalesce(parts)
+            () => ckpt.select("id", "text_md5").coalesce(parts)
               .write.mode("append").parquet(s"$stateDir/keys"),
-            () => survivors.select("id", "toks").coalesce(parts)
-              .write.mode("append").parquet(s"$stateDir/toks")) ++
-            survBands.map(b => () => b.coalesce(parts).write
-              .mode("append").parquet(s"$stateDir/bands")).toSeq)
-        },
-      () => {
-        releaseLocalCheckpoint(survivors)
-        survBands.foreach(releaseLocalCheckpoint)
-      })
+            () => ckpt.select("id", "toks").coalesce(parts)
+              .write.mode("append").parquet(s"$stateDir/toks"),
+            () => ckpt.select(col("id"), explode(col("_bands")).as("b"))
+              .select(col("id"), col("b.band").as("band"),
+                col("b.band_key").as("band_key"))
+              .coalesce(parts)
+              .write.mode("append").parquet(s"$stateDir/bands")))
+        }
+      },
+      () => releaseLocalCheckpoint(ckpt))
+    }
   }
 
   /** Auto-compaction trigger (the curation-state mirror of the serving
