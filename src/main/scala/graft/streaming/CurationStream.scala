@@ -825,6 +825,94 @@ object CurationStream {
       }
     }
 
+  /** Offline RE-BAND migration (the production answer to "we need more
+    * near-dup recall" that is NOT "discard all dedup state"): rebuild a
+    * curation state's LSH band index under a NEW state-layout identity
+    * (minhashK/bands/rows) into a FRESH stamped stateDir, re-deriving
+    * every band key from the persisted token store — the tokens are
+    * layout-independent (wsTokens of the cleaned text), so the new
+    * signatures are exactly what curating the same survivors under the
+    * new layout would have produced. docs/keys/toks carry over
+    * unchanged (the exact-dedup key space does not depend on the band
+    * layout); scoped states keep their tenant isolation — each id's
+    * scope prefix is recovered from its old band keys (scope|md5hex;
+    * md5 hex never contains '|', so the prefix is the text before the
+    * LAST pipe) and re-applied to the new keys.
+    *
+    * Semantics: the SURVIVOR SET is history — docs dropped under the
+    * old layout stay dropped; the migration re-keys the index so
+    * FUTURE batches dedup against the full curated corpus at the new
+    * layout's recall. Run it offline (no stream on either dir); resume
+    * the stream afterwards pointing at `newStateDir` with `newCfg` —
+    * the same Spark checkpoint keeps its source offsets, and
+    * redelivered documents still drop via the migrated keys/bands.
+    * Rehearsed end-to-end by tools/reband_migration_rehearsal.sh.
+    *
+    * Returns the number of band-indexed documents in the new state.
+    * Fails loudly when the old stamp is missing/torn (the old layout
+    * would be unknown) or the new dir already has content. */
+  def migrateIdentity(spark: SparkSession, oldStateDir: String,
+                      newStateDir: String, newCfg: Cfg = Cfg()): Long = {
+    val (ofs, _) = hadoopFs(spark, oldStateDir)
+    val oldStampPath = new org.apache.hadoop.fs.Path(oldStateDir, "_identity")
+    val oldStamp =
+      if (!ofs.exists(oldStampPath)) None
+      else {
+        val in = ofs.open(oldStampPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    oldStamp match {
+      case Some(s) if s.startsWith("{") && s.endsWith("}") => ()
+      case other => throw new IllegalStateException(
+        s"cannot migrate $oldStateDir: its _identity stamp is " +
+          s"${other.fold("missing")(s => s"torn ('$s')")} — the old " +
+          "band layout is unknown")
+    }
+    val (nfs, newRoot) = hadoopFs(spark, newStateDir)
+    if (nfs.exists(newRoot) && nfs.listStatus(newRoot).nonEmpty)
+      throw new IllegalStateException(
+        s"cannot migrate into non-empty $newStateDir: re-banding needs " +
+          "a fresh state dir")
+    val m = readStateManifest(spark, oldStateDir)
+    val keys = readState(spark, oldStateDir, "keys", keysSchema, m, None)
+    val toksV = readState(spark, oldStateDir, "toks", toksSchema, m, None)
+    val oldBands = readState(spark, oldStateDir, "bands", bandsSchema, m, None)
+    // scope per banded id, recovered from the old prefixed keys; a
+    // no-match (bare 32-hex key = unscoped state) extracts ""
+    val scopeOf = oldBands.select(col("id"),
+        regexp_extract(col("band_key"), "^(.*)\\|[0-9a-f]{32}$", 1)
+          .as("scope"))
+      .distinct()
+    val sigs = Dedup.minhashSignatures(toksV, "id", "toks", newCfg.minhashK)
+    val newBands = Dedup.bandTable(sigs, newCfg.bands, newCfg.rows)
+      .join(scopeOf, Seq("id"), "left")
+      .select(col("id"), col("band"),
+        when(col("scope").isNotNull && col("scope") =!= "",
+            concat(col("scope"), lit("|"), col("band_key")))
+          .otherwise(col("band_key")).as("band_key"))
+    val nDocs = keys.count()
+    val parts = math.max(1, math.min(32, (nDocs / 10000L).toInt))
+    val (dfs, docsPath) = hadoopFs(spark, s"$oldStateDir/docs")
+    if (dfs.exists(docsPath))
+      spark.read.parquet(s"$oldStateDir/docs").coalesce(parts)
+        .write.parquet(s"$newStateDir/docs")
+    keys.coalesce(parts).write.parquet(s"$newStateDir/keys")
+    toksV.coalesce(parts).write.parquet(s"$newStateDir/toks")
+    newBands.coalesce(parts).write.parquet(s"$newStateDir/bands")
+    // postcondition: every old-banded id is banded under the new layout
+    // (and no extras — both derive from the same >=3-token survivors)
+    val oldIds = oldBands.select("id").distinct().count()
+    val newIds = spark.read.schema(bandsSchema)
+      .parquet(s"$newStateDir/bands").select("id").distinct().count()
+    if (oldIds != newIds)
+      throw new IllegalStateException(
+        s"re-band migration divergence: $oldIds banded docs in " +
+          s"$oldStateDir but $newIds in $newStateDir")
+    ensureStateIdentity(spark, newStateDir, newCfg)
+    newIds
+  }
+
   def curateSurvivorsDeferred(batch0: DataFrame, stateDir: String,
                               cfg: Cfg = Cfg()): CurationOutcome = {
     val spark = batch0.sparkSession

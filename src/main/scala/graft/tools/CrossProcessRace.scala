@@ -167,11 +167,14 @@ object CrossProcessRace {
         // optional upgrade-rehearsal knobs: args(5) = bands override
         // (state-BREAKING — the identity fence must refuse a changed
         // value on an existing state), args(6) = "minW:maxW" Gopher
-        // gate (behavior knob — compatible across restarts)
+        // gate (behavior knob — compatible across restarts), args(7) =
+        // rows override (bands×rows must not exceed minhashK=16 — the
+        // re-band rehearsal resumes at bands=8 rows=2)
         val bands = if (args.length > 5) args(5).toInt else 4
         val gopher = if (args.length > 6 && args(6) != "-") {
           val Array(a, b) = args(6).split(":"); Some((a.toInt, b.toInt))
         } else None
+        val rows = if (args.length > 7) args(7).toInt else 4
         val svc = new graft.serve.QueryService(spark, store)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("filename",
@@ -184,10 +187,20 @@ object CrossProcessRace {
           .option("maxFilesPerTrigger", 1).json(docsDir)
         val q = CurationStream.curateToServeStream(svc, docs, stateDir,
           checkpoint, CurationStream.Cfg(autoCompactMinDeltaFiles = 4,
-            bands = bands, gopherWordBounds = gopher))
+            bands = bands, rows = rows, gopherWordBounds = gopher))
           .start()
         q.awaitTermination()
         println(s"""{"streamdrain":{"done":true}}""")
+      // offline re-band migration (tools/reband_migration_rehearsal.sh):
+      // rebuild the band index of <state> under a new layout into
+      // args(2), stamped with bands=args(3) rows=args(4)
+      case "migrate" =>
+        val newState = args(2)
+        val bands = args(3).toInt
+        val rows = args(4).toInt
+        val n = CurationStream.migrateIdentity(spark, stateDir, newState,
+          CurationStream.Cfg(bands = bands, rows = rows))
+        println(s"""{"migrate":{"banded_docs":$n,"to":"$newState"}}""")
       case "streamverify" =>
         val store = args(2)
         val expectA = args(3).toInt

@@ -230,6 +230,57 @@ class CurationStreamSpec extends SparkSpec {
       "recreated state dir was not re-stamped")
   }
 
+  test("migrateIdentity: re-band 4x4 -> 8x2 preserves dedup recall and scope") {
+    val old = tmp()
+    val cfg44 = CurationStream.Cfg(bands = 4, rows = 4,
+      statePruneMinBytes = 0L)
+    // scoped seed: orgA curates the base doc + a unique; compact so the
+    // migration reads through the tier view, then one more delta batch
+    CurationStream.curateBatch(
+      Seq((1L, baseText, "orgA"), (2L, unique(2), "orgA"))
+        .toDF("id", "text", "scope"), old, cfg44)
+    CurationStream.compactState(spark, old)
+    CurationStream.curateBatch(
+      Seq((3L, unique(3), "orgA")).toDF("id", "text", "scope"), old, cfg44)
+
+    val fresh = tmp() + "/migrated"
+    val cfg82 = CurationStream.Cfg(bands = 8, rows = 2)
+    val banded = CurationStream.migrateIdentity(spark, old, fresh, cfg82)
+    assert(banded == 3L, s"banded docs $banded")
+    // docs/keys carried over; identity stamped with the new layout
+    assert(spark.read.parquet(s"$fresh/docs").count() == 3L)
+    val stamp = new String(
+      Files.readAllBytes(Paths.get(fresh, "_identity")), "UTF-8")
+    assert(stamp.contains("\"bands\":8") && stamp.contains("\"rows\":2"), stamp)
+
+    // resuming with the OLD layout on the migrated state must refuse
+    val e = intercept[IllegalStateException] {
+      CurationStream.curateBatch(
+        Seq((90L, unique(90), "orgA")).toDF("id", "text", "scope"),
+        fresh, cfg44)
+    }
+    assert(e.getMessage.contains("dedup identity"))
+
+    // resumed at 8x2: exact copy of a pre-migration orgA survivor drops
+    // (migrated keys), a NEAR dup drops (re-derived band index at the
+    // new layout), orgB's identical copy SURVIVES (scope prefix
+    // recovered from the old band keys), a fresh doc survives
+    val n = CurationStream.curateBatch(
+      Seq((10L, baseText, "orgA"), (11L, nearDup("m"), "orgA"),
+        (12L, baseText, "orgB"), (13L, unique(13), "orgA"))
+        .toDF("id", "text", "scope"), fresh, cfg82)
+    assert(n == 2L, s"post-migration survivors $n")
+    val ids = spark.read.parquet(s"$fresh/docs").select($"id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 12L, 13L), ids.toString)
+
+    // migrating into a non-empty dir refuses
+    val e2 = intercept[IllegalStateException] {
+      CurationStream.migrateIdentity(spark, old, fresh, cfg82)
+    }
+    assert(e2.getMessage.contains("non-empty"))
+  }
+
   test("identity fence: torn stamp over NON-EMPTY state refuses loudly") {
     val state = tmp()
     CurationStream.curateBatch(
