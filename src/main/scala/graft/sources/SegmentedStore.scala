@@ -811,16 +811,65 @@ object SegmentedStore {
 
     awaitAll(Seq(chunksWrite, annWrite, quantWrite, pqWrite, postingsWrite))
 
-    // phase 2 — HNSW graphs rebuild over the merged segment's
-    // embeddings (read back column-pruned from the file we just wrote:
-    // cheaper than re-streaming old segments + delta through the
-    // build, and the count is needed for shard sizing anyway)
+    // phase 2 — HNSW graphs for the merged segment. Graph STRUCTURE is
+    // not mergeable, but graph ROWS are self-contained (one complete
+    // per-(tenant, shard) graph per row; search is a flatMap over
+    // rows), so a fold does not have to REBUILD the biggest folded
+    // tier's graphs: the largest folded segment becomes the DONOR —
+    // its graph rows copy over verbatim — and only the remaining
+    // (tail) segments' + delta's embeddings build fresh small graphs
+    // alongside. That bounds HNSW fold CPU by the tail even on a tier
+    // ESCALATION that pulls a big tier into the fold (the worst case
+    // the r14 audit flagged: the chunk re-stream is linear IO, but the
+    // graph rebuild was ef_construction·log n distance work on top).
+    // Guard: copied generations accumulate graph rows, and per-row
+    // beam searches are the query-time cost — once the merged dir
+    // would exceed 2× the shard count a from-scratch build of the
+    // merged corpus picks, fall back to the full rebuild (re-shard),
+    // keeping query fan-out within 2× of optimal. Deterministic either
+    // way: copied rows are the donor's deterministic build; fresh rows
+    // are a deterministic build of the tail content.
     if (exists(spark, s"$seg/chunks")) {
       val mergedEmb = spark.read.parquet(s"$seg/chunks")
         .filter(col("embedding").isNotNull)
         .select(col("id"), col("embedding"), col("organization_id"))
       val n = mergedEmb.count()
-      if (n > 0) writeHnsw(mergedEmb, n, seg)
+      if (n > 0) {
+        val donor = foldDirs
+          .map(d => d -> footerRows(spark, s"$root/$d/chunks"))
+          .maxBy { case (d, r) => (r, d) }._1
+        val donorHnsw = s"$root/$donor/hnsw"
+        val donorRows =
+          if (hasData(spark, donorHnsw))
+            spark.read.parquet(donorHnsw).count()
+          else 0L
+        val rest = readUnion(spark,
+            foldDirs.filterNot(_ == donor).map(d => s"$root/$d/chunks"))
+          .map(_.filter(col("embedding").isNotNull)
+            .select(col("id"), col("embedding"), col("organization_id"))
+            .unionByName(emb))
+          .getOrElse(emb)
+        val nRest = rest.count()
+        val freshShards = Hnsw.shardsFor(nRest)
+        // fan-out cap: 2× the shard count a from-scratch build would
+        // pick, with a floor of 4 rows — at toy scale optimal is 1 and
+        // a bare 2× forced a rebuild on the second copy, defeating the
+        // donor path exactly where it is cheapest
+        if (donorRows == 0L ||
+            donorRows + freshShards >
+              math.max(4L, 2L * Hnsw.shardsFor(n)))
+          writeHnsw(mergedEmb, n, seg)
+        else {
+          val donorG = spark.read.parquet(donorHnsw)
+          val freshG =
+            if (nRest == 0L) None
+            else Some(Hnsw.buildServing(rest, "id", "embedding",
+              "organization_id", freshShards).toDF())
+          freshG.fold(donorG)(donorG.unionByName(_))
+            .write.mode("overwrite").partitionBy("organization_id")
+            .parquet(s"$seg/hnsw")
+        }
+      }
     }
 
     Manifest(m.base, retained :+ segName,

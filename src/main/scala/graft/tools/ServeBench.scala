@@ -167,10 +167,39 @@ object ServeBench {
         val retained = m2.segments.contains(bigSeg)
         val untouched =
           inventory(root).filter(_._1.contains(s"/$bigSeg/")) == bigInv
+        // ESCALATION fold (r15): keep ingesting tier-sized deltas until
+        // the greedy fold-set pulls the big tier in, and time THAT
+        // fold. The donor tier's HNSW graph rows must COPY verbatim
+        // into the merged segment (graph CPU bounded by the tail; the
+        // chunk re-stream stays the linear-IO term) — pinned by the
+        // copied flag + the fold wall-clock.
+        def graphKeys(dir: String): Set[(String, Int, Int)] =
+          spark.read.parquet(dir)
+            .select(col("organization_id"), col("pid"), col("entry"))
+            .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+            .toSet
+        val donorGraphs = graphKeys(s"$root/$bigSeg/hnsw")
+        var escSec = -1.0
+        var i = 0
+        while (escSec < 0 && i < 24) {
+          i += 1
+          val sec = time { svc.ingestBatch(docs
+            .filter(col("doc_id") >= (i - 1) * per && col("doc_id") < i * per)
+            .select(concat(lit(s"esc_${i}_"), col("doc_id"), lit(".md"))
+              .as("filename"),
+              col("text"), lit("org_bench").as("organization_id"))) }
+          if (!graft.sources.SegmentedStore.readManifest(root).get
+              .segments.contains(bigSeg)) escSec = sec
+        }
+        val m3 = graft.sources.SegmentedStore.readManifest(root).get
+        val copied = m3.segments.lastOption.exists(s =>
+          donorGraphs.subsetOf(graphKeys(s"$root/$s/hnsw")))
         s""""tier_$tierDocs":{"build_fold_sec":${f"$buildFoldSec%.2f"},""" +
           s""""tail_fold_sec":${f"$tailFoldSec%.2f"},""" +
           s""""big_tier_retained":$retained,""" +
           s""""big_tier_untouched":$untouched,""" +
+          s""""escalation_fold_sec":${f"$escSec%.2f"},""" +
+          s""""donor_graphs_copied":$copied,""" +
           s""""segments_after":${m2.segments.size}}"""
       }
       println(out.mkString("{", ",", "}"))

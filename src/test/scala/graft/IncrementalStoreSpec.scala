@@ -301,6 +301,51 @@ class IncrementalStoreSpec extends SparkSpec {
     assert(bmStats(svc) == bmStats(ref))
   }
 
+  test("tier-escalation fold copies the donor's HNSW graphs verbatim") {
+    import org.apache.spark.sql.functions.col
+    val root = TmpDirs.create("graft_incr_hnswfold")
+    val svc = new QueryService(spark, root)
+    svc.ingestBatch(docsDf(seedRows(200)))
+    // round 1: build a merged tier M (~36 docs)
+    for (i <- 1 to SegmentedStore.MaxSegments + 1)
+      svc.ingestBatch(docsDf((1 to 4).map(j => (s"t1_${i}_$j.md",
+        s"Tier one batch $i document $j carrying marker alpha$i.", "org_a"))))
+    val m1 = SegmentedStore.readManifest(root).get
+    val bigSeg = m1.segments.head
+    def graphKeys(dir: String) = spark.read.parquet(dir)
+      .select(col("organization_id"), col("pid"), col("entry"),
+        col("sids"), col("levels"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[String](3), r.getSeq[Int](4)))
+      .toSet
+    val donorGraphs = graphKeys(s"$root/$bigSeg/hnsw")
+    assert(donorGraphs.nonEmpty)
+    // round 2: 4-doc deltas again — the greedy fold-set extension pulls
+    // M in (tail ~32 docs ≥ M/2): the ESCALATION case. The fold must
+    // NOT rebuild M's graphs: they copy verbatim into the merged
+    // segment, with fresh small graphs alongside for the tail.
+    for (i <- 1 to SegmentedStore.MaxSegments)
+      svc.ingestBatch(docsDf((1 to 4).map(j => (s"t2_${i}_$j.md",
+        s"Tier two batch $i document $j carrying marker beta$i.", "org_a"))))
+    val m2 = SegmentedStore.readManifest(root).get
+    assert(!m2.segments.contains(bigSeg),
+      s"expected the escalation to fold $bigSeg: ${m2.segments}")
+    val mergedSeg = m2.segments.last
+    val mergedGraphs = graphKeys(s"$root/$mergedSeg/hnsw")
+    assert(donorGraphs.subsetOf(mergedGraphs),
+      "escalation fold rebuilt the donor tier's HNSW graphs instead of copying")
+    assert(mergedGraphs.size > donorGraphs.size,
+      "tail embeddings got no fresh graphs")
+    // donor-era and tail-era content both reachable via the HNSW mode
+    for (marker <- Seq("alpha3", "beta3")) {
+      val r = parse(svc.handle(
+        s"""{"op":"search","organization_id":"org_a","query":"$marker tier","limit":5,"dense_mode":"hnsw"}"""))
+      assert((r \ "total_results").extract[Int] > 0,
+        s"escalated store lost $marker via hnsw")
+    }
+  }
+
   test("segment overflow escalates to MAJOR once deltas rival the base") {
     val root = TmpDirs.create("graft_incr_major")
     val svc = new QueryService(spark, root)
