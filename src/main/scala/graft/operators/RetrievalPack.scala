@@ -243,7 +243,11 @@ object RetrievalPack {
     * retry, which proves the retry executed and its results were
     * merged — the reference's half-built self-correcting loop,
     * completed (`enhanced_hybrid_search.py:436-473`). Ids are
-    * zero-padded so Spark's string tie-break equals numeric order. */
+    * zero-padded so Spark's string tie-break equals numeric order —
+    * width 13, because Spark's lpad TRUNCATES longer strings: the old
+    * width 6 silently collapsed ScaleUp's 10^9-offset replica ids to
+    * one string per replica at sf1 (caught by the r15 sf1 full oracle
+    * replay — the q66 constant class, in a fixture this time). */
   val FallbackQuery = "spark join filter"
 
   def enhancedFallback(spark: SparkSession, dir: String): DataFrame = {
@@ -252,7 +256,7 @@ object RetrievalPack {
     // the embed kernel, so each subplan embeds only its scoped slice —
     // materializing the fixture would embed the whole table upfront
     val chunks = docs(spark, dir).select(
-      lpad($"doc_id".cast("string"), 6, "0").as("id"),
+      lpad($"doc_id".cast("string"), 13, "0").as("id"),
       $"text", $"lang",
       $"source".as("organization_id"),
       lit("internal").as("access_level"),
@@ -282,7 +286,7 @@ object RetrievalPack {
       transform(sequence(lit(0), lit(3)), r =>
         slice($"embedding".cast("array<double>"), r * 16 + 1, lit(16))).as("patches"))
     val chunks = docs(spark, dir).select(
-      lpad($"doc_id".cast("string"), 6, "0").as("id"),
+      lpad($"doc_id".cast("string"), 13, "0").as("id"),
       floor($"doc_id" / 10).cast("long").as("document_id"),
       ($"doc_id" % 5).cast("int").as("page_number"))
     graft.retrieval.HybridSearch.colpaliPropagate(
@@ -308,7 +312,7 @@ object RetrievalPack {
   def hybridAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val chunks = docs(spark, dir).select(
-      lpad($"doc_id".cast("string"), 6, "0").as("id"),
+      lpad($"doc_id".cast("string"), 13, "0").as("id"),
       $"text",
       $"source".as("organization_id"),
       lit("internal").as("access_level"),
@@ -348,7 +352,7 @@ object RetrievalPack {
     val injected = concat($"text",
       when($"doc_id" % 13 === 0, lit(PrecisionInjection)).otherwise(lit("")))
     val chunks = docs(spark, dir).select(
-      lpad($"doc_id".cast("string"), 6, "0").as("id"),
+      lpad($"doc_id".cast("string"), 13, "0").as("id"),
       injected.as("text"),
       $"source".as("organization_id"),
       lit("internal").as("access_level"),
@@ -561,7 +565,7 @@ object RetrievalPack {
          |  round(list_sum(list_transform((SELECT q FROM qp), qrow ->
          |    list_max(list_transform(patches, prow -> list_dot_product(qrow, prow))))), 6) AS pscore
          |  FROM pat),
-         |ch AS (SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id,
+         |ch AS (SELECT lpad(CAST(doc_id AS VARCHAR), 13, '0') AS id,
          |  CAST(floor(doc_id / 10) AS BIGINT) AS document_id,
          |  CAST(doc_id % 5 AS INT) AS page_number FROM documents),
          |direct AS (SELECT ch.id, ps.pscore AS score FROM ch JOIN ps USING (document_id, page_number)),

@@ -352,7 +352,7 @@ class PlanSpec extends SparkSpec {
     // serving layout; the assertion below is that the quantized read
     // path leaves that fat column unread
     val chunks0 = graft.Tables(spark, sf0001, "documents").select(
-      lpad(col("doc_id").cast("string"), 6, "0").as("id"),
+      lpad(col("doc_id").cast("string"), 13, "0").as("id"),
       col("text"), col("source").as("organization_id"),
       lit("internal").as("access_level"),
       graft.functions.EmbedFunctions.featureHashEmbed(
