@@ -426,7 +426,14 @@ object TextPack {
         |  SELECT unnest(list_transform(path, (n, i) -> {'step': CAST(i - 1 AS BIGINT), 'node': n}), recursive := true) FROM best) u
         |ORDER BY step""".stripMargin,
     // q30's near-dup pair graph → connected components (min reachable
-    // id per node) via a recursive CTE, then cluster sizes
+    // id per node) via a recursive CTE, then cluster sizes.
+    // `ed` is MATERIALIZED: DuckDB inlines single-chain CTEs into the
+    // recursive term, so every closure iteration re-ran the ENTIRE
+    // minhash→LSH→Jaccard pipeline upstream of the edge list — at
+    // sf0.1 that is 193 s vs 46 s materialized (≈ the iteration
+    // count), and at sf1 each re-run is ~20 min, which turned the
+    // r15 full sf1 replay into a multi-hour hang on this one gate.
+    // Result rows are identical either way (verified at sf0.1).
     "q56_dedup_clusters" ->
       s"""WITH RECURSIVE $dcCte,
          |$sigCte,
@@ -436,7 +443,7 @@ object TextPack {
          |  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |$jaccardCtes,
          |jp AS (SELECT id_a, id_b FROM jac WHERE round(jaccard, 6) >= 0.4),
-         |ed AS (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
+         |ed AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
          |nodes AS (SELECT DISTINCT src AS id FROM ed),
          |reach(id, root) AS (
          |  SELECT id, id FROM nodes
