@@ -40,7 +40,10 @@ object IngestGates {
     * }}}
     * The 0/167/671 offsets are constants because s1–s3 are full
     * whenever the doc text is ≥39 chars (every fixture's minimum is
-    * ≥44). The TAIL slice s4 truncates below 47 chars — sf0.1 has 4
+    * ≥44), and each body slice's first char is overwritten with 'w'
+    * so no body can start with [A-Z0-9] (the sentence-rule premise —
+    * see the note at the slice construction below).
+    * The TAIL slice s4 truncates below 47 chars — sf0.1 has 4
     * such docs (44–46 chars), so the last section's char_end is
     * 695+len(s4), NOT the constant 835 this gate hash-pinned until the
     * sf0.1 replay caught it (the driver's sf0.01 fixture has no doc
@@ -54,11 +57,19 @@ object IngestGates {
   def hierChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rep = repeat(concat(col("text"), lit(" ")), 16)
+    // Every body slice is FORCED to start with a lowercase letter
+    // ('w' overwrites the slice's first char; lengths and therefore
+    // all section offsets are unchanged). Without this the premise
+    // "bodies never start with [A-Z0-9]" was only true of the driver
+    // fixtures: the r15 sf1 replay caught ScaleUp's ' r<k>' text salt
+    // landing a digit at offset 621, which legitimately fires the
+    // chunker's `(?<=\n)\s*(?=[A-Z0-9])` sentence rule after the H2
+    // heading and emits a 13th chunk the 12-row oracle can't predict.
     val injected = concat(
-      lit(H0 + E), substring(rep, 1, 140),
-      lit(E + H1 + E), substring(rep, 141, 280),
-      lit(E), substring(rep, 421, 200),
-      lit(E + H2 + E), substring(rep, 621, 140))
+      lit(H0 + E), lit("w"), substring(rep, 2, 139),
+      lit(E + H1 + E), lit("w"), substring(rep, 142, 279),
+      lit(E), lit("w"), substring(rep, 422, 199),
+      lit(E + H2 + E), lit("w"), substring(rep, 622, 139))
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), injected.as("t")).as[(Long, String)]
     val chunker = new HierarchicalChunker()
@@ -87,8 +98,8 @@ object IngestGates {
       s"CAST(len(list_filter(regexp_split_to_array($x, '\\s+'), w -> w <> '')) AS BIGINT)"
     s"""WITH d AS (SELECT doc_id, repeat(text || ' ', 16) AS rep FROM documents),
        |p AS (SELECT doc_id,
-       |  substr(rep, 1, 140) AS s1, substr(rep, 141, 280) AS s2,
-       |  substr(rep, 421, 200) AS s3, substr(rep, 621, 140) AS s4 FROM d),
+       |  'w' || substr(rep, 2, 139) AS s1, 'w' || substr(rep, 142, 279) AS s2,
+       |  'w' || substr(rep, 422, 199) AS s3, 'w' || substr(rep, 622, 139) AS s4 FROM d),
        |b AS (SELECT doc_id, s1, s2, s3, s4,
        |  chr(10) || chr(10) AS e,
        |  trim(s1) AS p1, trim(s2) AS q1, trim(s3) AS q2, trim(s4) AS r1 FROM p),

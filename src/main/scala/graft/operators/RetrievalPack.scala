@@ -216,14 +216,20 @@ object RetrievalPack {
     * graphs ([[Hnsw]]) persisted one row per shard, reloaded, and
     * searched at the serving beam — the graph-ANN layout closing the
     * reference's HNSW role (`src/storage/vector_store.py:136-146`,
-    * m=16/ef_construct=100/hnsw_ef=128). At gate scale the ef=128 beam
-    * covers each ≤128-node shard exhaustively, so the exact scan is a
-    * sound oracle; the recall/ef knob at partial beams is pinned by
+    * m=16/ef_construct=100/hnsw_ef=128). Shard count DERIVES from the
+    * corpus (~64 nodes/shard, floor 4) so the ef=128 beam covers every
+    * shard exhaustively at ANY fixture scale — a fixed `shards = 4`
+    * held the ≤128-node premise only up to sf0.1 (500/shard passed on
+    * graph quality alone; the r15 sf1 replay caught the recall drop at
+    * 5000/shard). The exact scan stays a sound oracle by construction;
+    * the recall/ef knob at genuinely partial beams is pinned by
     * HnswSpec. */
   def hnswKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
-    val idx = Hnsw.build(e, "vec_id", "embedding", shards = 4)
+    val nEmb = e.count()
+    val shards = math.max(4L, (nEmb + 63) / 64).toInt
+    val idx = Hnsw.build(e, "vec_id", "embedding", shards = shards)
     val tmp = TmpDirs.create("graft_q95_hnsw")
     idx.write.mode("overwrite").parquet(tmp)
     val loaded = spark.read.parquet(tmp).as[HnswShard]
