@@ -18,10 +18,12 @@ import graft.functions.TextFunctions
   *    types, capped here to the top `vocabTypes` by (count, word) —
   *    deterministic, and the standard practice (rare types cannot win
   *    a merge anyway);
-  *  - each merge step is one tiny aggregation over the type table
-  *    (pair counts → argmax) plus a single-row driver collect — the
-  *    bounded-scalar pattern of [[Dedup.clusters]]' convergence
-  *    checks, `nMerges` of them, never a corpus action;
+  *  - the type table is collected once (bounded by the vocabTypes
+  *    cap) and the merge loop runs driver-local over it — zero Spark
+  *    jobs per step (each step used to be two tiny distributed jobs;
+  *    on a real cluster master every job is a scheduler RPC, so
+  *    per-step jobs over driver-bounded state were pure overhead),
+  *    never a corpus action;
   *  - encoding applies the learned merge list in priority order as a
   *    chain of literal string replaces over sentinel-delimited
   *    character sequences — row-local, zero shuffle, broadcastable
@@ -65,22 +67,9 @@ object Bpe {
   private def seqString(word: Column): Column =
     concat(lit(Sep), regexp_replace(word, "(.)", "$1" + Sep))
 
-  /** Adjacent (left, right) token pairs of a working string, weighted
-    * by the type count — the per-step statistic BPE maximizes. */
-  private def pairCounts(h: DataFrame): DataFrame =
-    h.select(col("cnt"),
-        filter(split(col("ws"), Sep), x => x =!= "").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("cnt"), explode(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => struct(element_at(col("toks"), i).as("left"),
-          element_at(col("toks"), i + 1).as("right")))).as("p"))
-      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
-      .agg(sum(col("cnt")).as("c"))
-
-  /** Learn `nMerges` merges from a (word, cnt) histogram. Each step:
-    * pair counts over the type table, argmax, rewrite — `nMerges`
-    * small jobs + single-row collects, nothing corpus-sized.
+  /** Learn `nMerges` merges from a (word, cnt) histogram: one bounded
+    * collect of the type table, then a driver-local merge loop — no
+    * per-step Spark jobs, nothing corpus-sized.
     *
     * CONTRACT: `hist` must be a BOUNDED TYPE table (distinct words +
     * counts, the shape [[wordHistogram]] produces under a vocabTypes
@@ -91,20 +80,19 @@ object Bpe {
     * fails fast with a clear message instead of exhausting driver
     * memory. */
   def learnMerges(hist: DataFrame, nMerges: Int): Seq[Merge] = {
-    // Collect the histogram and rebuild it as a LOCAL frame: it is
-    // tiny by contract (≤ the caller's vocabTypes cap) but its LINEAGE
-    // can be arbitrarily deep — inside TrainingPipeline.curate it
-    // carries the whole curation pipeline's analyzed plan, and every
-    // one of the 2·nMerges actions below would re-pay driver-side
-    // processing of that multi-MB plan (measured: 8 steps = 35.7 s
-    // against a pipeline-lineage histogram vs 2.8 s against a raw
-    // scan). Training is already eager (it collects per step), so the
-    // cut costs one bounded collect. A localCheckpoint would cut the
-    // lineage too, but its blocks are RDD-level persists that
-    // Dataset.unpersist can't release — a long-lived curate()-per-
-    // request session would leak one histogram's blocks per call; the
-    // local relation has nothing to leak.
-    val spark = hist.sparkSession
+    // Collect the histogram ONCE: it is tiny by contract (≤ the
+    // caller's vocabTypes cap) but its LINEAGE can be arbitrarily deep
+    // — inside TrainingPipeline.curate it carries the whole curation
+    // pipeline's analyzed plan (measured: 8 steps of distributed
+    // training = 35.7 s against a pipeline-lineage histogram vs 2.8 s
+    // against a raw scan). The merge loop itself then runs DRIVER-
+    // LOCAL over the collected, contract-bounded table: the former
+    // per-step pairCounts+rewrite jobs (2·nMerges tiny Spark jobs over
+    // a cached ≤vocabTypes-row local relation) were pure scheduler
+    // overhead — on a real cluster master each is an RPC round-trip,
+    // the q113/JobCount lesson. The only Spark action left in training
+    // is this one bounded collect; the only corpus-sized pass remains
+    // wordHistogram's shuffle, unchanged.
     val seeded = hist.select(seqString(col("word")).as("ws"), col("cnt"))
     // cap+1 probe: a contract violation fails with a message, not an OOM
     val rows = seeded.limit(MaxHistTypes + 1).collect()
@@ -112,29 +100,63 @@ object Bpe {
       s"learnMerges: histogram exceeds $MaxHistTypes types — pass a " +
         "vocabTypes-capped word histogram (see wordHistogram), not a " +
         "raw token stream")
-    var h = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), seeded.schema)
-      .cache()
+    learnMergesLocal(
+      rows.map(r => (r.getString(0), r.getLong(1))), nMerges)
+  }
+
+  /** The merge loop over an in-memory (ws, cnt) type table — exact
+    * semantics of the former distributed loop: per step, adjacent-pair
+    * counts weighted by cnt, argmax by (count DESC, left ASC, right
+    * ASC) (tokens are `^[a-z]+$` substrings, so JVM String ordering ≡
+    * Spark's UTF8String binary ordering), then one non-overlapping
+    * left-to-right literal rewrite (Java's String.replace ≡ Spark's
+    * `replace` ≡ DuckDB's `replace` — the documented run-parity
+    * contract). Steps parallelize over the type table with parallel
+    * collections (order-independent: counts sum, rewrites are
+    * per-row), so the 2M-type contract ceiling stays ~100 ms/step. */
+  private[graft] def learnMergesLocal(
+      types: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    import scala.collection.parallel.CollectionConverters._
+    var h = types
     val merges = Seq.newBuilder[Merge]
-    try {
-      for (step <- 1 to nMerges) {
-        val top = pairCounts(h)
-          .orderBy(col("c").desc, col("left"), col("right"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (a, b, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += Merge(step, a, b, c)
-          val next = h.select(replace(col("ws"),
-              lit(Sep + a + Sep + b + Sep),
-              lit(Sep + a + b + Sep)).as("ws"), col("cnt"))
-            .cache()
-          next.count() // materialize before dropping the parent
-          h.unpersist(false)
-          h = next
+    val nChunks = math.max(1, math.min(64, h.length / 1024))
+    for (step <- 1 to nMerges) {
+      val bounds = (0 to nChunks).map(i => h.length.toLong * i / nChunks)
+      val chunkMaps = (0 until nChunks).par.map { ci =>
+        val m = new scala.collection.mutable.HashMap[(String, String), Long]()
+        var r = bounds(ci).toInt
+        val end = bounds(ci + 1).toInt
+        while (r < end) {
+          val (ws, cnt) = h(r)
+          val toks = ws.split(Sep).filter(_.nonEmpty)
+          var i = 0
+          while (i < toks.length - 1) {
+            val k = (toks(i), toks(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + cnt)
+            i += 1
+          }
+          r += 1
         }
+        m
+      }.seq
+      val counts = chunkMaps.reduceOption { (a, b) =>
+        b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+        a
+      }.getOrElse(scala.collection.mutable.HashMap.empty)
+      if (counts.nonEmpty) {
+        var bestL: String = null; var bestR: String = null; var bestC = 0L
+        counts.foreach { case ((l, r), c) =>
+          if (bestL == null || c > bestC ||
+              (c == bestC && (l < bestL || (l == bestL && r < bestR)))) {
+            bestL = l; bestR = r; bestC = c
+          }
+        }
+        merges += Merge(step, bestL, bestR, bestC)
+        val pat = Sep + bestL + Sep + bestR + Sep
+        val rep = Sep + bestL + bestR + Sep
+        h = h.par.map { case (ws, cnt) => (ws.replace(pat, rep), cnt) }.toArray
       }
-    } finally h.unpersist(false)
+    }
     merges.result()
   }
 

@@ -38,6 +38,7 @@ object Profile {
     }
 
     val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -47,21 +48,39 @@ object Profile {
     // JIT/classload warmup so the first query's cold time is the query's
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // scheduler-job accounting per entry (the q113/cluster-RPC lens:
+    // on a real master every job is a scheduler round-trip, so the
+    // fixed job count is the per-call floor a cluster pays)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
+
     for (name <- wanted) {
       SparkEntry.queries.get(name) match {
         case None => println(s"$name: no such query")
         case Some(q) =>
           if (explain) q(spark, sfDir).explain("formatted")
+          var lastJobs = 0
           val times = (0 until runs).map { _ =>
+            spark.catalog.clearCache()
+            Thread.sleep(120) // let queued listener events drain
+            val j0 = jobs.get()
             val t0 = System.nanoTime()
             q(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(120)
+            lastJobs = jobs.get() - j0
+            dt
           }
           val warm = times.drop(1).sorted
           val med =
             if (warm.isEmpty) times.head
             else warm(warm.length / 2)
-          println(f"$name%-28s cold ${times.head}%7.2f s   warm-median $med%7.2f s   (n=$runs)")
+          println(f"$name%-28s cold ${times.head}%7.2f s   warm-median $med%7.2f s   jobs $lastJobs%3d   (n=$runs)")
           spark.catalog.clearCache()
       }
     }

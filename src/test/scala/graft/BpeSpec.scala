@@ -43,4 +43,39 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.learnMerges(hist, 3)
     assert(a == b)
   }
+
+  // r15 optimization: the merge loop went driver-local with chunked
+  // parallel pair counting — pin it against a naive single-threaded
+  // reference on a histogram large enough to split into many chunks
+  test("local merge loop: chunked parallel counting ≡ naive reference") {
+    val rnd = new scala.util.Random(42)
+    val types = Array.tabulate(5000) { i =>
+      val w = (0 until 3 + rnd.nextInt(6))
+        .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      (Bpe.Sep + w.map(c => s"$c${Bpe.Sep}").mkString, 1L + rnd.nextInt(9))
+    }
+    def naive(ts: Array[(String, Long)], n: Int): Seq[Bpe.Merge] = {
+      var h = ts
+      val out = Seq.newBuilder[Bpe.Merge]
+      for (step <- 1 to n) {
+        val m = scala.collection.mutable.HashMap[(String, String), Long]()
+        for ((ws, cnt) <- h) {
+          val toks = ws.split(Bpe.Sep).filter(_.nonEmpty)
+          for (i <- 0 until toks.length - 1)
+            m.update((toks(i), toks(i + 1)),
+              m.getOrElse((toks(i), toks(i + 1)), 0L) + cnt)
+        }
+        if (m.nonEmpty) {
+          val ((l, r), c) = m.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += Bpe.Merge(step, l, r, c)
+          h = h.map { case (ws, cnt) =>
+            (ws.replace(Bpe.Sep + l + Bpe.Sep + r + Bpe.Sep,
+              Bpe.Sep + l + r + Bpe.Sep), cnt)
+          }
+        }
+      }
+      out.result()
+    }
+    assert(Bpe.learnMergesLocal(types.clone(), 12) == naive(types, 12))
+  }
 }
