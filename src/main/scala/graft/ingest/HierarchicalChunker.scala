@@ -1,5 +1,7 @@
 package graft.ingest
 
+import java.util.regex.Pattern
+
 import graft.model.{ChunkLevel, UnifiedChunk}
 
 /** Hierarchical chunking (I5, reference
@@ -18,7 +20,7 @@ class HierarchicalChunker(
     minSectionSize: Int = 100) extends Serializable {
 
   /** `hierarchical_chunker.py:314-316`. */
-  private val sentencePattern = HierarchicalChunker.SentencePattern
+  private val sentencePattern = HierarchicalChunker.SentenceSplit
 
   def chunk(text: String, documentId: String,
             organizationId: String = "default",
@@ -31,7 +33,7 @@ class HierarchicalChunker(
     out += UnifiedChunk(
       id = docId, document_id = documentId, text = docText,
       chunk_index = 0, level = ChunkLevel.Document,
-      token_count = Some(text.split("\\s+").count(_.nonEmpty)),
+      token_count = Some(HierarchicalChunker.Ws.split(text).count(_.nonEmpty)),
       organization_id = organizationId)
 
     // section chunks (`:385-438`)
@@ -53,11 +55,11 @@ class HierarchicalChunker(
         chunk_index = i, level = ChunkLevel.Section, parent_id = Some(docId),
         section_title = title, section_number = number,
         char_start = Some(start), char_end = Some(end),
-        token_count = Some(secText.split("\\s+").count(_.nonEmpty)),
+        token_count = Some(HierarchicalChunker.Ws.split(secText).count(_.nonEmpty)),
         organization_id = organizationId)
 
       // paragraph packing with word overlap (`:440-489`)
-      val paras = secText.split("""\n\s*\n""").map(_.trim).filter(_.nonEmpty)
+      val paras = HierarchicalChunker.ParaSep.split(secText).map(_.trim).filter(_.nonEmpty)
       val paraChunks = Seq.newBuilder[String]
       var current = ""
       for (para <- paras) {
@@ -65,7 +67,7 @@ class HierarchicalChunker(
           paraChunks += current
           current =
             if (paragraphOverlap > 0) {
-              val words = current.split("\\s+").filter(_.nonEmpty)
+              val words = HierarchicalChunker.Ws.split(current).filter(_.nonEmpty)
               val overlap =
                 if (words.length > paragraphOverlap) words.takeRight(paragraphOverlap)
                 else words
@@ -83,18 +85,18 @@ class HierarchicalChunker(
           id = paraId, document_id = documentId, text = paraText,
           chunk_index = j, level = ChunkLevel.Paragraph, parent_id = Some(secId),
           section_title = title,
-          token_count = Some(paraText.split("\\s+").count(_.nonEmpty)),
+          token_count = Some(HierarchicalChunker.Ws.split(paraText).count(_.nonEmpty)),
           organization_id = organizationId)
 
         // sentence chunks, skip < 20 chars (`:512-537`)
-        paraText.split(sentencePattern).zipWithIndex.foreach { case (s, k) =>
+        sentencePattern.split(paraText).zipWithIndex.foreach { case (s, k) =>
           val sent = s.trim
           if (sent.length >= 20) {
             out += UnifiedChunk(
               id = s"${paraId}_sent_$k", document_id = documentId, text = sent,
               chunk_index = k, level = ChunkLevel.Sentence, parent_id = Some(paraId),
               section_title = title,
-              token_count = Some(sent.split("\\s+").count(_.nonEmpty)),
+              token_count = Some(HierarchicalChunker.Ws.split(sent).count(_.nonEmpty)),
               organization_id = organizationId)
           }
         }
@@ -110,4 +112,13 @@ object HierarchicalChunker {
     * silently diverge on what a sentence is. */
   val SentencePattern: String =
     """(?<=[.!?])\s+(?=[A-Z])|(?<=\n)\s*(?=[A-Z0-9])"""
+
+  // Precompiled per-row patterns: String.split(regex) re-compiles its
+  // Pattern on EVERY call (no single-char fast path applies to any of
+  // these), and the chunker splits ~4×/chunk across millions of rows —
+  // pure per-task overhead at 100 TB (guide §1.2 step 2). Pattern.split
+  // is semantics-identical to String.split.
+  val SentenceSplit: Pattern = Pattern.compile(SentencePattern)
+  private[graft] val Ws: Pattern = Pattern.compile("""\s+""")
+  private[graft] val ParaSep: Pattern = Pattern.compile("""\n\s*\n""")
 }

@@ -45,6 +45,9 @@ object QualityAnalyzer {
     .map(Pattern.compile(_, Pattern.CASE_INSENSITIVE))
 
   private val leadingWs = Pattern.compile("""^\s+""")
+  // precompiled: String.split("\\s+") re-compiles per call — this runs
+  // per document in the ingest flatMap (guide §1.2 step 2)
+  private val ws = Pattern.compile("""\s+""")
 
   /** `chunking_service.py:64-69`: QUALITY_STRATEGY_MAP. */
   val strategyMap: Map[String, String] = Map(
@@ -94,7 +97,7 @@ object QualityAnalyzer {
   /** `document_quality.py:206-229`. */
   private def scoreTextExtraction(text: String): Double = {
     var score = 1.0
-    val wordCount = text.split("\\s+").count(_.nonEmpty)
+    val wordCount = ws.split(text).count(_.nonEmpty)
     if (wordCount < 10) return 0.1
     if (wordCount < 50) score -= 0.3
     val alphaRatio = text.count(_.isLetter).toDouble / text.length
@@ -154,7 +157,7 @@ object QualityAnalyzer {
   /** `document_quality.py:319-354`. */
   private def scoreCoherence(text: String): Double = {
     var score = 1.0
-    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = ws.split(text.toLowerCase).filter(_.nonEmpty)
     if (words.length < 20) return 0.5
     val avgLen = words.map(_.length).sum.toDouble / words.length
     if (avgLen < 2 || avgLen > 12) score -= 0.3

@@ -36,10 +36,10 @@ object SemanticChunker {
 
   /** Same sentence rule as the hierarchical chunker
     * (`hierarchical_chunker.py:314-316`) — one shared constant. */
-  private val sentenceRe = HierarchicalChunker.SentencePattern
+  private val sentenceRe = HierarchicalChunker.SentenceSplit
 
   def sentences(text: String): Seq[String] =
-    text.split(sentenceRe).map(_.trim).filter(_.nonEmpty).toSeq
+    sentenceRe.split(text).map(_.trim).filter(_.nonEmpty).toSeq
 
   private def embed(s: String, dim: Int): Array[Double] =
     EmbedFunctions.embedQuery(TextFunctions.tokenizeJvm(s), dim)
@@ -60,7 +60,7 @@ object SemanticChunker {
   }
 
   private def tokenCount(s: String): Int =
-    s.split("\\s+").count(_.nonEmpty)
+    HierarchicalChunker.Ws.split(s).count(_.nonEmpty)
 
   /** First pass: greedy semantic grouping — a sentence joins the open
     * group while its cosine to the group centroid stays ≥ the boundary
@@ -145,7 +145,7 @@ object SemanticChunker {
       case "semantic" => semanticGroups(sents, cfg).map(_.mkString(" "))
       case "sentence" => sentenceGroups(sents, cfg).map(_.mkString(" "))
       case _ => // "token": fixed windows over whitespace tokens
-        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val toks = HierarchicalChunker.Ws.split(text).filter(_.nonEmpty)
         if (toks.isEmpty) Nil
         else toks.grouped(cfg.maxTokens).map(_.mkString(" ")).toSeq
     }

@@ -34,6 +34,15 @@ object TableExtractor {
       confidence: Double)
 
   private val borderLine = Pattern.compile("""^[\s\-|+]+$""")
+  // precompiled per-line/per-cell patterns: String.split(regex) and
+  // String.matches re-compile on every call, and these run per LINE /
+  // per CELL of every scanned document (guide §1.2 step 2)
+  private val ws3 = Pattern.compile("""\s{3,}""")
+  private val ws2 = Pattern.compile("""\s{2,}""")
+  private val currencyCell = Pattern.compile("""^\$[\d,]+(?:\.\d{2})?$""")
+  private val percentCell = Pattern.compile("""^[\d,]+(?:\.\d+)?%$""")
+  private val dateCell = Pattern.compile("""^\d{1,2}[/-]\d{1,2}[/-]\d{2,4}$""")
+  private val numberCell = Pattern.compile("""^[\d,]+(?:\.\d+)?$""")
   private val titlePattern =
     Pattern.compile("""(Table\s+\d+[:.]\s*[^\n]+)""", Pattern.CASE_INSENSITIVE)
 
@@ -42,7 +51,7 @@ object TableExtractor {
     if (line.count(_ == '|') >= 2) return true
     if (line.count(_ == '\t') >= 1 && line.split("\t").count(_.trim.nonEmpty) >= 2)
       return true
-    if (line.trim.split("""\s{3,}""").count(_.nonEmpty) >= 3) return true
+    if (ws3.split(line.trim).count(_.nonEmpty) >= 3) return true
     borderLine.matcher(line).matches()
   }
 
@@ -50,7 +59,7 @@ object TableExtractor {
   private def countColumns(line: String): Int =
     if (line.contains("|")) line.split("\\|").count(_.trim.nonEmpty)
     else if (line.contains("\t")) line.split("\t").count(_.trim.nonEmpty)
-    else line.trim.split("""\s{2,}""").count(_.nonEmpty)
+    else ws2.split(line.trim).count(_.nonEmpty)
 
   /** Line-analysis table detection (A10, `table_extractor.py:203-241`):
     * runs of table-ish lines with column-count variance < 2. */
@@ -85,10 +94,10 @@ object TableExtractor {
   /** `table_extractor.py:428-443`: per-cell data-type classification. */
   def classifyCell(raw: String): String = {
     val v = raw.trim
-    if (v.matches("""^\$[\d,]+(?:\.\d{2})?$""")) "currency"
-    else if (v.matches("""^[\d,]+(?:\.\d+)?%$""")) "percentage"
-    else if (v.matches("""^\d{1,2}[/-]\d{1,2}[/-]\d{2,4}$""")) "date"
-    else if (v.matches("""^[\d,]+(?:\.\d+)?$""")) "number"
+    if (currencyCell.matcher(v).matches()) "currency"
+    else if (percentCell.matcher(v).matches()) "percentage"
+    else if (dateCell.matcher(v).matches()) "date"
+    else if (numberCell.matcher(v).matches()) "number"
     else if (Seq("yes", "no", "true", "false", "✓", "✗", "x").contains(v.toLowerCase)) "boolean"
     else "text"
   }

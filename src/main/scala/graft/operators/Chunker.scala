@@ -58,7 +58,7 @@ object Chunker {
     * chunk). Deterministic; used by the ingestion pipeline and pinned
     * by ScalaTest against the reference's demo behavior. */
   def paragraphPack(text: String, maxChars: Int): Seq[String] = {
-    val paras = text.split("\\n\\s*\\n").map(_.trim).filter(_.nonEmpty)
+    val paras = graft.ingest.HierarchicalChunker.ParaSep.split(text).map(_.trim).filter(_.nonEmpty)
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     for (p <- paras) {
