@@ -35,8 +35,30 @@ object Scratch {
       }
     })
 
+    // Bench-only composite entries, reproduced with the Bench recipe so
+    // their job mix can be attributed like any gate query
+    def benchComposite(n: String): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] = n match {
+      case "ingest_pipeline" => Some { (sp, dir) =>
+        val docs = graft.Tables(sp, dir, "documents")
+        val bundle = graft.ingest.Pipeline.ingest(docs, orgCol = Some("source"))
+        bundle.chunks.write.format("noop").mode("overwrite").save()
+        bundle.postings
+      }
+      case "curation_pipeline" => Some { (sp, dir) =>
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val docs = graft.Tables(sp, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), lit(".")).as("text"),
+            col("lang"))
+        val eval = docs.filter(col("doc_id") % 25 === 0).select(col("text"))
+        graft.operators.TrainingPipeline.curate(
+          docs, eval, "doc_id", "text", "lang", withReport = false).spans
+      }
+      case _ => None
+    }
+
     var t0 = System.nanoTime()
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val df = benchComposite(name)
+      .getOrElse(graft.SparkEntry.queries(name))(spark, sfDir)
     println(f"[scratch] build:    ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
     t0 = System.nanoTime()
