@@ -97,13 +97,17 @@ object TableStore {
     * seeds and compactions pay the slowest write, not the sum. */
   def save(bundle: IndexBundle, root: String): Unit =
     SegmentedStore.awaitAll(Seq(
-      () => bundle.chunks.write.mode("overwrite")
+      () => bundle.chunks.hint("rebalance", "organization_id")
+        .write.mode("overwrite")
         .partitionBy("organization_id").parquet(s"$root/chunks"),
       () => bundle.postings.withColumn("term_blk", termBlock(col("term")))
+        .hint("rebalance", "term_blk")
         .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/postings"),
       () => bundle.idf.withColumn("term_blk", termBlock(col("term")))
+        .hint("rebalance", "term_blk")
         .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/idf"),
       () => bundle.docFreq.withColumn("term_blk", termBlock(col("term")))
+        .hint("rebalance", "term_blk")
         .write.mode("overwrite").partitionBy("term_blk").parquet(s"$root/docfreq"),
       () => bundle.stats.write.mode("overwrite").parquet(s"$root/stats")))
 
@@ -133,7 +137,14 @@ object TableStore {
       if (index.columns.contains("organization_id"))
         Seq("organization_id", "tbl", "bucket")
       else Seq("tbl", "bucket")
-    index.write.mode("overwrite")
+    // REBALANCE by the partition key before the partitioned write
+    // (guide §6): without it every upstream task writes its own file
+    // into every directory it touches — an N_tasks × N_dirs small-file
+    // explosion on the read side. The AQE rebalance clusters each key
+    // into whole output files AND splits skewed keys, so write
+    // parallelism survives low-cardinality keys at scale (a hard
+    // repartition(key) would collapse it to one task per key).
+    index.hint("rebalance", parts: _*).write.mode("overwrite")
       .partitionBy(parts: _*).parquet(s"$root/ann")
   }
 
@@ -148,7 +159,7 @@ object TableStore {
     * it first — a partition-scoped rewrite of its L bucket
     * directories, never a full-index rebuild. */
   def appendAnn(delta: DataFrame, root: String): Unit =
-    delta.write.mode("append")
+    delta.hint("rebalance", "tbl", "bucket").write.mode("append")
       .partitionBy("tbl", "bucket").parquet(s"$root/ann")
 
   /** Plain vector sink (S7, the role of the reference's Qdrant
@@ -174,7 +185,8 @@ object TableStore {
     * ([[graft.operators.AnnKnn.ivfStoreCandidates]]) — the scan opens
     * only the probed list directories. */
   def saveIvf(index: DataFrame, centroids: DataFrame, root: String): Unit = {
-    index.write.mode("overwrite").partitionBy("cid").parquet(s"$root/ivf")
+    index.hint("rebalance", "cid").write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$root/ivf")
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$root/ivf_centroids")
   }
 
@@ -231,7 +243,7 @@ object TableStore {
   /** `extracted_tables` sink (nested structured_data preserved as a
     * parquet struct), tenant-partitioned like the chunk fact table. */
   def saveExtractedTables(records: DataFrame, root: String): Unit =
-    records.write.mode("overwrite")
+    records.hint("rebalance", "organization_id").write.mode("overwrite")
       .partitionBy("organization_id").parquet(s"$root/extracted_tables")
 
   def loadExtractedTables(spark: SparkSession, root: String): DataFrame =
@@ -258,6 +270,7 @@ object TableStore {
              root: String, centroids: Option[DataFrame] = None): Unit = {
     index.select(col("cid"), col("id"),
         packPidCodes(col("codes")).as("codes"))
+      .hint("rebalance", "cid")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$root/pq")
     val spark = index.sparkSession
     import spark.implicits._
